@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local mode is for tests only; every config here is chosen to also be the
+right default on a real multi-executor cluster:
+
+- AQE on (runtime partition coalescing + skew-join splitting),
+- shuffle partitions sized to cores locally (on a cluster AQE re-coalesces),
+- UTC session timezone (parquet timestamps are naive; the DuckDB oracle
+  compares values in UTC),
+- Arrow enabled for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "solace_apache_beam_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # driver-generated parquet stores some timestamps as TIMESTAMP(NANOS),
+        # which vanilla Spark rejects; read them as long and convert in
+        # load_table (micros truncation matches DuckDB/Arrow semantics)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+# columns stored as TIMESTAMP(NANOS) in the driver's parquet; surfaced as
+# long (nanos) under nanosAsLong and converted back to TimestampType here
+_NANOS_TS_COLUMNS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-generated parquet table (TESTDATA.md)."""
+    # the driver runs queries under its own SparkSession; the nanos
+    # timestamp conf is runtime-settable, so pin it here too
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLUMNS.get(name, []):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer div — a double division would lose precision at
+            # epoch-nanos magnitude (~1.7e18 > 2^53)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
