@@ -246,3 +246,317 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("line").cast("long")).cast("double") / F.count(F.lit(1))
         ).alias("avg_line_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Windowing (SURVEY.md §2.5: W1 covered above; W7 sliding/session below)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sliding_window_count",
+    oracle="""
+    WITH expanded AS (
+      SELECT e.event_type,
+             (CAST(floor(epoch(e.ts) / 600) AS BIGINT) - i.i) * 600 AS start_s
+      FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) i
+    )
+    SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * start_s AS window_start,
+           TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (start_s + 1200) AS window_end,
+           event_type, count(*) AS cnt
+    FROM expanded
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (20 min / 10 min) per event type — W7; Spark
+    expands each row into duration/slide windows with a generator
+    (no self-join)."""
+    from solace_apache_beam_spark.operators.windows import sliding_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_count(ev, "ts", "20 minutes", "10 minutes", "event_type")
+
+
+@query(
+    "session_window_count",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS cnt
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user, 30 min gap (W7): session_window merges
+    rows while consecutive gaps < gap; end = last event + gap. The
+    oracle reproduces the merge with lag + gap-flag cumsum."""
+    from solace_apache_beam_spark.operators.windows import session_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_count(ev, "ts", "30 minutes", "user_id")
+
+
+# --------------------------------------------------------------------------
+# Relational layer (SURVEY.md §2.8 — absent in the reference, first-class
+# in the Spark engine)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary. Money sums go through DECIMAL so
+    the result is independent of partitioning/order (double sums are
+    not) — that makes it oracle-exact AND reproducible on a cluster.
+    Shipdate filter is pushed to the parquet scan."""
+    from solace_apache_beam_spark.operators.relational import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum(F.col("l_quantity"), "decimal(18,4)").cast("double").alias("sum_qty"),
+        dec_sum(F.col("l_extendedprice"), "decimal(18,4)").cast("double").alias("sum_base_price"),
+        dec_sum(disc_price, "decimal(24,4)").cast("double").alias("sum_disc_price"),
+        dec_sum(charge, "decimal(24,6)").cast("double").alias("sum_charge"),
+        (dec_sum(F.col("l_quantity"), "decimal(18,4)").cast("double") / n).alias("avg_qty"),
+        (dec_sum(F.col("l_extendedprice"), "decimal(18,4)").cast("double") / n).alias("avg_price"),
+        (dec_sum(F.col("l_discount"), "decimal(18,4)").cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema enrichment join: fact lineitem joined through orders to
+    the customer->nation->region dimensions, all dimension sides
+    broadcast — the fact table never shuffles for the lookups; the only
+    shuffles are the l_orderkey equi-join and the final small agg."""
+    from solace_apache_beam_spark.operators.relational import (
+        broadcast_dim_join,
+        dec_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    enriched = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .transform(lambda d: broadcast_dim_join(d, cust, [d.o_custkey == cust.c_custkey]))
+        .transform(lambda d: broadcast_dim_join(d, nation, [cust.c_nationkey == nation.n_nationkey]))
+        .transform(lambda d: broadcast_dim_join(d, region, [nation.n_regionkey == region.r_regionkey]))
+    )
+    return enriched.groupBy("r_name", "n_name").agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(24,4)")
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "top_customers_per_segment",
+    oracle="""
+    WITH totals AS (
+      SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c.c_mktsegment, c.c_custkey, c.c_name, t.total_spent,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY t.total_spent DESC, c.c_custkey) AS rank
+      FROM totals t JOIN customer c ON t.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment, c_custkey, c_name, total_spent, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (§2.8 ranking): aggregate then row_number ≤ k —
+    one shuffle on the group key, no global sort. Deterministic tiebreak
+    on c_custkey."""
+    from solace_apache_beam_spark.operators.relational import (
+        dec_sum,
+        top_k_per_group,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    totals = orders.groupBy("o_custkey").agg(
+        dec_sum(F.col("o_totalprice"), "decimal(18,4)").cast("double").alias("total_spent")
+    )
+    joined = totals.join(
+        F.broadcast(cust), totals.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "c_custkey", "c_name", "total_spent")
+    return top_k_per_group(
+        joined, ["c_mktsegment"], "total_spent", 5, tiebreak_cols=["c_custkey"]
+    )
+
+
+@query(
+    "set_ops_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (§2.8): customers with both URGENT and HIGH orders
+    but no LOW orders. intersect/except distinct-semantics,
+    hash-partitioned on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(high).subtract(low)
+
+
+@query(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (§2.8 grouping sets): (flag, status), (flag),
+    () subtotals in one pass."""
+    from solace_apache_beam_spark.operators.relational import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dec_sum(F.col("l_quantity"), "decimal(18,4)").cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "pivot_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (§2.8): linestatus values to columns. Explicit value list —
+    no extra distinct-values job at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@query(
+    "analytic_user_running",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER w AS rn,
+           lag(value) OVER w AS prev_value,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def analytic_user_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (§2.8): per-user row_number, lag and
+    running sum. The running sum goes through DECIMAL: engines may fold
+    window frames in different association orders (segment trees), so
+    double accumulation would not be comparable."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(frame).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "protobuf_roundtrip",
+    oracle="SELECT doc_id, text AS test FROM documents",
+)
+def protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf decode (P4, SolaceProtoBuffRecordTest.java:189-194):
+    documents.text is proto2-encoded into a BINARY payload column and
+    decoded back with the Arrow-batched wire-format parser; the oracle
+    checks the decode against the original text."""
+    from solace_apache_beam_spark.operators.protobuf_ops import (
+        decode_proto_test,
+        encode_proto_test,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    encoded = docs.select("doc_id", encode_proto_test(F.col("text")).alias("payload"))
+    return encoded.select("doc_id", decode_proto_test(F.col("payload")).alias("test"))
