@@ -1,0 +1,125 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting. All built-in array/string expressions
+(map-side, codegen'd, zero shuffle) — at 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solace_apache_beam_spark.functions.hashing import h32, words_expr
+
+# Minimal per-language stopword profiles for the n-gram/stopword
+# heuristic language id (public common stopwords).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "un", "que", "pour", "dans", "est", "les"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "zh": ["de", "shi", "bu", "le", "zai", "you", "wo", "ta", "men", "zhe"],
+}
+
+FINGERPRINT_MASK = (1 << 57) - 1  # 31*h + w stays < 2^63 under this mask
+
+
+def _stop_score(words, lang: str):
+    lst = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.when(F.array_contains(lst, w), 1).otherwise(0),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language id: per-language hit count over tokens,
+    argmax with lexicographic tiebreak. Output: (id, score_<lang>...,
+    predicted_lang)."""
+    words = words_expr(text_col)
+    scored = df.select(
+        F.col(id_col), *[_stop_score(words, lg).alias(f"score_{lg}") for lg in STOPWORDS]
+    )
+    # argmax by score desc, then lang asc (deterministic)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in STOPWORDS])
+    pred = F.coalesce(
+        *[
+            F.when(F.col(f"score_{lg}") == best, F.lit(lg))
+            for lg in sorted(STOPWORDS)
+        ]
+    )
+    return scored.withColumn("predicted_lang", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + combined score: length, word count,
+    mean word length, punctuation/digit/stopword ratios. Ratios are
+    int/int divisions and the score is a fixed expression tree — exact
+    across engines."""
+    words = words_expr(text_col)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_words = F.size(words).cast("long")
+    n_punct = (
+        n_chars
+        - F.length(F.regexp_replace(F.col(text_col), r"[\p{Punct}]", "")).cast("long")
+    )
+    n_digits = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", "")).cast("long")
+    )
+    n_stop = _stop_score(words, "en")
+    out = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        n_digits.alias("n_digits"),
+        n_stop.alias("n_stopwords"),
+    )
+    safe_words = F.greatest(F.col("n_words"), F.lit(1))
+    safe_chars = F.greatest(F.col("n_chars"), F.lit(1))
+    return (
+        out.withColumn(
+            "avg_word_len",
+            (F.col("n_chars") - (F.col("n_words") - 1)).cast("double") / safe_words,
+        )
+        .withColumn("punct_ratio", F.col("n_punct").cast("double") / safe_chars)
+        .withColumn("digit_ratio", F.col("n_digits").cast("double") / safe_chars)
+        .withColumn("stopword_ratio", F.col("n_stopwords").cast("double") / safe_words)
+        .withColumn(
+            "quality",
+            F.lit(0.4) * F.col("stopword_ratio")
+            + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
+            + F.lit(0.3) * (F.lit(1.0) - F.col("digit_ratio")),
+        )
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens
+    (letter-runs / digit-runs / single other), and a subword estimate
+    (ceil(len/4) per word — the ~4-chars-per-token rule of thumb)."""
+    words = words_expr(text_col)
+    bpe_pattern = r"[\p{L}]+|[0-9]+|[^\s\p{L}0-9]"
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(bpe_pattern)).cast("long").alias("n_bpe_tokens"),
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+        ).alias("n_subword_est"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    fold h = (h*31 + hash(word)) & (2^57-1) over the word sequence —
+    sequential fold, identical in the oracle's list_reduce."""
+    words = words_expr(text_col)
+    fp = F.aggregate(
+        F.transform(words, lambda w: h32(w)),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h).bitwiseAND(F.lit(FINGERPRINT_MASK)),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,451 @@
+"""LLM-data-pipeline queries (SURVEY.md §7 M4): dedup family, similarity
+search, text analysis, multimodal — each registered with a DuckDB oracle
+that replays the identical computation (same md5-derived hashes, same
+permutation coefficients, same fold order), so MinHash/SimHash/LSH run
+under the exact value-hash gate rather than a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solace_apache_beam_spark.functions.hashing import (
+    MERSENNE_61,
+    minhash_coeffs,
+)
+from solace_apache_beam_spark.llm.text_analysis import FINGERPRINT_MASK, STOPWORDS
+from solace_apache_beam_spark.registry import query
+from solace_apache_beam_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (mirror functions/hashing.py exactly)
+# ---------------------------------------------------------------------------
+
+_WORDS = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
+_SHINGLES = (
+    "list_distinct([array_to_string(words[i:i+2], ' ') "
+    "for i in generate_series(1, len(words) - 2)])"
+)
+
+
+def _h32(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def _h64(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+_DOC_BASE = f"""
+  w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+  s2 AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w WHERE len(words) >= 3),
+  hs AS (SELECT doc_id, [{_h32("s")} for s in shingles] AS hlist FROM s2)
+"""
+
+_N_PERM, _N_BANDS = 16, 4
+_ROWS_PER_BAND = _N_PERM // _N_BANDS
+
+_SIG_ITEMS = ", ".join(
+    f"list_min([({a} * h + {b}) % {MERSENNE_61} for h in hlist])"
+    for a, b in minhash_coeffs(_N_PERM)
+)
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band, "
+    + _h64(
+        f"array_to_string(sig[{bi * _ROWS_PER_BAND + 1}:{(bi + 1) * _ROWS_PER_BAND}], ',')"
+    )
+    + " AS band_hash FROM sig"
+    for bi in range(_N_BANDS)
+)
+_MINHASH_BASE = f"""
+  {_DOC_BASE},
+  sig AS (SELECT doc_id, [{_SIG_ITEMS}] AS sig FROM hs),
+  bands AS ({_BANDS_SQL})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by 128-bit content hash; keep lowest doc_id per group.
+    One shuffle on the hash."""
+    from solace_apache_beam_spark.llm.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "minhash_band_hashes",
+    oracle=f"WITH {_MINHASH_BASE} SELECT doc_id, band, band_hash FROM bands",
+)
+def minhash_band_hashes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature + LSH band hashes per document (all map-side;
+    the oracle replays every permutation bit-for-bit)."""
+    from solace_apache_beam_spark.llm.dedup import minhash_band_hashes
+
+    return minhash_band_hashes(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_BASE},
+    cand AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+    FROM cand
+    JOIN s2 sa ON cand.doc_a = sa.doc_id
+    JOIN s2 sb ON cand.doc_b = sb.doc_id
+    WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-bucket candidates verified with
+    exact shingle Jaccard, threshold 0.5."""
+    from solace_apache_beam_spark.llm.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    h AS (SELECT doc_id, [{_h32("x")} for x in words] AS hlist FROM w WHERE len(words) > 0)
+    SELECT doc_id,
+           CAST(list_sum([
+             CASE WHEN CAST(list_sum([
+                    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+                  for h in hlist]) AS BIGINT) > 0
+                  THEN (1::BIGINT << b) ELSE 0 END
+           for b in generate_series(0, 31)]) AS BIGINT) AS simhash
+    FROM h
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (near-dup = equal/近-equal signatures);
+    map-side only."""
+    from solace_apache_beam_spark.llm.dedup import simhash_signatures
+
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DOC_BASE},
+    inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM s2),
+    keep AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000),
+    inv AS (SELECT inv0.doc_id, inv0.shingle FROM inv0 JOIN keep USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(shingles) AS sz FROM s2)
+    SELECT doc_a, doc_b,
+           n_inter * 1.0 / (sa.sz + sb.sz - n_inter) AS jaccard
+    FROM inter
+    JOIN sz sa ON inter.doc_a = sa.doc_id
+    JOIN sz sb ON inter.doc_b = sb.doc_id
+    WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= 0.5 via inverted shingle index with
+    document-frequency cutoff (the blow-up guard at scale)."""
+    from solace_apache_beam_spark.llm.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _stop_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(coalesce(list_sum([CASE WHEN list_contains([{lst}], x) THEN 1 ELSE 0 END "
+        f"for x in words]), 0) AS BIGINT)"
+    )
+
+
+_LANGS_SORTED = sorted(STOPWORDS)
+_PRED_SQL = "CASE " + " ".join(
+    f"WHEN score_{lg} = best THEN '{lg}'" for lg in _LANGS_SORTED
+) + " END"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    scored AS (
+      SELECT doc_id,
+             {", ".join(f"{_stop_sql(lg)} AS score_{lg}" for lg in STOPWORDS)}
+      FROM w
+    ),
+    m AS (SELECT *, greatest({", ".join(f"score_{lg}" for lg in STOPWORDS)}) AS best FROM scored)
+    SELECT doc_id, {", ".join(f"score_{lg}" for lg in STOPWORDS)},
+           {_PRED_SQL} AS predicted_lang
+    FROM m
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language id with per-language scores and
+    deterministic argmax."""
+    from solace_apache_beam_spark.llm.text_analysis import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text, {_WORDS} AS words FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+             {_stop_sql("en")} AS n_stopwords
+      FROM w
+    )
+    SELECT *,
+           CAST(n_chars - (n_words - 1) AS DOUBLE) / greatest(n_words, 1) AS avg_word_len,
+           CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+           CAST(n_digits AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
+           CAST(n_stopwords AS DOUBLE) / greatest(n_words, 1) AS stopword_ratio,
+           0.4 * (CAST(n_stopwords AS DOUBLE) / greatest(n_words, 1))
+             + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+             + 0.3 * (1.0 - CAST(n_digits AS DOUBLE) / greatest(n_chars, 1)) AS quality
+    FROM base
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features (length/punct/digit/stopword ratios) + combined
+    score; map-side."""
+    from solace_apache_beam_spark.llm.text_analysis import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text, {_WORDS} AS words FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[\\p{{L}}]+|[0-9]+|[^\\s\\p{{L}}0-9]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(coalesce(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) for x in words]), 0) AS BIGINT) AS n_subword_est
+    FROM w
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace / BPE-ish-regex / subword-estimate token counts."""
+    from solace_apache_beam_spark.llm.text_analysis import token_counts
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT, [{_h32("x")} for x in words]),
+             (acc, x) -> (acc * 31 + x) & {FINGERPRINT_MASK}
+           ) AS fingerprint
+    FROM w
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the word sequence
+    (order-sensitive, sequential fold on both engines)."""
+    from solace_apache_beam_spark.llm.text_analysis import fingerprints
+
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(0.0, "
+    "[CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
+    "for i in generate_series(1, len(a.embedding))]), (s, x) -> s + x)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, "
+    "[CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE) "
+    "for i in generate_series(1, len({v}.embedding))]), (s, x) -> s + x))"
+)
+
+
+@query(
+    "knn_brute_cosine",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_DOT} / ({_NORM.format(v="a")} * {_NORM.format(v="b")}), 6) AS cos_sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 100 AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 10
+    """,
+)
+def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-10 cosine neighbors for the first 100
+    vectors (query set broadcast; corpus never shuffles)."""
+    from solace_apache_beam_spark.llm.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 100)).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+_N_PLANES, _ANN_K = 4, 5
+
+
+def _plane_dot(v: str, p: int) -> str:
+    coef = (
+        f"((('0x' || substr(md5('{p}:' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT & 1) * 2 - 1)"
+    )
+    return (
+        f"list_reduce(list_prepend(0.0, [CAST({v}.embedding[i] AS DOUBLE) * {coef} "
+        f"for i in generate_series(1, len({v}.embedding))]), (s, x) -> s + x)"
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN round({_plane_dot('e', p)}, 9) >= 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_N_PLANES)
+)
+
+
+@query(
+    "ann_lsh_cosine",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT e.vec_id, e.embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+      FROM embeddings e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_DOT} / ({_NORM.format(v="a")} * {_NORM.format(v="b")}), 6) AS cos_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {_ANN_K}
+    """,
+)
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane LSH buckets +
+    in-bucket brute force (the 100 TB scale path; bucket count is the
+    recall/cost knob)."""
+    from solace_apache_beam_spark.llm.similarity import ann_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, n_planes=_N_PLANES, k=_ANN_K).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT} / ({_NORM.format(v="a")} * {_NORM.format(v="b")}), 6) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round({_DOT} / ({_NORM.format(v="a")} * {_NORM.format(v="b")}), 6) >= 0.4
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4)."""
+    from solace_apache_beam_spark.llm.similarity import neardup_pairs
+
+    return neardup_pairs(load_table(spark, sf_dir, "embeddings")).select(
+        "id_a", "id_b", "cos_sim"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id, 'text' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata columns (modality, byte size,
+    checksum) — the multimodal record shape."""
+    from solace_apache_beam_spark.llm.multimodal import attach_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_binary_payload(docs).drop("payload")
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas
+    (deterministic fake decoder: normalized byte histogram). Non-SQL op —
+    rows-only driver check; exactness covered in tests/."""
+    from solace_apache_beam_spark.llm.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs))
+
+
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (every 4th 64-byte frame) via
+    mapInPandas. Non-SQL op — rows-only driver check + tests/."""
+    from solace_apache_beam_spark.llm.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_binary_payload(docs))

@@ -39,14 +39,17 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def all_queries() -> dict[str, QueryFn]:
-    # import for side effect: populates the registry
-    from solace_apache_beam_spark import queries as _  # noqa: F401
+def _load() -> None:
+    # imports for side effect: populate the registry
+    from solace_apache_beam_spark import queries as _q  # noqa: F401
+    from solace_apache_beam_spark import queries_llm as _ql  # noqa: F401
 
+
+def all_queries() -> dict[str, QueryFn]:
+    _load()
     return dict(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    from solace_apache_beam_spark import queries as _  # noqa: F401
-
+    _load()
     return dict(_ORACLES)
