@@ -22,4 +22,14 @@ cannot express the semantics (Arrow-batched, never per-row).
 
 __version__ = "0.1.0"
 
-from solace_apache_beam_spark.session import get_spark  # noqa: F401
+import os as _os
+
+# Python workers (custom DataSource / UDF deserialization) import this
+# package by name; make sure the repo root is on PYTHONPATH before any
+# SparkSession (and its JVM) is created.
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_pp = _os.environ.get("PYTHONPATH", "")
+if _repo_root not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = f"{_repo_root}{_os.pathsep}{_pp}" if _pp else _repo_root
+
+from solace_apache_beam_spark.session import get_spark  # noqa: F401,E402

@@ -1,0 +1,38 @@
+"""Warehouse append sink (K3) and console/log sink (K4).
+
+The reference appends rows to BigQuery with CREATE_IF_NEEDED /
+WRITE_APPEND (SolaceBigQuery.java:198-202); the portable engine appends
+to a parquet table via foreachBatch. Exactly-once note: parquet append
+is at-least-once under retries — the epoch_id column makes replays
+detectable/idempotent downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def make_warehouse_appender(table_path: str, partition_by: list[str] | None = None):
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_df.withColumn("_epoch_id", F.lit(epoch_id))
+        writer = out.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(table_path)
+
+    return write
+
+
+def make_log_sink(logger=None):
+    """Element -> log line (SolaceRecordTest.java:158-164)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        for row in batch_df.collect():
+            msg = f"epoch={epoch_id} {row.asDict()}"
+            if logger:
+                logger.info(msg)
+            else:
+                print(msg)
+
+    return write

@@ -1,0 +1,130 @@
+"""File-backed replayable message broker for tests.
+
+Stands in for the Solace PubSub+ broker the reference binds to: messages
+are durable (an append-only JSONL log per queue), consumption is
+replayable from the last *acked* position — the broker, not the reader
+checkpoint, is the replay log, exactly like the reference
+(UnboundedSolaceSource.java:44-46: a prior checkpoint is deliberately
+ignored; un-acked messages are redelivered on rebind,
+UnboundedSolaceReaderIT.java:90-122).
+
+Layout:  <dir>/<queue>/messages.jsonl   append-only message log
+         <dir>/<queue>/acked           int: count of acked (deleted) msgs
+         <dir>/<queue>/delivered       int: high-watermark of delivered msgs
+                                       (drives the `redelivered` flag)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def create_queue(broker_dir: str, queue: str) -> None:
+    qdir = os.path.join(broker_dir, queue)
+    os.makedirs(qdir, exist_ok=True)
+    open(os.path.join(qdir, "messages.jsonl"), "a").close()
+
+
+def queue_dir(broker_dir: str, queue: str) -> str:
+    return os.path.join(broker_dir, queue)
+
+
+def publish(
+    broker_dir: str,
+    queue: str,
+    payloads: list[str],
+    properties: dict[str, str] | None = None,
+    sender_id: str = "test-publisher",
+) -> None:
+    """Append persistent messages (the tests' JCSMP producer twin,
+    SolaceProtoBuffRecordTest.java:114-163)."""
+    qdir = queue_dir(broker_dir, queue)
+    if not os.path.isdir(qdir):
+        raise ValueError(f"unknown queue: {queue}")
+    path = os.path.join(qdir, "messages.jsonl")
+    start = _count_lines(path)
+    now_us = int(time.time() * 1_000_000)
+    with open(path, "a") as f:
+        for i, payload in enumerate(payloads):
+            f.write(
+                json.dumps(
+                    {
+                        "message_id": start + i,
+                        "payload": payload,
+                        "properties": properties or {},
+                        "priority": 0,
+                        "reply_to": None,
+                        "sender_id": sender_id,
+                        "sender_timestamp_us": now_us,
+                        "sequence_number": start + i,
+                        "expiration": 0,
+                        "ttl": 0,
+                    }
+                )
+                + "\n"
+            )
+
+
+def _count_lines(path: str) -> int:
+    if not os.path.exists(path):
+        return 0
+    with open(path, "rb") as f:
+        return sum(1 for _ in f)
+
+
+def message_count(broker_dir: str, queue: str) -> int:
+    return _count_lines(os.path.join(queue_dir(broker_dir, queue), "messages.jsonl"))
+
+
+def _read_int(path: str) -> int:
+    try:
+        with open(path) as f:
+            return int(f.read().strip() or 0)
+    except FileNotFoundError:
+        return 0
+
+
+def _write_int(path: str, value: int) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(value))
+    os.replace(tmp, path)
+
+
+def acked_count(broker_dir: str, queue: str) -> int:
+    return _read_int(os.path.join(queue_dir(broker_dir, queue), "acked"))
+
+
+def ack_up_to(broker_dir: str, queue: str, n: int) -> None:
+    """Ack (≈ delete from the broker) messages < n; monotone."""
+    path = os.path.join(queue_dir(broker_dir, queue), "acked")
+    _write_int(path, max(n, _read_int(path)))
+
+
+def delivered_watermark(broker_dir: str, queue: str) -> int:
+    return _read_int(os.path.join(queue_dir(broker_dir, queue), "delivered"))
+
+
+def advance_delivered(broker_dir: str, queue: str, n: int) -> None:
+    path = os.path.join(queue_dir(broker_dir, queue), "delivered")
+    _write_int(path, max(n, _read_int(path)))
+
+
+def backlog_messages(broker_dir: str, queue: str) -> int:
+    """Un-acked backlog — the SEMP spool-usage query twin
+    (UnboundedSolaceReader.java:305-340)."""
+    return message_count(broker_dir, queue) - acked_count(broker_dir, queue)
+
+
+def read_messages(broker_dir: str, queue: str, start: int, end: int) -> list[dict]:
+    path = os.path.join(queue_dir(broker_dir, queue), "messages.jsonl")
+    out = []
+    with open(path) as f:
+        for idx, line in enumerate(f):
+            if idx >= end:
+                break
+            if idx >= start:
+                out.append(json.loads(line))
+    return out

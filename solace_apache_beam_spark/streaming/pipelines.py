@@ -1,0 +1,162 @@
+"""Streaming twins of the reference's sample pipelines.
+
+- windowed_word_count: WindowedWordCountSolace (SURVEY.md §3.2) — the
+  flagship chain with watermark + tumbling windows.
+- count_messages: CountMessagesPTransform (test/transform/
+  CountMessagesPTransform.java:16-26) — global per-window count,
+  withoutDefaults (grouped streaming agg emits nothing for empty
+  windows natively).
+- dedup_stream: the SolaceRecordTest dedup
+  (SolaceRecordTest.java:143-147) — dropDuplicatesWithinWatermark on the
+  representative key; state is evicted once the watermark passes.
+- ingest_to_warehouse: SolaceBigQuery (§3.3) — envelope -> JSON payload
+  parse -> append sink.
+
+All take the source DataFrame (built by ``open_stream``) so batch tests
+can feed the same transformations with a static DataFrame — Structured
+Streaming's unified model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solace_apache_beam_spark.operators.text import (
+    TOKENIZER_PATTERN,
+)
+
+
+def open_stream(
+    spark: SparkSession,
+    broker_dir: str,
+    queues: list[str],
+    use_sender_timestamp: bool = True,
+    max_records_per_batch: int | None = None,
+) -> DataFrame:
+    from solace_apache_beam_spark.sources.solace import register
+
+    register(spark)
+    reader = (
+        spark.readStream.format("solace")
+        .option("path", broker_dir)
+        .option("queues", ",".join(queues))
+        .option("useSenderTimestamp", str(use_sender_timestamp).lower())
+    )
+    if max_records_per_batch:
+        reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))
+    return reader.load()
+
+
+def read_bounded(
+    spark: SparkSession,
+    broker_dir: str,
+    queues: list[str],
+    max_records: int | None = None,
+    use_sender_timestamp: bool = True,
+) -> DataFrame:
+    """Bounded mode (S15): batch DataFrame over the queues."""
+    from solace_apache_beam_spark.sources.solace import register
+
+    register(spark)
+    reader = (
+        spark.read.format("solace")
+        .option("path", broker_dir)
+        .option("queues", ",".join(queues))
+        .option("useSenderTimestamp", str(use_sender_timestamp).lower())
+    )
+    if max_records:
+        reader = reader.option("maxRecords", str(max_records))
+    return reader.load()
+
+
+def windowed_word_count(
+    source: DataFrame,
+    window: str = "10 seconds",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """§3.2 flagship chain on a streaming envelope DataFrame."""
+    words = (
+        source.select("event_time", F.col("payload").alias("line"))
+        .select(
+            "event_time",
+            F.explode(F.split("line", TOKENIZER_PATTERN)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    counted = (
+        words.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counted.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "word",
+        "cnt",
+        F.format_string("%s: %d", F.col("word"), F.col("cnt")).alias("formatted"),
+    )
+
+
+def count_messages(
+    source: DataFrame, window: str = "10 seconds", watermark: str = "0 seconds"
+) -> DataFrame:
+    counted = (
+        source.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counted.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "cnt",
+    )
+
+
+def dedup_stream(
+    source: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Best-effort dedup by representative key within the watermark
+    horizon — state-store backed, evicted as the watermark advances
+    (bounded state at 100 TB; global dropDuplicates would grow without
+    bound)."""
+    keys = keys or ["message_id"]
+    return source.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def observed_word_metrics(source: DataFrame) -> DataFrame:
+    """A4 metrics twin: emptyLines counter + line-length distribution via
+    df.observe, surfaced in StreamingQueryProgress."""
+    lines = source.select(F.col("payload").alias("line"), "event_time")
+    return lines.observe(
+        "word_metrics",
+        F.count_if(F.trim("line") == "").alias("empty_lines"),
+        F.min(F.length("line")).alias("min_line_len"),
+        F.max(F.length("line")).alias("max_line_len"),
+        F.avg(F.length("line")).alias("avg_line_len"),
+    )
+
+
+def parse_fx_payload(source: DataFrame) -> DataFrame:
+    """§3.3 MapToTableRow twin: JSON payload -> typed columns (the FX
+    market-data shape, README.md:176-179 / SolaceBigQuery.java:180-196)."""
+    fx_schema = (
+        "date STRING, sym STRING, time STRING, "
+        "lowAskSize INT, highAskSize INT, lowBidSize INT, highBidSize INT, "
+        "lowTradeSize INT, highTradeSize INT, "
+        "lowBidPrice DOUBLE, highBidPrice DOUBLE, lowTradePrice DOUBLE, "
+        "highTradePrice DOUBLE, lowAskPrice DOUBLE, highAskPrice DOUBLE, "
+        "vwap DOUBLE"
+    )
+    parsed = source.select(
+        "message_id",
+        "event_time",
+        F.explode(
+            F.from_json(F.col("payload"), f"array<struct<{fx_schema}>>")
+        ).alias("data"),
+    )
+    return parsed.select("message_id", "event_time", "data.*")

@@ -1,0 +1,233 @@
+"""Streaming-source tests: the local twins of the reference's
+broker-backed ITs (SolaceIOIT.java, SolaceCheckpointMarkIT.java,
+UnboundedSolaceReaderIT.java — SURVEY.md §5 tier 2/3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from solace_apache_beam_spark.sources import fake_broker
+from solace_apache_beam_spark.streaming.pipelines import (
+    open_stream,
+    read_bounded,
+    windowed_word_count,
+)
+
+
+@pytest.fixture()
+def broker(tmp_path):
+    broker_dir = str(tmp_path / "broker")
+    for q in ("q1", "q2"):
+        fake_broker.create_queue(broker_dir, q)
+    return broker_dir
+
+
+def _drain(query):
+    query.processAllAvailable()
+    query.stop()
+
+
+def _publish_default(broker_dir):
+    # "<queueName> - <i>" fixtures, 10 per queue (SolaceIOIT.java:67,490-497)
+    for q in ("q1", "q2"):
+        fake_broker.publish(broker_dir, q, [f"{q} - {i}" for i in range(10)])
+
+
+def test_basic_multiset(spark, broker, tmp_path):
+    """Exact payload multiset + count parity (PAssert.containsInAnyOrder,
+    SolaceIOIT.java:101-108)."""
+    _publish_default(broker)
+    stream = open_stream(spark, broker, ["q1", "q2"])
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("basic")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT destination, payload, redelivered FROM basic").collect()
+    assert sorted(r.payload for r in rows) == sorted(
+        f"{qn} - {i}" for qn in ("q1", "q2") for i in range(10)
+    )
+    assert all(not r.redelivered for r in rows)
+    assert {r.destination for r in rows} == {"q1", "q2"}
+
+
+def test_commit_acks_broker(spark, broker, tmp_path):
+    """Epoch commit == checkpoint finalize: messages acked (deleted)
+    from the broker (SolaceCheckpointMarkIT.java:34-131). The ack for
+    epoch N lands when epoch N+1 is planned (deferred client-ack — the
+    reference acks on checkpoint finalize, not on receive)."""
+    _publish_default(broker)
+    stream = open_stream(spark, broker, ["q1", "q2"])
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ack")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert fake_broker.acked_count(broker, "q1") == 0  # ack deferred
+    # second wave plans the next epoch, finalizing (acking) the first
+    fake_broker.publish(broker, "q1", ["q1 - extra"])
+    q.processAllAvailable()
+    q.stop()
+    assert fake_broker.acked_count(broker, "q1") >= 10
+    assert fake_broker.acked_count(broker, "q2") == 10
+
+
+def test_restart_replays_only_unacked(spark, broker, tmp_path):
+    """The broker is the replay log: after a clean stop, new messages
+    (and only they) are consumed on restart; replayed-but-unacked
+    messages carry redelivered=true
+    (UnboundedSolaceReaderIT.java:90-122)."""
+    from solace_apache_beam_spark.sinks.warehouse import make_warehouse_appender
+
+    _publish_default(broker)
+    cp = str(tmp_path / "cp")
+    table = str(tmp_path / "sink")
+    stream = open_stream(spark, broker, ["q1", "q2"])
+    q = (
+        stream.writeStream.foreachBatch(make_warehouse_appender(table))
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    _drain(q)
+    # second wave; restart from the same checkpoint
+    fake_broker.publish(broker, "q1", [f"q1 - {i}" for i in range(10, 15)])
+    stream2 = open_stream(spark, broker, ["q1", "q2"])
+    q2 = (
+        stream2.writeStream.foreachBatch(make_warehouse_appender(table))
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    _drain(q2)
+    payloads = sorted(r.payload for r in spark.read.parquet(table).collect())
+    # every message delivered at least once, new-wave exactly once, and
+    # nothing invented: the first wave may replay (at-least-once) but
+    # Spark's offset log resumes past committed epochs
+    expected_once = [f"q1 - {i}" for i in range(10, 15)]
+    all_published = sorted(
+        [f"{qn} - {i}" for qn in ("q1", "q2") for i in range(10)] + expected_once
+    )
+    assert [p for p in payloads if p in expected_once] == expected_once
+    assert sorted(set(payloads)) == all_published
+
+
+def test_redelivery_after_unclean_restart(spark, broker, tmp_path):
+    """Messages delivered but never acked are replayed with
+    redelivered=true (flow rebind semantics,
+    UnboundedSolaceReaderIT.java:106-112)."""
+    _publish_default(broker)
+    # simulate a delivered-but-unacked flow: advance delivered watermark
+    fake_broker.advance_delivered(broker, "q1", 10)
+    stream = open_stream(spark, broker, ["q1"])
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("redeliver")
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT payload, redelivered FROM redeliver").collect()
+    assert len(rows) == 10
+    assert all(r.redelivered for r in rows)
+
+
+def test_bounded_batch_read_max_records(spark, broker):
+    """Bounded adapter (S15, SolaceIO.java:230-232): batch read with a
+    record cap; does not ack."""
+    _publish_default(broker)
+    df = read_bounded(spark, broker, ["q1", "q2"], max_records=4)
+    rows = df.collect()
+    assert len(rows) == 8  # 4 per queue
+    assert fake_broker.acked_count(broker, "q1") == 0
+
+
+def test_duplicate_queue_entries_split_range(spark, broker):
+    """Listing a queue twice adds a concurrent consumer on the same
+    queue (SolaceIO.java:133-142): ranges split, no duplication."""
+    _publish_default(broker)
+    df = read_bounded(spark, broker, ["q1", "q1"])
+    assert df.rdd.getNumPartitions() == 2
+    payloads = sorted(r.payload for r in df.collect())
+    assert payloads == sorted(f"q1 - {i}" for i in range(10))
+
+
+@pytest.mark.parametrize(
+    "opts,err",
+    [
+        ({"queues": "q1"}, "path"),
+        ({"path": "SET", "queues": ""}, "queues"),
+        ({"path": "SET", "queues": "nope"}, "unknown queue"),
+        ({"path": "SET", "queues": "q1", "maxRecords": "0"}, "maxrecords"),
+    ],
+)
+def test_option_validation(spark, broker, opts, err):
+    """validateConfig twin (SolaceIO.java:267-298;
+    SolaceIOTest.java:22-172)."""
+    from solace_apache_beam_spark.sources.solace import register
+
+    register(spark)
+    if opts.get("path") == "SET":
+        opts["path"] = broker
+    reader = spark.read.format("solace")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    with pytest.raises(Exception, match=err):
+        reader.load().collect()
+
+
+def test_streaming_wordcount_matches_batch(spark, broker, tmp_path):
+    """The streaming flagship produces exactly the batch result on the
+    same data (unified model)."""
+    fake_broker.publish(broker, "q1", ["hello world hello", "world of streams"])
+    stream = open_stream(spark, broker, ["q1"])
+    # update mode: emit window rows as they change (append would hold
+    # rows until the watermark passes the window end)
+    q = (
+        windowed_word_count(stream)
+        .writeStream.format("memory")
+        .queryName("wc")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp3"))
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r.word, r.cnt, r.formatted)
+        for r in spark.sql("SELECT word, cnt, formatted FROM wc").collect()
+    }
+    assert got == {
+        ("hello", 2, "hello: 2"),
+        ("world", 2, "world: 2"),
+        ("of", 1, "of: 1"),
+        ("streams", 1, "streams: 1"),
+    }
+
+
+def test_conservation_law(spark, broker, tmp_path):
+    """published = received-at-sink + remaining-on-queue
+    (SolaceIOLifecycleDataflowIT.java:349-350), using a per-batch record
+    cap so consumption is staggered."""
+    n = 200
+    fake_broker.publish(broker, "q1", [f"q1 - {i}" for i in range(n)])
+    stream = open_stream(spark, broker, ["q1"], max_records_per_batch=30)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("conserve")
+        .option("checkpointLocation", str(tmp_path / "cp4"))
+        .start()
+    )
+    # stop mid-flight after the first batch, not all data
+    q.processAllAvailable()
+    q.stop()
+    received = spark.sql("SELECT count(DISTINCT payload) c FROM conserve").collect()[0].c
+    remaining = fake_broker.backlog_messages(broker, "q1")
+    assert received + remaining >= n  # at-least-once: no loss
+    # distinct payloads received + untouched tail == published exactly
+    acked = fake_broker.acked_count(broker, "q1")
+    assert received >= acked
+    assert remaining == n - acked
