@@ -118,6 +118,15 @@ def backlog_messages(broker_dir: str, queue: str) -> int:
     return message_count(broker_dir, queue) - acked_count(broker_dir, queue)
 
 
+def backlog_bytes(broker_dir: str, queue: str) -> int:
+    """Un-acked backlog in payload bytes — getSplitBacklogBytes twin:
+    `show queue ... current-spool-usage-in-bytes`
+    (UnboundedSolaceReader.java:305-340, MsgBusSempUtil.java:112-147)."""
+    acked = acked_count(broker_dir, queue)
+    msgs = read_messages(broker_dir, queue, acked, message_count(broker_dir, queue))
+    return sum(len((m.get("payload") or "").encode("utf-8")) for m in msgs)
+
+
 def read_messages(broker_dir: str, queue: str, start: int, end: int) -> list[dict]:
     path = os.path.join(queue_dir(broker_dir, queue), "messages.jsonl")
     out = []

@@ -78,11 +78,16 @@ def _validate_options(options: dict) -> tuple[str, list[str]]:
     path = options.get("path") or options.get("brokerdir")
     if not path:
         raise ValueError("option 'path' (broker dir) is required")
+    if options.get("clientname"):
+        # one session per split needs broker-assigned unique names
+        # (CLIENT_NAME must be null, SolaceIO.java:283-287,
+        # SolaceIOTest.java:78-84)
+        raise ValueError("option 'clientName' must not be set")
     queues_opt = options.get("queues", "")
     queues = [q.strip() for q in queues_opt.split(",") if q.strip()]
     if not queues:
         raise ValueError("option 'queues' must list at least one queue")
-    for opt in ("maxrecordsperbatch", "maxrecords"):
+    for opt in ("maxrecordsperbatch", "maxrecords", "maxreadtimems"):
         if opt in options and int(options[opt]) <= 0:
             raise ValueError(f"option '{opt}' must be > 0")
     if not os.path.isdir(path):
@@ -93,6 +98,16 @@ def _validate_options(options: dict) -> tuple[str, list[str]]:
         if not os.path.isdir(os.path.join(path, q)):
             raise ValueError(f"unknown queue: {q}")
     return path, queues
+
+
+def display_options(options: dict) -> dict:
+    """Config echo for UIs/logs with secrets hidden — the
+    populateDisplayData twin that skips `*password*` properties
+    (SolaceIO.java:237-265, redaction at :247-253)."""
+    return {
+        k: ("*****" if ("password" in k.lower() or "secret" in k.lower()) else v)
+        for k, v in options.items()
+    }
 
 
 def _ts(us: int | None) -> _dt.datetime | None:
@@ -122,7 +137,10 @@ def _split_ranges(
     dupes = Counter(queues)
     parts: list[QueueSlicePartition] = []
     for queue in dupes:
-        lo, hi = start.get(queue, 0), end.get(queue, 0)
+        # clamp: on restart the engine's committed start can be ahead of
+        # a freshly computed latest (acks are deferred) — never go back
+        lo = start.get(queue, 0)
+        hi = max(end.get(queue, 0), lo)
         n = dupes[queue]
         total = hi - lo
         delivered = fake_broker.delivered_watermark(path, queue)
@@ -168,6 +186,28 @@ class SolaceStreamReader(DataSourceStreamReader):
             str(options.get("usesendertimestamp", "false")).lower() == "true"
         )
         self.max_per_batch = int(options.get("maxrecordsperbatch", 10_000))
+        # bounded adapter (S15): after maxReadTimeMs the offset range
+        # freezes — the stream keeps running but admits no new data
+        # (withMaxReadTime, SolaceIO.java:230-232)
+        read_time_ms = options.get("maxreadtimems")
+        self.deadline = (
+            time.time() + int(read_time_ms) / 1000.0 if read_time_ms else None
+        )
+        self._frozen: dict | None = None
+        # last offset handed to the engine: the per-batch cap advances
+        # from here, NOT from the acked position (acks are deferred to
+        # checkpoint finalize, so capping on acked would stall the
+        # stream after one batch)
+        self._last_end: dict = {}
+        # SolaceReaderStats twin (S14, SolaceReaderStats.java:19-30):
+        # counters dumped as JSON on every checkpoint finalize
+        self.stats = {
+            "messages_received": 0,
+            "empty_polls": 0,
+            "checkpoint_readies": 0,
+            "checkpoint_completes": 0,
+            "backlog_bytes": 0,
+        }
 
     def initialOffset(self) -> dict:
         # replay starts at the broker's acked position — un-acked
@@ -175,14 +215,33 @@ class SolaceStreamReader(DataSourceStreamReader):
         return {q: fake_broker.acked_count(self.path, q) for q in set(self.queues)}
 
     def latestOffset(self) -> dict:
+        if self._frozen is not None:
+            self.stats["empty_polls"] += 1
+            return dict(self._frozen)
         out = {}
+        grew = False
         for q in set(self.queues):
-            acked = fake_broker.acked_count(self.path, q)
+            base = self._last_end.get(q)
+            if base is None:
+                base = fake_broker.acked_count(self.path, q)
             avail = fake_broker.message_count(self.path, q)
-            out[q] = min(avail, acked + self.max_per_batch)
+            out[q] = max(base, min(avail, base + self.max_per_batch))
+            if out[q] > base:
+                grew = True
+        self._last_end = dict(out)
+        if grew:
+            self.stats["checkpoint_readies"] += 1
+        else:
+            self.stats["empty_polls"] += 1
+        if self.deadline is not None and time.time() >= self.deadline:
+            self._frozen = dict(out)
         return out
 
     def partitions(self, start: dict, end: dict):
+        self.stats["messages_received"] += sum(
+            max(end.get(q, 0) - start.get(q, 0), 0) for q in end
+        )
+        self._dump_stats()
         return _split_ranges(self.path, self.queues, start, end)
 
     def read(self, partition: QueueSlicePartition) -> Iterator[tuple]:
@@ -193,6 +252,22 @@ class SolaceStreamReader(DataSourceStreamReader):
         # up to the committed offset (SolaceCheckpointMark.java:41-68)
         for q, n in end.items():
             fake_broker.ack_up_to(self.path, q, n)
+        self.stats["checkpoint_completes"] += 1
+        self.stats["backlog_bytes"] = sum(
+            fake_broker.backlog_bytes(self.path, q) for q in set(self.queues)
+        )
+        self._dump_stats()
+
+    def _dump_stats(self) -> None:
+        """JSON stats dump (SolaceReaderStats.java:137-155 dumps every
+        120 s of advance-time; here per checkpoint so tests are
+        deterministic)."""
+        import json
+
+        tmp = os.path.join(self.path, ".reader_stats.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.stats, f)
+        os.replace(tmp, os.path.join(self.path, ".reader_stats.json"))
 
     def stop(self) -> None:
         pass
@@ -257,12 +332,18 @@ def register(spark) -> None:
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     repo_root = os.path.dirname(pkg_dir)
     zip_path = os.path.join(repo_root, ".solace_pkg.zip")
-    if not os.path.exists(zip_path):
+    sources = [
+        os.path.join(base, fn)
+        for base, _dirs, files in os.walk(pkg_dir)
+        for fn in files
+        if fn.endswith(".py")
+    ]
+    stale = not os.path.exists(zip_path) or any(
+        os.path.getmtime(f) > os.path.getmtime(zip_path) for f in sources
+    )
+    if stale:
         with zipfile.ZipFile(zip_path, "w") as zf:
-            for base, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(base, fn)
-                        zf.write(full, os.path.relpath(full, repo_root))
+            for full in sources:
+                zf.write(full, os.path.relpath(full, repo_root))
     spark.sparkContext.addPyFile(zip_path)
     spark.dataSource.register(SolaceDataSource)

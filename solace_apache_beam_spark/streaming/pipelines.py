@@ -33,6 +33,7 @@ def open_stream(
     queues: list[str],
     use_sender_timestamp: bool = True,
     max_records_per_batch: int | None = None,
+    max_read_time_ms: int | None = None,
 ) -> DataFrame:
     from solace_apache_beam_spark.sources.solace import register
 
@@ -45,6 +46,8 @@ def open_stream(
     )
     if max_records_per_batch:
         reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))
+    if max_read_time_ms:
+        reader = reader.option("maxReadTimeMs", str(max_read_time_ms))
     return reader.load()
 
 

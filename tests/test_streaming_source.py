@@ -180,6 +180,83 @@ def test_option_validation(spark, broker, opts, err):
         reader.load().collect()
 
 
+def test_max_read_time_freezes_stream(spark, broker, tmp_path):
+    """withMaxReadTime twin (S15, SolaceIO.java:230-232): after the
+    deadline the offset range freezes — late publishes are not admitted."""
+    _publish_default(broker)
+    stream = open_stream(spark, broker, ["q1"], max_read_time_ms=1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("timed")
+        .option("checkpointLocation", str(tmp_path / "cp_t"))
+        .start()
+    )
+    q.processAllAvailable()
+    fake_broker.publish(broker, "q1", ["too late"])
+    q.processAllAvailable()
+    q.stop()
+    payloads = [r.payload for r in spark.sql("SELECT payload FROM timed").collect()]
+    assert "too late" not in payloads
+    assert sorted(payloads) == sorted(f"q1 - {i}" for i in range(10))
+
+
+def test_client_name_rejected(spark, broker):
+    """CLIENT_NAME must be null — one session per split
+    (SolaceIO.java:283-287, SolaceIOTest.java:78-84)."""
+    from solace_apache_beam_spark.sources.solace import register
+
+    register(spark)
+    with pytest.raises(Exception, match="clientName"):
+        (
+            spark.read.format("solace")
+            .option("path", broker)
+            .option("queues", "q1")
+            .option("clientName", "my-client")
+            .load()
+            .collect()
+        )
+
+
+def test_display_options_redacts_secrets():
+    """populateDisplayData secret redaction (S17, SolaceIO.java:247-253)."""
+    from solace_apache_beam_spark.sources.solace import display_options
+
+    shown = display_options(
+        {"path": "/b", "queues": "q1", "Password": "hunter2", "apiSecretKey": "x"}
+    )
+    assert shown["path"] == "/b" and shown["queues"] == "q1"
+    assert shown["Password"] == "*****" and shown["apiSecretKey"] == "*****"
+
+
+def test_reader_stats_dump(spark, broker, tmp_path):
+    """SolaceReaderStats twin (S14/S10): counters dumped as JSON at each
+    checkpoint finalize; backlog in bytes via the broker
+    (SolaceReaderStats.java:137-155, UnboundedSolaceReader.java:305-340)."""
+    import json
+    import os
+
+    _publish_default(broker)
+    stream = open_stream(spark, broker, ["q1", "q2"], max_records_per_batch=5)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stats")
+        .option("checkpointLocation", str(tmp_path / "cp_s"))
+        .start()
+    )
+    _drain(q)
+    with open(os.path.join(broker, ".reader_stats.json")) as f:
+        stats = json.load(f)
+    assert stats["messages_received"] == 20
+    # the final epoch's commit is deferred past stop (ack-on-next-plan),
+    # so completes lags readies by at most one
+    assert stats["checkpoint_completes"] >= 1
+    assert stats["checkpoint_readies"] >= 2
+    # everything consumed was acked; remaining backlog is un-acked bytes
+    assert stats["backlog_bytes"] == fake_broker.backlog_bytes(
+        broker, "q1"
+    ) + fake_broker.backlog_bytes(broker, "q2")
+
+
 def test_streaming_wordcount_matches_batch(spark, broker, tmp_path):
     """The streaming flagship produces exactly the batch result on the
     same data (unified model)."""
@@ -206,6 +283,33 @@ def test_streaming_wordcount_matches_batch(spark, broker, tmp_path):
         ("of", 1, "of: 1"),
         ("streams", 1, "streams: 1"),
     }
+
+
+def test_streaming_throughput_floor(spark, broker, tmp_path):
+    """BASELINE.md target: sustain >= 1,000 msg/s single-queue ingest
+    through the windowed word-count pipeline locally — comfortably above
+    the reference's ~133 msg/s implied drain floor
+    (SolaceIOLifecycleDataflowIT.java:121,163,203)."""
+    import time as _time
+
+    n = 30_000
+    fake_broker.publish(broker, "q1", [f"tok{i % 97} msg {i}" for i in range(n)])
+    stream = open_stream(spark, broker, ["q1"])
+    q = (
+        windowed_word_count(stream)
+        .writeStream.format("memory")
+        .queryName("tput")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_tp"))
+        .start()
+    )
+    t0 = _time.monotonic()
+    q.processAllAvailable()
+    elapsed = _time.monotonic() - t0
+    q.stop()
+    consumed = fake_broker.delivered_watermark(broker, "q1")
+    assert consumed == n
+    assert n / elapsed >= 1000, f"throughput {n / elapsed:.0f} msg/s < 1000"
 
 
 def test_conservation_law(spark, broker, tmp_path):
