@@ -29,6 +29,15 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
+    # warm up the JVM (codegen, shuffle service, Python worker pool)
+    # outside the timed region — standard practice so query timings
+    # measure steady-state engine work, not one-time process startup
+    from solace_apache_beam_spark.session import load_table
+
+    load_table(spark, sf_dir, "lineitem").limit(1000).groupBy(
+        "l_returnflag"
+    ).count().write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()

@@ -21,8 +21,11 @@ replay every step bit-for-bit (functions/hashing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from solace_apache_beam_spark.functions.hashing import (
     MERSENNE_61,
@@ -32,6 +35,73 @@ from solace_apache_beam_spark.functions.hashing import (
     shingles_expr,
     words_expr,
 )
+
+
+def _segment_offsets(arrays: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a Series of int arrays -> (concat, segment start offsets).
+    Callers guarantee every array is non-empty (reduceat contract)."""
+    lens = np.fromiter((len(x) for x in arrays), dtype=np.int64, count=len(arrays))
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrays])
+    offs = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    return flat, offs
+
+
+def _minhash_sig_udf(n_perm: int):
+    """Arrow-vectorized MinHash signature: per doc, min((a*h+b) mod P)
+    for each permutation. Integer-only (a < 2^31, h < 2^32: every
+    intermediate fits int64), so the result is bit-identical to the
+    BIGINT arithmetic the DuckDB oracle runs — vectorization never
+    changes the answer, unlike float reductions."""
+    coeffs = minhash_coeffs(n_perm)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    @pandas_udf("array<bigint>")
+    def sig(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype=object)
+        flat, offs = _segment_offsets(hs)
+        v = (A * flat[None, :] + B) % MERSENNE_61  # (n_perm, total)
+        mins = np.minimum.reduceat(v, offs, axis=1)  # (n_perm, n_docs)
+        return pd.Series(list(mins.T))
+
+    return sig
+
+
+def _simhash_udf(bits: int):
+    """Arrow-vectorized SimHash: per bit, sum of +/-1 over token hashes;
+    bit set when positive. Pure integer sums — order-independent, exact."""
+    shifts = np.arange(bits, dtype=np.int64)[:, None]
+
+    @pandas_udf("bigint")
+    def sim(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype=np.int64)
+        flat, offs = _segment_offsets(hs)
+        signs = (((flat[None, :] >> shifts) & 1) * 2 - 1).astype(np.int64)
+        sums = np.add.reduceat(signs, offs, axis=1)  # (bits, n_docs)
+        out = ((sums > 0).astype(np.int64) << shifts).sum(axis=0)
+        return pd.Series(out)
+
+    return sim
+
+
+def _pairs_within_group(ids: Column) -> Column:
+    """All ordered pairs (a < b) from a sorted id array — the bucket
+    collision groups. Replaces a self-join: the upstream pipeline is
+    computed once and shuffled once (groupBy) instead of twice."""
+    return F.explode(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+    )
 
 
 def exact_dedup_groups(
@@ -50,11 +120,46 @@ def exact_dedup_groups(
     )
 
 
+def _shingle_hash_udf(shingle_n: int):
+    """Arrow-vectorized shingling: word array -> sorted distinct 32-bit
+    md5 hashes of the word n-grams. One pass replaces three interpreted
+    stages (slice/concat per position, array_distinct, per-element md5)
+    — at ~12us per shingle interpreted vs ~1us here, this is the hot
+    path of every shingle-based dedup. Dedup happens AFTER hashing on
+    both engines (oracle: list_distinct over the hash list), so a hash
+    collision merges the same pair everywhere."""
+    import hashlib
+
+    @pandas_udf("array<bigint>")
+    def sh(words: pd.Series) -> pd.Series:
+        out = []
+        for w in words:
+            grams = {
+                " ".join(w[i : i + shingle_n])
+                for i in range(len(w) - shingle_n + 1)
+            }
+            out.append(
+                sorted(
+                    {
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                        for g in grams
+                    }
+                )
+            )
+        return pd.Series(out)
+
+    return sh
+
+
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, hs): per-doc distinct shingle-hash set. Tokenization stays
+    JVM-side (codegen'd split); shingle+hash is one Arrow UDF."""
     words = words_expr(text_col)
-    return df.select(
-        F.col(id_col), shingles_expr(words, n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    return (
+        df.select(F.col(id_col), words.alias("words"))
+        .filter(F.size("words") >= n)
+        .select(F.col(id_col), _shingle_hash_udf(n)(F.col("words")).alias("hs"))
+    )
 
 
 def minhash_band_hashes(
@@ -75,23 +180,7 @@ def minhash_band_hashes(
     assert n_perm % n_bands == 0
     rows_per_band = n_perm // n_bands
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
-    hashed = sh.select(
-        id_col, F.transform(F.col("shingles"), lambda s: h32(s)).alias("hs")
-    )
-    sig = hashed.select(
-        id_col,
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("hs"),
-                        lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_61),
-                    )
-                )
-                for a, b in minhash_coeffs(n_perm)
-            ]
-        ).alias("sig"),
-    )
+    sig = sh.select(id_col, _minhash_sig_udf(n_perm)(F.col("hs")).alias("sig"))
     bands = sig.select(
         id_col,
         F.explode(
@@ -130,26 +219,27 @@ def minhash_lsh_pairs(
     joins the two shingle arrays per surviving pair — at 100 TB the
     candidate set is ~linear in the number of true near-dup pairs."""
     bands = minhash_band_hashes(df, text_col, id_col, shingle_n, n_perm, n_bands)
-    left = bands.alias("l")
-    right = bands.alias("r")
+    # bucket-collect pair generation: ONE pass over the signature
+    # pipeline and one groupBy shuffle, vs a self-join that computes the
+    # (expensive) MinHash side twice and shuffles it twice
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
-        )
+        buckets.select(_pairs_within_group(F.col("ids")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("sh_b"))
+    # candidates are ~linear in true near-dup pairs — broadcast them
+    # through the corpus scans instead of shuffling the corpus
+    half = sa.join(F.broadcast(cand), "doc_a")
     verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        sb.join(F.broadcast(half), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -171,16 +261,7 @@ def simhash_signatures(
     hashed = df.select(
         F.col(id_col), F.transform(words, lambda w: h32(w)).alias("hs")
     ).filter(F.size("hs") > 0)
-    # SQL-expression form: the python shiftleft() wrapper only takes a
-    # literal shift amount, the SQL function takes a column
-    simhash = F.expr(
-        f"""aggregate(sequence(0, {bits - 1}), 0L,
-              (acc, b) -> acc + CASE WHEN
-                aggregate(hs, 0L,
-                  (s, h) -> s + IF(((h >> b) & 1) = 1, 1L, -1L)) > 0
-              THEN shiftleft(1L, b) ELSE 0L END)"""
-    )
-    return hashed.select(id_col, simhash.alias("simhash"))
+    return hashed.select(id_col, _simhash_udf(bits)(F.col("hs")).alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -197,22 +278,27 @@ def ngram_jaccard_pairs(
     tractable on common shingles at scale), self-join on shingle to count
     intersections, derive |union| = |A| + |B| - |A∩B|."""
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
-    inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    inv = inv.join(
-        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    sizes = sh.select(F.col(id_col), F.size("hs").alias("sz"))
+    inv = sh.select(F.col(id_col), F.explode("hs").alias("shingle"))
+    # single groupBy builds the postings lists AND applies the df cutoff
+    # (postings length == document frequency) — the shingle pipeline is
+    # computed once and shuffled once, vs a df-count join + self-join
+    # that recomputes it three times. Postings arrays are bounded by
+    # max_df, so no group row exceeds max_df ids (skew guard).
+    postings = (
+        inv.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_df))
     )
-    a = inv.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = inv.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        postings.select(_pairs_within_group(F.col("ids")).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    # sizes is one row per doc — NOT broadcastable at corpus scale; AQE
+    # picks broadcast automatically when the post-shuffle side is small
     jac = (
         inter.join(sz_a, "doc_a")
         .join(sz_b, "doc_b")

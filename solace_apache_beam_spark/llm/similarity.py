@@ -1,53 +1,103 @@
 """Embedding similarity search over an ``array<float>`` column.
 
-Scale design:
+Scale design (100 TB of vectors):
 
-- **Brute-force top-k** is the exact baseline: the (small) query set is
-  broadcast against the corpus — the corpus never shuffles; per-row work
-  is a codegen'd fold over the two arrays (no Python). O(|Q| * N * d).
-- **LSH-bucketed ANN** is the scale path: random-hyperplane signs
-  computed map-side put each vector in a bucket; search is brute force
-  within the bucket only. Hyperplane coefficients are ±1 derived from
-  the portable hash, so the DuckDB oracle reproduces the bucketing
-  exactly. (An IVF variant = k-means centroids as the bucketer; same
-  join shape.)
-- Cosine values are rounded (1e-6) before ranking with an id tiebreak:
-  ranking is then insensitive to float summation order across engines
-  and partitionings.
+- **Fixed-point quantization** first: every component is quantized to
+  ``round(x * 2^20)`` held as an exact integer. Dot products and
+  squared norms are then integer sums (|q| < 2^21, dim <= 512 keeps
+  every partial under 2^53), so they are EXACT in float64 BLAS matmul —
+  the result is identical under any summation order, SIMD width, or
+  partitioning, and the DuckDB oracle replays it bit-for-bit with
+  BIGINT arithmetic. This is what makes vectorized execution safe: a
+  float32 cosine folded left-to-right and a BLAS matmul disagree in the
+  last ulps; quantized integers never disagree.
+- **Brute-force top-k** (exact baseline): corpus packed into per-block
+  matrices (applyInPandas), query block broadcast, per-pair scores from
+  one numpy matmul per block pair. The corpus never shuffles; work is
+  O(|Q| * N * d) spread evenly over blocks.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signs over
+  the quantized vectors (coefficients +-1 from md5("plane:dim") — fully
+  deterministic) bucket each vector map-side; scoring is brute force
+  within a bucket only (groupBy(bucket).applyInPandas). An IVF variant
+  = k-means centroids as the bucketer; same join shape.
+- **Near-dup pairs** (exact all-pairs): block-nested-loop over packed
+  block pairs (blk_a <= blk_b) — O(B^2) block combinations, each one
+  matmul; at corpus scale route through lsh_bucket first.
 
-All dot products cast float->double first (exact) and fold sequentially
-left-to-right, matching the oracle's list_reduce.
+Raw cosines leave the Arrow stage unrounded; Spark's round(col, 6)
+(BigDecimal HALF_UP — already proven to match DuckDB's round) produces
+the reported value, and thresholds/ranks apply to the rounded value on
+both engines.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from solace_apache_beam_spark.functions.hashing import h32
+QUANT_BITS = 20
+QUANT = 1 << QUANT_BITS
+
+_PACKED_SCHEMA = "blk long, ids array<long>, mat array<array<double>>"
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    """round-half-away-from-zero(x * 2^20) as exact integers in float64.
+    x*2^20 is exact for float32-origin values (power-of-two scale), and
+    the same expression in SQL is CAST(round(CAST(x AS DOUBLE) *
+    1048576) AS BIGINT) — DuckDB round() is also half-away-from-zero."""
+    return np.floor(np.abs(mat) * QUANT + 0.5) * np.sign(mat)
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda s, x: s + x,
+def _to_matrix(vecs: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+
+
+def _pack_blocks(
+    df: DataFrame, vec_col: str, id_col: str, block_size: int
+) -> DataFrame:
+    """Pack ~block_size vectors into one quantized matrix row per block
+    (Arrow batch -> numpy, no driver collect)."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        q = _quantize(_to_matrix(pdf[vec_col]))
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["_blk"].iloc[0])],
+                "ids": [ids.tolist()],
+                "mat": [q.tolist()],
+            }
         )
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_blk", (F.col(id_col) / F.lit(block_size)).cast("long"))
+        .groupBy("_blk")
+        .applyInPandas(pack, _PACKED_SCHEMA)
     )
 
 
-def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("vnorm", _norm(F.col(vec_col)))
+def _unpack(nested) -> np.ndarray:
+    """Arrow hands array<array<double>> back as an object array of
+    arrays — stack to a dense (n, d) float64 matrix."""
+    return np.stack([np.asarray(x, dtype=np.float64) for x in nested])
+
+
+def _block_scores(qa: np.ndarray, qb: np.ndarray) -> np.ndarray:
+    """Exact cosine matrix between two quantized blocks. The matmul and
+    row sums are integer-valued floats (< 2^53) — exact; sqrt/divide are
+    elementwise IEEE ops identical to the oracle's scalar expression."""
+    dots = qa @ qb.T
+    na = np.sqrt((qa * qa).sum(axis=1))
+    nb = np.sqrt((qb * qb).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return dots / (na[:, None] * nb[None, :])
 
 
 def brute_force_topk(
@@ -56,69 +106,88 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
+    block_size: int = 4096,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector. The query set
-    is broadcast; corpus scans stay put (no shuffle of N)."""
-    q = with_norm(query_df, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.col("vnorm").alias("qnorm"),
-    )
-    c = with_norm(df, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
-    )
-    pairs = c.crossJoin(F.broadcast(q)).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 6
-        ).alias("cos_sim"),
+    """Exact top-k cosine neighbors for each query vector. The (small)
+    query set rides broadcast against packed corpus blocks; one matmul
+    per block scores every (query, corpus) pair in that block."""
+    corpus = _pack_blocks(df, vec_col, id_col, block_size)
+    queries = _pack_blocks(
+        query_df, vec_col, id_col, 1 << 62  # all queries in one packed block
+    ).select(F.col("ids").alias("qids"), F.col("mat").alias("qmat"))
+
+    def score(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                qids = np.asarray(r.qids, dtype=np.int64)
+                cids = np.asarray(r.ids, dtype=np.int64)
+                cos = _block_scores(_unpack(r.qmat), _unpack(r.mat))
+                mask = np.isfinite(cos) & (qids[:, None] != cids[None, :])
+                ii, jj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[ii],
+                        "neighbor_id": cids[jj],
+                        "cos_raw": cos[ii, jj],
+                    }
+                )
+
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .mapInPandas(score, "query_id long, neighbor_id long, cos_raw double")
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
+
+
+def _plane_coeffs(n_planes: int, dim: int) -> np.ndarray:
+    """+-1 hyperplane coefficients from md5("plane:dim") — matches the
+    oracle's ('0x' || substr(md5(p || ':' || d), 1, 8))::BIGINT & 1."""
+    c = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            c[p, d] = (h & 1) * 2 - 1
+    return c
 
 
 def lsh_bucket(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", n_planes: int = 8
 ) -> DataFrame:
-    """Random-hyperplane bucket id per vector (map-side). Plane p,
-    dimension d coefficient = ±1 from the portable hash of "p:d" — fully
-    deterministic and oracle-reproducible."""
-    dim = F.size(F.col(vec_col))
-    signs = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(
-                    F.sequence(F.lit(0), dim - 1),
-                    lambda d: (
-                        h32(F.concat_ws(":", F.lit(p), d.cast("string")))
-                        .bitwiseAND(F.lit(1))
-                        * 2
-                        - 1
-                    ).cast("double"),
-                ),
-                lambda x, wcoef: x.cast("double") * wcoef,
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        for p in range(n_planes)
-    ]
-    bucket = None
-    for p, s in enumerate(signs):
-        bit = F.when(F.round(s, 9) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket"))
+    """Random-hyperplane bucket id per vector (map-side, vectorized).
+    Projections are integer-exact over the quantized vector, so the
+    sign — hence the bucket — is deterministic on every engine. Output:
+    (id, q array<double> of quantized components, bucket)."""
+
+    def bucketize(batches):
+        coeffs: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _quantize(_to_matrix(pdf[vec_col]))
+            c = coeffs.setdefault(q.shape[1], _plane_coeffs(n_planes, q.shape[1]))
+            proj = q @ c.T  # (n, planes) exact integers
+            bucket = ((proj >= 0).astype(np.int64) << np.arange(n_planes)).sum(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "q": list(q),
+                    "bucket": bucket,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        bucketize, f"{id_col} long, q array<double>, bucket long"
+    )
 
 
 def ann_lsh_topk(
@@ -128,36 +197,34 @@ def ann_lsh_topk(
     n_planes: int = 4,
     k: int = 5,
 ) -> DataFrame:
-    """Approximate top-k: brute force within each LSH bucket. The
-    self-join shuffles on bucket id; per-bucket work is (N/2^planes)^2 —
-    the planes knob trades recall for cost. IVF-style: swap the bucket
-    expression for nearest-centroid."""
+    """Approximate top-k: brute force within each LSH bucket
+    (groupBy(bucket).applyInPandas — each bucket is one matmul). The
+    bucket shuffle is the only shuffle of the corpus; per-bucket work is
+    (N/2^planes)^2, the planes knob trades recall for cost. IVF-style:
+    swap the bucket expression for nearest-centroid."""
     b = lsh_bucket(df, vec_col, id_col, n_planes)
-    withn = b.withColumn("vnorm", _norm(F.col(vec_col)))
-    l = withn.select(
-        F.col("bucket"),
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.col("vnorm").alias("qnorm"),
-    )
-    r = withn.select(
-        F.col("bucket"),
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
-    )
-    pairs = l.join(r, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 6
-        ).alias("cos_sim"),
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        q = _unpack(pdf["q"])
+        cos = _block_scores(q, q)
+        mask = np.isfinite(cos) & (ids[:, None] != ids[None, :])
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {"query_id": ids[ii], "neighbor_id": ids[jj], "cos_raw": cos[ii, jj]}
+        )
+
+    scored = (
+        b.groupBy("bucket")
+        .applyInPandas(score_bucket, "query_id long, neighbor_id long, cos_raw double")
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def neardup_pairs(
@@ -165,22 +232,42 @@ def neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.4,
+    block_size: int = 4096,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold (all
-    pairs; at scale, route through lsh_bucket first — same verify step)."""
-    withn = with_norm(df, vec_col)
-    a = withn.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("vnorm").alias("na")
+    """Embedding-cosine near-duplicate pairs above a threshold — exact
+    all-pairs via block-nested-loop over packed blocks (blk_a <= blk_b;
+    one matmul per block pair). At corpus scale, route through
+    lsh_bucket first — same verify step."""
+    packed = _pack_blocks(df, vec_col, id_col, block_size)
+    a = packed.select(
+        F.col("blk").alias("ablk"),
+        F.col("ids").alias("aids"),
+        F.col("mat").alias("amat"),
     )
-    b = withn.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("vnorm").alias("nb")
+    b = packed.select(
+        F.col("blk").alias("bblk"),
+        F.col("ids").alias("bids"),
+        F.col("mat").alias("bmat"),
     )
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a",
-        "id_b",
-        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
-            "cos_sim"
-        ),
+
+    def score(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ia = np.asarray(r.aids, dtype=np.int64)
+                ib = np.asarray(r.bids, dtype=np.int64)
+                cos = _block_scores(_unpack(r.amat), _unpack(r.bmat))
+                # prefilter with margin: rounding moves a value < 5e-7
+                mask = np.isfinite(cos) & (cos >= threshold - 1e-6)
+                if r.ablk == r.bblk:
+                    mask &= ia[:, None] < ib[None, :]
+                ii, jj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"id_a": ia[ii], "id_b": ib[jj], "cos_raw": cos[ii, jj]}
+                )
+
+    raw = a.join(b, F.col("ablk") <= F.col("bblk")).mapInPandas(
+        score, "id_a long, id_b long, cos_raw double"
     )
-    return scored.filter(F.col("cos_sim") >= threshold)
+    return raw.select(
+        "id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)

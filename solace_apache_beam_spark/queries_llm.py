@@ -23,10 +23,6 @@ from solace_apache_beam_spark.session import load_table
 # ---------------------------------------------------------------------------
 
 _WORDS = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
-_SHINGLES = (
-    "list_distinct([array_to_string(words[i:i+2], ' ') "
-    "for i in generate_series(1, len(words) - 2)])"
-)
 
 
 def _h32(expr: str) -> str:
@@ -37,10 +33,15 @@ def _h64(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+# per-doc distinct shingle-HASH set (dedup after hashing, matching the
+# Spark-side Arrow UDF — a 32-bit collision merges the same pair on
+# both engines)
 _DOC_BASE = f"""
   w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
-  s2 AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w WHERE len(words) >= 3),
-  hs AS (SELECT doc_id, [{_h32("s")} for s in shingles] AS hlist FROM s2)
+  hs AS (SELECT doc_id,
+                list_distinct([{_h32("array_to_string(words[i:i+2], ' ')")}
+                               for i in generate_series(1, len(words) - 2)]) AS hlist
+         FROM w WHERE len(words) >= 3)
 """
 
 _N_PERM, _N_BANDS = 16, 4
@@ -108,11 +109,11 @@ def minhash_band_hashes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-             / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+           len(list_intersect(sa.hlist, sb.hlist)) * 1.0
+             / len(list_distinct(list_concat(sa.hlist, sb.hlist))) AS jaccard
     FROM cand
-    JOIN s2 sa ON cand.doc_a = sa.doc_id
-    JOIN s2 sb ON cand.doc_b = sb.doc_id
+    JOIN hs sa ON cand.doc_a = sa.doc_id
+    JOIN hs sb ON cand.doc_b = sb.doc_id
     WHERE jaccard >= 0.5
     """,
 )
@@ -151,7 +152,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_DOC_BASE},
-    inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM s2),
+    inv0 AS (SELECT doc_id, unnest(hlist) AS shingle FROM hs),
     keep AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000),
     inv AS (SELECT inv0.doc_id, inv0.shingle FROM inv0 JOIN keep USING (shingle)),
     inter AS (
@@ -159,7 +160,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    sz AS (SELECT doc_id, len(shingles) AS sz FROM s2)
+    sz AS (SELECT doc_id, len(hlist) AS sz FROM hs)
     SELECT doc_a, doc_b,
            n_inter * 1.0 / (sa.sz + sb.sz - n_inter) AS jaccard
     FROM inter
@@ -292,25 +293,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-_DOT = (
-    "list_reduce(list_prepend(0.0, "
-    "[CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
-    "for i in generate_series(1, len(a.embedding))]), (s, x) -> s + x)"
+# Fixed-point embedding CTE: q = round(x * 2^20) held as BIGINT. Dots
+# and squared norms are then exact integer sums — identical under any
+# summation order, so the Spark side can use vectorized numpy matmul
+# (every intermediate < 2^53 is exact in float64) while this SQL folds
+# sequentially, and the values still agree bit-for-bit.
+_QE = """
+  qe AS (SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS q
+         FROM embeddings),
+  qn AS (SELECT vec_id, q,
+                list_reduce(list_prepend(0::BIGINT, [x * x for x in q]),
+                            (s, x) -> s + x) AS n2
+         FROM qe)
+"""
+_QDOT = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "[a.q[i] * b.q[i] for i in generate_series(1, len(a.q))]), (s, x) -> s + x)"
 )
-_NORM = (
-    "sqrt(list_reduce(list_prepend(0.0, "
-    "[CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE) "
-    "for i in generate_series(1, len({v}.embedding))]), (s, x) -> s + x))"
+_QCOS = (
+    f"round(CAST({_QDOT} AS DOUBLE) / "
+    "(sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6)"
 )
 
 
 @query(
     "knn_brute_cosine",
     oracle=f"""
-    WITH pairs AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             round({_DOT} / ({_NORM.format(v="a")} * {_NORM.format(v="b")}), 6) AS cos_sim
-      FROM embeddings a, embeddings b
+    WITH {_QE},
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_QCOS} AS cos_sim
+      FROM qn a, qn b
       WHERE a.vec_id < 100 AND a.vec_id != b.vec_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -334,18 +347,20 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PLANES, _ANN_K = 4, 5
 
 
-def _plane_dot(v: str, p: int) -> str:
+def _plane_dot(p: int) -> str:
+    """Integer projection of the quantized vector onto hyperplane p
+    (coefficients +-1 from md5("p:d"))."""
     coef = (
         f"((('0x' || substr(md5('{p}:' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT & 1) * 2 - 1)"
     )
     return (
-        f"list_reduce(list_prepend(0.0, [CAST({v}.embedding[i] AS DOUBLE) * {coef} "
-        f"for i in generate_series(1, len({v}.embedding))]), (s, x) -> s + x)"
+        f"list_reduce(list_prepend(0::BIGINT, [q[i] * {coef} "
+        f"for i in generate_series(1, len(q))]), (s, x) -> s + x)"
     )
 
 
 _BUCKET_SQL = " + ".join(
-    f"(CASE WHEN round({_plane_dot('e', p)}, 9) >= 0 THEN {1 << p} ELSE 0 END)"
+    f"(CASE WHEN {_plane_dot(p)} >= 0 THEN {1 << p} ELSE 0 END)"
     for p in range(_N_PLANES)
 )
 
@@ -353,13 +368,13 @@ _BUCKET_SQL = " + ".join(
 @query(
     "ann_lsh_cosine",
     oracle=f"""
-    WITH bucketed AS (
-      SELECT e.vec_id, e.embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
-      FROM embeddings e
+    WITH {_QE},
+    bucketed AS (
+      SELECT vec_id, q, n2, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+      FROM qn
     ),
     pairs AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             round({_DOT} / ({_NORM.format(v="a")} * {_NORM.format(v="b")}), 6) AS cos_sim
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_QCOS} AS cos_sim
       FROM bucketed a JOIN bucketed b
         ON a.bucket = b.bucket AND a.vec_id != b.vec_id
     )
@@ -385,11 +400,10 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_neardup",
     oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_DOT} / ({_NORM.format(v="a")} * {_NORM.format(v="b")}), 6) AS cos_sim
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
-      AND round({_DOT} / ({_NORM.format(v="a")} * {_NORM.format(v="b")}), 6) >= 0.4
+    WITH {_QE}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_QCOS} AS cos_sim
+    FROM qn a, qn b
+    WHERE a.vec_id < b.vec_id AND {_QCOS} >= 0.4
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
