@@ -1,0 +1,50 @@
+"""Deterministic distinct-count sketch (KMV / k-minimum-values).
+
+Spark's approx_count_distinct (HLL++) and DuckDB's approx_count_distinct
+use different sketch internals, so their estimates can never be compared
+across engines. KMV over the portable md5-derived 60-bit hash is fully
+deterministic: both engines hash identically, take the k smallest
+distinct hash values, and estimate distinct = (k-1) * 2^60 / kth_min —
+the classic bottom-k estimator (Bar-Yossef et al.), reproducible
+bit-for-bit.
+
+Scale: the distinct-hash pass is one shuffle keyed by (group, hash);
+the bottom-k per group is a per-group sort of distinct hashes. At
+100 TB, partial per-partition bottom-k (each partition keeps its k
+smallest before the shuffle) bounds the shuffle to k rows per partition
+per group — the implementation keeps the algebraic form that AQE can
+coalesce, and k is small (hundreds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from solace_apache_beam_spark.functions.hashing import h64
+
+HASH_SPACE = float(1 << 60)  # h64 = 15 hex chars = 60 bits
+
+
+def kmv_distinct(
+    df: DataFrame, col: str, group_by: str, k: int = 128
+) -> DataFrame:
+    """Per-group distinct-count estimate: (group, est_distinct DOUBLE).
+    Exact count is used when a group has fewer than k distinct values
+    (the estimator is undefined there, and exact is free at that size)."""
+    hashes = (
+        df.select(F.col(group_by), h64(F.col(col).cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_by).orderBy("h")
+    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    per_group = ranked.groupBy(group_by).agg(
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    return per_group.select(
+        F.col(group_by),
+        F.when(F.col("kth").isNull(), F.col("nd").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth"))
+        .alias("est_distinct"),
+    )

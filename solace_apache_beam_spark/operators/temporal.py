@@ -1,0 +1,144 @@
+"""Temporal operators Spark lacks natively: as-of join, interval range
+join, hypertable (multi-resolution) rollup.
+
+These are the custom time-series operators a reference user would reach
+for beyond the connector surface (SURVEY.md §2.8 lists the categories
+absent from the reference); each is a composition of existing DataFrame
+ops — no UDFs, no driver collects — chosen for its shuffle profile at
+100 TB:
+
+- **as-of join**: the union-tag trick — tag both inputs, union, one
+  window per key ordered by (time, tag), carry the right side's values
+  forward with last(ignorenulls). ONE shuffle of (left+right) keyed by
+  the join key; contrast with a naive windowed self-join which shuffles
+  both sides and explodes candidate pairs.
+- **interval range join**: bucketize time — intervals explode to the
+  fixed-width buckets they cover, points map to exactly one bucket, the
+  join becomes an equi-join on bucket id + residual containment filter.
+  Each (interval, point) pair meets in exactly one bucket (the point's),
+  so no dedup pass is needed. Shuffle volume is O(points +
+  intervals * avg_span/bucket_width) — tunable.
+- **hypertable rollup**: hierarchical continuous aggregate — the finest
+  resolution aggregates the raw table once; every coarser resolution
+  re-aggregates the previous level (not the raw data). Sums go through
+  DECIMAL so hierarchical re-aggregation is bit-identical to a direct
+  aggregate (float re-association would not be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    right_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Left as-of join: for each left row, the right row with the
+    greatest ``on`` <= left.``on`` within the same ``by`` key (inclusive,
+    like DuckDB's ASOF JOIN). ``right_cols`` maps right column ->
+    output alias. Left rows with no prior right row keep nulls.
+
+    Right rows should be unique per (by, on) — pre-aggregate if not."""
+    right_cols = right_cols or {"value": "asof_value"}
+    out_cols = list(right_cols.values())
+    l_tagged = left.select(
+        "*",
+        F.lit(1).alias("_is_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(a) for c, a in right_cols.items()],
+    )
+    r_tagged = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("_is_l"),
+        *[F.col(c).alias(a) for c, a in right_cols.items()],
+    )
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(l_tagged.dtypes)[c]))
+    unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    # right rows (tag 0) sort before left rows at the same timestamp ->
+    # a right row with on == left.on is visible to that left row
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in left.columns],
+        "_is_l",
+        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in out_cols],
+    )
+    return filled.filter(F.col("_is_l") == 1).drop("_is_l")
+
+
+def interval_point_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    point_col: str = "ts",
+    bucket_seconds: int = 300,
+) -> DataFrame:
+    """Range join: every (interval, point) pair with start <= point <
+    end, as an equi-join on fixed-width time buckets. Intervals explode
+    to the buckets they cover; a point lives in exactly one bucket, so
+    each qualifying pair meets exactly once (no dedup needed)."""
+    sec = lambda c: F.col(c).cast("long")  # noqa: E731  epoch-seconds floor
+    ib = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (sec(start_col) / bucket_seconds).cast("long"),
+                (sec(end_col) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    pb = points.withColumn("_b", (sec(point_col) / bucket_seconds).cast("long"))
+    return (
+        ib.join(pb, "_b")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_b")
+    )
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    fine: str = "1 hour",
+    coarse: str = "1 day",
+) -> DataFrame:
+    """Two-level continuous aggregate: (resolution, bucket_start, n,
+    total). The coarse level re-aggregates the fine level — at scale the
+    raw table is read once and the day rollup touches only 1/3600th of
+    the rows. DECIMAL sums make the hierarchy exact (re-association
+    safe), cast to double only at the output edge."""
+    hourly = (
+        df.groupBy(F.window(ts_col, fine).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,4)")).alias("dec_total"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n", "dec_total")
+    )
+    daily = (
+        hourly.groupBy(F.window("bucket_start", coarse).alias("w"))
+        .agg(F.sum("n").alias("n"), F.sum("dec_total").alias("dec_total"))
+        .select(F.col("w.start").alias("bucket_start"), "n", "dec_total")
+    )
+    out_cols = lambda res, d: d.select(  # noqa: E731
+        F.lit(res).alias("resolution"),
+        "bucket_start",
+        "n",
+        F.col("dec_total").cast("double").alias("total"),
+    )
+    return out_cols(fine, hourly).unionByName(out_cols(coarse, daily))

@@ -43,6 +43,7 @@ def _load() -> None:
     # imports for side effect: populate the registry
     from solace_apache_beam_spark import queries as _q  # noqa: F401
     from solace_apache_beam_spark import queries_llm as _ql  # noqa: F401
+    from solace_apache_beam_spark import queries_temporal as _qt  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,102 @@
+"""Unit semantics for the temporal operators (asof join, interval range
+join, hypertable rollup, KMV sketch) — boundary conditions the oracle
+gate exercises only statistically."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_semantics(spark):
+    from solace_apache_beam_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts(5), 1.0), (2, "u", _ts(10), 2.0), (3, "v", _ts(1), 3.0)],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(5), 50.0), ("u", _ts(7), 70.0), ("w", _ts(0), 99.0)],
+        "user_id string, ts timestamp, rv double",
+    )
+    out = {
+        r.event_id: (r.asof_value, r.asof_ts)
+        for r in asof_join(
+            left, right, right_cols={"rv": "asof_value", "ts": "asof_ts"}
+        ).collect()
+    }
+    assert out[1] == (50.0, _ts(5))  # equal timestamp is inclusive
+    assert out[2] == (70.0, _ts(7))  # greatest ts <= left.ts wins
+    assert out[3] == (None, None)  # no prior right row -> nulls kept
+
+
+def test_interval_point_join_boundaries(spark):
+    from solace_apache_beam_spark.operators.temporal import interval_point_join
+
+    intervals = spark.createDataFrame(
+        [(1, _ts(10), _ts(20))], "iid long, start_ts timestamp, end_ts timestamp"
+    )
+    points = spark.createDataFrame(
+        [(1, _ts(9, 59)), (2, _ts(10)), (3, _ts(19, 59)), (4, _ts(20))],
+        "pid long, ts timestamp",
+    )
+    got = sorted(
+        r.pid
+        for r in interval_point_join(
+            intervals, points, bucket_seconds=120  # interval spans 6 buckets
+        ).collect()
+    )
+    assert got == [2, 3]  # start inclusive, end exclusive; no duplicates
+
+
+def test_hypertable_rollup_hierarchy_exact(spark, sf_dir):
+    """The re-aggregated daily level must equal a direct daily aggregate
+    (DECIMAL sums make re-association exact)."""
+    from solace_apache_beam_spark.operators.temporal import hypertable_rollup
+    from solace_apache_beam_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        hypertable_rollup(ev, "ts", "value")
+        .filter(F.col("resolution") == "1 day")
+        .select("bucket_start", "n", "total")
+    )
+    direct = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n", "total")
+    )
+    assert sorted(map(tuple, daily.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_kmv_exact_below_k_and_estimate_error(spark, sf_dir):
+    from solace_apache_beam_spark.functions.sketch import kmv_distinct
+    from solace_apache_beam_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # small k -> estimator path; compare against exact distinct counts
+    est = {
+        r[0]: r.est_distinct
+        for r in kmv_distinct(li, "l_partkey", "l_returnflag", k=64).collect()
+    }
+    exact = {
+        r[0]: r.nd
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("nd"))
+        .collect()
+    }
+    for flag, nd in exact.items():
+        if nd < 64:
+            assert est[flag] == pytest.approx(nd)  # exact fallback
+        else:
+            # bottom-k standard error ~ 1/sqrt(k) ~ 12.5%; allow 4 sigma
+            assert abs(est[flag] - nd) / nd < 0.5
