@@ -37,9 +37,12 @@ def publish(
     payloads: list[str],
     properties: dict[str, str] | None = None,
     sender_id: str = "test-publisher",
+    sender_timestamp_us: int | list[int] | None = None,
 ) -> None:
     """Append persistent messages (the tests' JCSMP producer twin,
-    SolaceProtoBuffRecordTest.java:114-163)."""
+    SolaceProtoBuffRecordTest.java:114-163). ``sender_timestamp_us``
+    pins event time for deterministic event-time tests (int = all
+    messages, list = per message)."""
     qdir = queue_dir(broker_dir, queue)
     if not os.path.isdir(qdir):
         raise ValueError(f"unknown queue: {queue}")
@@ -48,6 +51,10 @@ def publish(
     now_us = int(time.time() * 1_000_000)
     with open(path, "a") as f:
         for i, payload in enumerate(payloads):
+            if isinstance(sender_timestamp_us, list):
+                ts_us = sender_timestamp_us[i]
+            else:
+                ts_us = sender_timestamp_us if sender_timestamp_us else now_us
             f.write(
                 json.dumps(
                     {
@@ -57,7 +64,7 @@ def publish(
                         "priority": 0,
                         "reply_to": None,
                         "sender_id": sender_id,
-                        "sender_timestamp_us": now_us,
+                        "sender_timestamp_us": ts_us,
                         "sequence_number": start + i,
                         "expiration": 0,
                         "ttl": 0,

@@ -1,0 +1,150 @@
+"""Custom stateful streaming operators (applyInPandasWithState — the
+escape hatch for semantics built-in windowed aggs can't express,
+SURVEY.md §2.5 W6).
+
+- running_counts: per-key cumulative message count/bytes across the
+  whole stream lifetime — the streaming twin of the reference's
+  per-reader counters (SolaceReaderStats.java:19-30), but keyed and
+  exactly-once per microbatch via the state store.
+- sessionize: event-time sessionization with a gap timeout. Unlike
+  session_window aggregation, the session row is emitted exactly once,
+  when the watermark proves the session closed (EventTimeTimeout) —
+  the pattern for any emit-on-close stateful logic.
+
+State is per-key and lives in the state store (RocksDB/HDFS-backed on a
+cluster): bounded by the number of live keys, evicted on timeout —
+no unbounded driver or executor memory at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_COUNTS_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("total_count", LongType()),
+        StructField("total_bytes", LongType()),
+    ]
+)
+_COUNTS_STATE = StructType(
+    [StructField("count", LongType()), StructField("bytes", LongType())]
+)
+
+
+def running_counts(stream: DataFrame, key_col: str = "destination") -> DataFrame:
+    """Per-key lifetime (count, payload bytes) — one updated row per key
+    per microbatch. Use outputMode('update')."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        count, nbytes = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            nbytes += int(pdf["payload"].str.encode("utf-8").str.len().fillna(0).sum())
+        state.update((count, nbytes))
+        yield pd.DataFrame(
+            {"key": [key[0]], "total_count": [count], "total_bytes": [nbytes]}
+        )
+
+    return (
+        stream.select(key_col, "payload")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, _COUNTS_OUT, _COUNTS_STATE, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def sessionize(
+    stream: DataFrame,
+    key_col: str = "destination",
+    ts_col: str = "event_time",
+    gap_seconds: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Close a key's session once the watermark passes last_event + gap;
+    emit the closed session exactly once. Use outputMode('append')."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        lo, hi, n = None, None, 0
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            if len(ts) == 0:
+                continue
+            b_lo = ts.min().value // 1000
+            b_hi = ts.max().value // 1000
+            lo = b_lo if lo is None else min(lo, b_lo)
+            hi = b_hi if hi is None else max(hi, b_hi)
+            n += len(ts)
+        if n:
+            if state.exists:
+                s0, e0, n0 = state.get
+                lo, hi, n = min(lo, s0), max(hi, e0), n + n0
+            state.update((lo, hi, n))
+            # event-time timeout: fires when watermark > end + gap
+            state.setTimeoutTimestamp(hi // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                "key": pd.Series([], dtype=object),
+                "session_start": pd.Series([], dtype="datetime64[ns]"),
+                "session_end": pd.Series([], dtype="datetime64[ns]"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(key_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            _SESSION_OUT,
+            _SESSION_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,87 @@
+"""Stateful streaming operator tests (applyInPandasWithState) driven
+through the fake broker + solace source end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from solace_apache_beam_spark.sources import fake_broker
+from solace_apache_beam_spark.streaming.pipelines import open_stream
+from solace_apache_beam_spark.streaming.stateful import running_counts, sessionize
+
+
+@pytest.fixture()
+def broker(tmp_path):
+    broker_dir = str(tmp_path / "broker")
+    for q in ("q1", "q2"):
+        fake_broker.create_queue(broker_dir, q)
+    return broker_dir
+
+
+def test_running_counts_accumulate_across_batches(spark, broker, tmp_path):
+    """State persists across microbatches: second wave continues the
+    count (the keyed twin of SolaceReaderStats counters)."""
+    fake_broker.publish(broker, "q1", ["aa", "bbb"])
+    fake_broker.publish(broker, "q2", ["cccc"])
+    stream = open_stream(spark, broker, ["q1", "q2"])
+    q = (
+        running_counts(stream)
+        .writeStream.format("memory")
+        .queryName("rcounts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    fake_broker.publish(broker, "q1", ["ddddd"])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT key, max(total_count) c, max(total_bytes) b FROM rcounts GROUP BY key"
+    ).collect()
+    got = {r.key: (r.c, r.b) for r in rows}
+    assert got["q1"] == (3, 10)  # 2+3 then +5 bytes
+    assert got["q2"] == (1, 4)
+
+
+def test_sessionize_emits_on_watermark_close(spark, broker, tmp_path):
+    """A session is emitted exactly once, when the watermark (advanced
+    by later events) passes last_event + gap."""
+    base_us = 1_700_000_000_000_000
+    fake_broker.publish(
+        broker,
+        "q1",
+        ["a", "b", "c"],
+        sender_timestamp_us=[base_us, base_us + 1_000_000, base_us + 2_000_000],
+    )
+    stream = open_stream(spark, broker, ["q1", "q2"])
+    q = (
+        sessionize(stream, gap_seconds=30)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM sessions").count() == 0  # still open
+    # events on ANOTHER key an hour later advance the (global) watermark
+    # at batch end; the next batch evaluates q1's timeout against it and
+    # closes q1's session. Same-key events would have extended it.
+    fake_broker.publish(
+        broker, "q2", ["later"], sender_timestamp_us=base_us + 3_600_000_000
+    )
+    q.processAllAvailable()
+    fake_broker.publish(
+        broker, "q2", ["later2"], sender_timestamp_us=base_us + 3_601_000_000
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT key, session_start, session_end, n_events FROM sessions"
+        " WHERE key = 'q1'"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_events == 3
+    assert (r.session_end - r.session_start).total_seconds() == 2.0
