@@ -452,14 +452,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_binary_payload(docs))
 
 
-@query("multimodal_frame_sample")
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    -- DuckDB cannot slice BLOBs; the corpus is pure ASCII (checked:
+    -- octet_length(encode(text)) == length(text) at every SF), so
+    -- character slicing == byte slicing and md5(VARCHAR) hashes the
+    -- same UTF-8 bytes the Spark operator slices.
+    WITH f AS (SELECT doc_id,
+                      unnest(generate_series(0, length(text) // 64 - 1)) AS fi,
+                      text
+               FROM documents)
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           md5(substring(text, fi * 64 + 1, 64)) AS frame_md5
+    FROM f WHERE fi % 4 = 0
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (every 4th 64-byte frame) via
-    mapInPandas. Non-SQL op — rows-only driver check + tests/."""
+    mapInPandas; the gate compares md5 per frame (raw binary columns
+    don't string-compare across engines)."""
     from solace_apache_beam_spark.llm.multimodal import (
         attach_binary_payload,
         frame_sample,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return frame_sample(attach_binary_payload(docs))
+    return frame_sample(attach_binary_payload(docs)).select(
+        "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
+    )

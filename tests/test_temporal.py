@@ -100,3 +100,17 @@ def test_kmv_exact_below_k_and_estimate_error(spark, sf_dir):
         else:
             # bottom-k standard error ~ 1/sqrt(k) ~ 12.5%; allow 4 sigma
             assert abs(est[flag] - nd) / nd < 0.5
+
+
+def test_salted_join_equals_plain_join(spark):
+    from solace_apache_beam_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, lv string"
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], "rk long, rv string")
+    got = sorted(
+        (r.k, r.lv, r.rv)
+        for r in salted_join(left, right, "k", "rk", n_salts=4).collect()
+    )
+    assert got == [(1, "a", "X"), (1, "b", "X"), (2, "c", "Y")]
