@@ -123,3 +123,44 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lambda acc, h: (acc * 31 + h).bitwiseAND(F.lit(FINGERPRINT_MASK)),
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text normalization for dedup/training prep: lowercase,
+    strip everything but letters/digits/spaces, collapse whitespace.
+    Pure codegen'd string expressions — map-side at any scale."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N} ]", " "),
+            r"  +",
+            " ",
+        )
+    )
+    return df.select(F.col(id_col), norm.alias("normalized"))
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub (training-data hygiene): emails then phone-shaped
+    number groups replaced with typed placeholders, with match counts
+    for audit. Order matters (emails first — a phone regex must not eat
+    an address's digits); both engines apply the same order."""
+    emails_out = F.regexp_replace(F.col(text_col), EMAIL_PATTERN, "<EMAIL>")
+    redacted = F.regexp_replace(emails_out, PHONE_PATTERN, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_PATTERN), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(emails_out, F.lit(PHONE_PATTERN), 0))
+        .cast("long")
+        .alias("n_phones"),
+    )

@@ -481,3 +481,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(attach_binary_payload(docs)).select(
         "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
     )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^\\p{L}\\p{N} ]', ' ', 'g'), '  +', ' ', 'g')) AS normalized
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lowercase / strip punctuation / collapse
+    whitespace) — the standard pre-dedup canonicalizer."""
+    from solace_apache_beam_spark.llm.text_analysis import normalize_text
+
+    return normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_pii_redact",
+    oracle=r"""
+    WITH e AS (
+      SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS emails_out
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(emails_out,
+             '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(emails_out,
+             '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones
+    FROM e
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with audit counts (emails before phone-shaped
+    numbers on both engines)."""
+    from solace_apache_beam_spark.llm.text_analysis import redact_pii
+
+    return redact_pii(load_table(spark, sf_dir, "documents"))

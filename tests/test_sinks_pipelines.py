@@ -162,3 +162,30 @@ def test_observed_metrics_stream(spark, broker, tmp_path):
     assert m["empty_lines"] == 1
     assert m["min_line_len"] == 0
     assert m["max_line_len"] == 5
+
+
+def test_processing_time_trigger_incremental(spark, broker, tmp_path):
+    """W2 twin (SolaceIOLifecycleDataflowIT.java:457-467): the
+    reference's GlobalWindows + repeated processing-time trigger is
+    Structured Streaming's native trigger(processingTime) + update
+    output — content, not window labels, is what must match."""
+    from solace_apache_beam_spark.streaming.pipelines import open_stream
+
+    fake_broker.publish(broker, "q1", [f"m{i}" for i in range(6)])
+    stream = open_stream(spark, broker, ["q1"], max_records_per_batch=2)
+    q = (
+        stream.groupBy("destination")
+        .count()
+        .writeStream.format("memory")
+        .queryName("ptt")
+        .outputMode("update")
+        .trigger(processingTime="100 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "cp_ptt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # each 2-record pane updated the running count; the last pane holds
+    # the full total (discarding-panes content equivalence)
+    rows = spark.sql("SELECT max(count) c FROM ptt").collect()
+    assert rows[0].c == 6

@@ -4,6 +4,7 @@ through the fake broker + solace source end-to-end."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from solace_apache_beam_spark.sources import fake_broker
 from solace_apache_beam_spark.streaming.pipelines import open_stream
@@ -85,3 +86,37 @@ def test_sessionize_emits_on_watermark_close(spark, broker, tmp_path):
     r = rows[0]
     assert r.n_events == 3
     assert (r.session_end - r.session_start).total_seconds() == 2.0
+
+
+def test_running_counts_resume_from_checkpoint(spark, broker, tmp_path):
+    """Stateful operator state survives a stop/restart cycle: the
+    restarted query continues counting from the checkpointed state
+    (§5 tier-3 restart contract)."""
+    from solace_apache_beam_spark.sinks.warehouse import make_warehouse_appender
+
+    cp = str(tmp_path / "cp_resume")
+    table = str(tmp_path / "rc_sink")
+    fake_broker.publish(broker, "q1", ["one", "two"])
+
+    def run_once():
+        stream = open_stream(spark, broker, ["q1"])
+        q = (
+            running_counts(stream)
+            .writeStream.foreachBatch(make_warehouse_appender(table))
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    fake_broker.publish(broker, "q1", ["three"])
+    run_once()
+    got = (
+        spark.read.parquet(table)
+        .groupBy("key")
+        .agg(F.max("total_count").alias("c"))
+        .collect()
+    )
+    assert {r.key: r.c for r in got} == {"q1": 3}  # 2 before restart + 1 after
