@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.storagelevel import StorageLevel
 
 from solace_apache_beam_spark.functions.hashing import (
     MERSENNE_61,
@@ -177,9 +178,16 @@ def minhash_band_hashes(
     rows-per-band slice. Output exploded: (id, band, band_hash). Zero
     shuffles — the expensive part scales linearly and embarrassingly
     parallel."""
+    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    return _band_hashes_from_shingles(sh, id_col, n_perm, n_bands)
+
+
+def _band_hashes_from_shingles(
+    sh: DataFrame, id_col: str, n_perm: int, n_bands: int
+) -> DataFrame:
+    """(id, hs) -> exploded (id, band, band_hash)."""
     assert n_perm % n_bands == 0
     rows_per_band = n_perm // n_bands
-    sh = _doc_shingles(df, text_col, id_col, shingle_n)
     sig = sh.select(id_col, _minhash_sig_udf(n_perm)(F.col("hs")).alias("sig"))
     bands = sig.select(
         id_col,
@@ -218,7 +226,13 @@ def minhash_lsh_pairs(
     The self-join shuffles only (band, band_hash) buckets; verification
     joins the two shingle arrays per surviving pair — at 100 TB the
     candidate set is ~linear in the number of true near-dup pairs."""
-    bands = minhash_band_hashes(df, text_col, id_col, shingle_n, n_perm, n_bands)
+    # the shingle-hash set feeds the signature pipeline AND both
+    # verification sides — persist it (spills to disk at scale) so the
+    # Arrow shingling kernel runs once, not three times
+    sh = _doc_shingles(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = _band_hashes_from_shingles(sh, id_col, n_perm, n_bands)
     # bucket-collect pair generation: ONE pass over the signature
     # pipeline and one groupBy shuffle, vs a self-join that computes the
     # (expensive) MinHash side twice and shuffles it twice
@@ -232,7 +246,6 @@ def minhash_lsh_pairs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    sh = _doc_shingles(df, text_col, id_col, shingle_n)
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("sh_b"))
     # candidates are ~linear in true near-dup pairs — broadcast them
@@ -277,7 +290,10 @@ def ngram_jaccard_pairs(
     (candidate blow-up is O(sum df^2) — the cutoff is what keeps this
     tractable on common shingles at scale), self-join on shingle to count
     intersections, derive |union| = |A| + |B| - |A∩B|."""
-    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    # persisted: feeds the postings index and both size joins
+    sh = _doc_shingles(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.select(F.col(id_col), F.size("hs").alias("sz"))
     inv = sh.select(F.col(id_col), F.explode("hs").alias("shingle"))
     # single groupBy builds the postings lists AND applies the df cutoff
