@@ -161,8 +161,14 @@ def test_duplicate_queue_entries_split_range(spark, broker):
     [
         ({"queues": "q1"}, "path"),
         ({"path": "SET", "queues": ""}, "queues"),
+        ({"path": "SET", "queues": " , ,"}, "queues"),
         ({"path": "SET", "queues": "nope"}, "unknown queue"),
+        ({"path": "SET", "queues": "q1,nope2"}, "unknown queue"),
+        ({"path": "/does/not/exist", "queues": "q1"}, "broker dir"),
         ({"path": "SET", "queues": "q1", "maxRecords": "0"}, "maxrecords"),
+        ({"path": "SET", "queues": "q1", "maxRecords": "-3"}, "maxrecords"),
+        ({"path": "SET", "queues": "q1", "maxRecordsPerBatch": "0"}, "maxrecordsperbatch"),
+        ({"path": "SET", "queues": "q1", "maxReadTimeMs": "0"}, "maxreadtimems"),
     ],
 )
 def test_option_validation(spark, broker, opts, err):
@@ -283,6 +289,23 @@ def test_streaming_wordcount_matches_batch(spark, broker, tmp_path):
         ("of", 1, "of: 1"),
         ("streams", 1, "streams: 1"),
     }
+
+
+def test_empty_queue_is_noop(spark, broker, tmp_path):
+    """Empty queue: no rows, nothing acked, broker spool untouched
+    (SolaceCheckpointMarkIT empty-queue no-op, :34-131)."""
+    stream = open_stream(spark, broker, ["q1"])
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("empty")
+        .option("checkpointLocation", str(tmp_path / "cp_e"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT * FROM empty").count() == 0
+    assert fake_broker.acked_count(broker, "q1") == 0
+    assert fake_broker.backlog_messages(broker, "q1") == 0
 
 
 def test_streaming_throughput_floor(spark, broker, tmp_path):
