@@ -33,7 +33,6 @@ from solace_apache_beam_spark.functions.hashing import (
     h32,
     h64,
     minhash_coeffs,
-    shingles_expr,
     words_expr,
 )
 

@@ -24,6 +24,29 @@ def make_warehouse_appender(table_path: str, partition_by: list[str] | None = No
     return write
 
 
+def make_idempotent_appender(
+    table_path: str, partition_by: list[str] | None = None
+):
+    """Exactly-once-effect warehouse append: each epoch writes into its
+    own `_epoch_id=N` partition with dynamic partition overwrite, so a
+    replayed microbatch (at-least-once foreachBatch contract) REPLACES
+    its previous attempt instead of duplicating it. This is the standard
+    idempotent-by-epoch pattern for non-transactional table formats;
+    partition count grows by one per epoch (compact downstream)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_df.withColumn("_epoch_id", F.lit(epoch_id))
+        parts = ["_epoch_id"] + (partition_by or [])
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .parquet(table_path)
+        )
+
+    return write
+
+
 def make_log_sink(logger=None):
     """Element -> log line (SolaceRecordTest.java:158-164)."""
 

@@ -189,3 +189,20 @@ def test_processing_time_trigger_incremental(spark, broker, tmp_path):
     # the full total (discarding-panes content equivalence)
     rows = spark.sql("SELECT max(count) c FROM ptt").collect()
     assert rows[0].c == 6
+
+
+def test_idempotent_appender_replaces_replayed_epoch(spark, tmp_path):
+    """A replayed microbatch overwrites its own epoch partition instead
+    of appending duplicates (exactly-once effect under the at-least-once
+    foreachBatch contract)."""
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+
+    table = str(tmp_path / "idem")
+    write = make_idempotent_appender(table)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write(b0, 0)
+    write(spark.createDataFrame([(3, "c")], "id long, v string"), 1)
+    # epoch 0 is retried with the same content — must not duplicate
+    write(b0, 0)
+    rows = sorted((r.id, r.v) for r in spark.read.parquet(table).collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
