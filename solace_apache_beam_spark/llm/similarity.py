@@ -271,3 +271,62 @@ def neardup_pairs(
     return raw.select(
         "id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: the coarse quantizer is a deterministic seed
+    sample (the vectors with id < n_cells stand in for trained k-means
+    centroids — swap in real centroids without changing the join shape).
+    Each vector is assigned to its highest-cosine centroid (quantized
+    integer dots -> the argmax is deterministic; ties break to the
+    smallest centroid id), then top-k search is brute force within the
+    cell — identical shuffle profile to lsh_bucket: the corpus moves
+    once, keyed by cell."""
+    cents = _pack_blocks(
+        df.filter(F.col(id_col) < n_cells), vec_col, id_col, 1 << 62
+    ).select(F.col("ids").alias("cids"), F.col("mat").alias("cmat"))
+
+    def assign(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ids = np.asarray(r.ids, dtype=np.int64)
+                q = _unpack(r.mat)
+                cids = np.asarray(r.cids, dtype=np.int64)
+                order = np.argsort(cids)  # ties -> smallest centroid id
+                cids, cmat = cids[order], _unpack(r.cmat)[order]
+                cos = _block_scores(q, cmat)
+                cell = cids[np.nanargmax(np.where(np.isnan(cos), -np.inf, cos), axis=1)]
+                yield pd.DataFrame({"vec_id": ids, "q": list(q), "cell": cell})
+
+    packed = _pack_blocks(df, vec_col, id_col, 4096)
+    assigned = packed.join(F.broadcast(cents)).mapInPandas(
+        assign, f"{id_col} long, q array<double>, cell long"
+    )
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        q = _unpack(pdf["q"])
+        cos = _block_scores(q, q)
+        mask = np.isfinite(cos) & (ids[:, None] != ids[None, :])
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {"query_id": ids[ii], "neighbor_id": ids[jj], "cos_raw": cos[ii, jj]}
+        )
+
+    scored = (
+        assigned.groupBy("cell")
+        .applyInPandas(score_cell, "query_id long, neighbor_id long, cos_raw double")
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

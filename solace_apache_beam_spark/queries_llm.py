@@ -526,3 +526,47 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solace_apache_beam_spark.llm.text_analysis import redact_pii
 
     return redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+_N_CELLS = 16
+
+
+@query(
+    "ann_ivf_cosine",
+    oracle=f"""
+    WITH {_QE},
+    c AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn WHERE vec_id < {_N_CELLS}),
+    scored AS (
+      SELECT e.vec_id, e.q, e.n2, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY CAST(list_reduce(list_prepend(0::BIGINT,
+                          [e.q[i] * c.cq[i] for i in generate_series(1, len(e.q))]),
+                          (s, x) -> s + x) AS DOUBLE)
+                        / (sqrt(CAST(e.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                        c.cid) AS rn
+      FROM qn e CROSS JOIN c
+    ),
+    assigned AS (SELECT vec_id, q, n2, cid AS cell FROM scored WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_QCOS} AS cos_sim
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {_ANN_K}
+    """,
+)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (coarse-quantizer cells + in-cell brute force) —
+    the centroid-bucketed sibling of ann_lsh_cosine; same single
+    corpus shuffle, keyed by cell."""
+    from solace_apache_beam_spark.llm.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, n_cells=_N_CELLS, k=_ANN_K).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )

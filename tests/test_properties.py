@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis): the composed Spark operators are
+compared against direct Python reference implementations on randomized
+small inputs — the class of coverage the reference's suite lacks
+(SURVEY.md §5: no property-based testing)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from solace_apache_beam_spark.functions.hashing import MERSENNE_61, minhash_coeffs
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(n: int) -> dt.datetime:
+    return _EPOCH + dt.timedelta(seconds=int(n))
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    right=st.dictionaries(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        st.integers(0, 99),
+        max_size=12,
+    ),
+)
+def test_asof_join_matches_reference(spark, left, right):
+    from solace_apache_beam_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, f"k{k}", _ts(t)) for i, (k, t) in enumerate(left)],
+        "event_id long, user_id string, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(f"k{k}", _ts(t), float(v)) for (k, t), v in right.items()],
+        "user_id string, ts timestamp, rv double",
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(ldf, rdf, right_cols={"rv": "asof_value"}).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        matches = [(rt, v) for (rk, rt), v in right.items() if rk == k and rt <= t]
+        expect = float(max(matches)[1]) if matches else None
+        assert got[i] == expect, (i, k, t)
+
+
+@settings(**SETTINGS)
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, 300)), min_size=1, max_size=8
+    ),
+    points=st.lists(st.integers(0, 800), min_size=1, max_size=15),
+    bucket=st.sampled_from([7, 60, 300]),
+)
+def test_interval_point_join_matches_brute_force(spark, intervals, points, bucket):
+    from solace_apache_beam_spark.operators.temporal import interval_point_join
+
+    idf = spark.createDataFrame(
+        [(i, _ts(s), _ts(s + d)) for i, (s, d) in enumerate(intervals)],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    pdf = spark.createDataFrame(
+        [(j, _ts(p)) for j, p in enumerate(points)], "pid long, ts timestamp"
+    )
+    got = sorted(
+        (r.iid, r.pid)
+        for r in interval_point_join(idf, pdf, bucket_seconds=bucket).collect()
+    )
+    expect = sorted(
+        (i, j)
+        for i, (s, d) in enumerate(intervals)
+        for j, p in enumerate(points)
+        if s <= p < s + d
+    )
+    assert got == expect
+
+
+def _h32_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _h64_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(st.lists(WORD, min_size=3, max_size=20), min_size=1, max_size=5))
+def test_minhash_bands_match_reference(spark, docs):
+    from solace_apache_beam_spark.llm.dedup import minhash_band_hashes
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.band): r.band_hash
+        for r in minhash_band_hashes(df, n_perm=16, n_bands=4).collect()
+    }
+    coeffs = minhash_coeffs(16)
+    for i, ws in enumerate(docs):
+        hs = sorted({_h32_py(" ".join(ws[j : j + 3])) for j in range(len(ws) - 2)})
+        sig = [min((a * h + b) % MERSENNE_61 for h in hs) for a, b in coeffs]
+        for band in range(4):
+            chunk = ",".join(str(x) for x in sig[band * 4 : (band + 1) * 4])
+            assert got[(i, band)] == _h64_py(chunk), (i, band)
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(st.lists(WORD, min_size=1, max_size=30), min_size=1, max_size=5))
+def test_simhash_matches_reference(spark, docs):
+    from solace_apache_beam_spark.llm.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    for i, ws in enumerate(docs):
+        hs = [_h32_py(w) for w in ws]
+        sim = 0
+        for b in range(32):
+            s = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if s > 0:
+                sim |= 1 << b
+        assert got[i] == sim, i
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 500)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_kmv_exact_when_below_k(spark, rows):
+    from solace_apache_beam_spark.functions.sketch import kmv_distinct
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r.est_distinct for r in kmv_distinct(df, "v", "g", k=128).collect()}
+    for g in {g for g, _ in rows}:
+        exact = len({v for gg, v in rows if gg == g})
+        assert got[g] == pytest.approx(exact)
