@@ -38,6 +38,13 @@ def main() -> None:
         "l_returnflag"
     ).count().write.format("noop").mode("overwrite").save()
 
+    def _warm_arrow(it):
+        yield from it
+
+    spark.range(8).mapInPandas(_warm_arrow, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()

@@ -206,3 +206,41 @@ def test_idempotent_appender_replaces_replayed_epoch(spark, tmp_path):
     write(b0, 0)
     rows = sorted((r.id, r.v) for r in spark.read.parquet(table).collect())
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_streaming_llm_ingest_dedup_normalize(spark, broker, tmp_path):
+    """End-to-end training-data ingest: broker stream -> normalize ->
+    content-hash dedup within watermark -> idempotent warehouse append.
+    Duplicate payloads across waves inside the watermark horizon land
+    exactly once."""
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.text_analysis import normalize_text
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.pipelines import open_stream
+
+    table = str(tmp_path / "corpus")
+    fake_broker.publish(broker, "q1", ["Hello, World!", "hello   world", "Other doc."])
+    stream = open_stream(spark, broker, ["q1"])
+    normalized = normalize_text(
+        stream.withColumn("doc_id", F.col("message_id")), text_col="payload"
+    ).withColumn("event_time", F.expr("now()"))
+    deduped = (
+        normalized.withColumn("text_hash", F.md5("normalized"))
+        .withWatermark("event_time", "10 minutes")
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+    q = (
+        deduped.writeStream.foreachBatch(make_idempotent_appender(table))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_llm"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second wave republishes a normalized-equal duplicate
+    fake_broker.publish(broker, "q1", ["HELLO world", "new third doc"])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(table).select("normalized").collect()
+    got = sorted(r.normalized for r in rows)
+    assert got == sorted(["hello world", "other doc", "new third doc"])
