@@ -21,10 +21,24 @@ import os
 import time
 
 
-def create_queue(broker_dir: str, queue: str) -> None:
+def create_queue(broker_dir: str, queue: str, exclusive: bool = False) -> None:
+    """``exclusive`` mirrors Solace exclusive queues: only one consumer
+    receives messages; extra bindings connect but stay idle
+    (SolaceIOIT.java:148-184)."""
     qdir = os.path.join(broker_dir, queue)
     os.makedirs(qdir, exist_ok=True)
     open(os.path.join(qdir, "messages.jsonl"), "a").close()
+    if exclusive:
+        with open(os.path.join(qdir, "access"), "w") as f:
+            f.write("exclusive")
+
+
+def is_exclusive(broker_dir: str, queue: str) -> bool:
+    try:
+        with open(os.path.join(queue_dir(broker_dir, queue), "access")) as f:
+            return f.read().strip() == "exclusive"
+    except FileNotFoundError:
+        return False
 
 
 def queue_dir(broker_dir: str, queue: str) -> str:

@@ -144,6 +144,14 @@ def _split_ranges(
         n = dupes[queue]
         total = hi - lo
         delivered = fake_broker.delivered_watermark(path, queue)
+        if n > 1 and fake_broker.is_exclusive(path, queue):
+            # exclusive queue: one active consumer; extra bindings
+            # connect but receive nothing (SolaceIOIT.java:148-184)
+            parts.append(QueueSlicePartition(queue, lo, hi, delivered))
+            parts.extend(
+                QueueSlicePartition(queue, hi, hi, delivered) for _ in range(n - 1)
+            )
+            continue
         for i in range(n):
             s = lo + (total * i) // n
             e = lo + (total * (i + 1)) // n

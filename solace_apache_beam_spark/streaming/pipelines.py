@@ -163,3 +163,23 @@ def parse_fx_payload(source: DataFrame) -> DataFrame:
         ).alias("data"),
     )
     return parsed.select("message_id", "event_time", "data.*")
+
+
+def ingest_to_warehouse(
+    source: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+):
+    """§3.3 SolaceBigQuery twin end-to-end: envelope -> FX JSON payload
+    parse -> warehouse append (CREATE_IF_NEEDED/WRITE_APPEND ≈ parquet
+    append creating the table on first batch). Returns the started
+    StreamingQuery."""
+    from solace_apache_beam_spark.sinks.warehouse import make_warehouse_appender
+
+    return (
+        parse_fx_payload(source)
+        .writeStream.foreachBatch(make_warehouse_appender(table_path, partition_by))
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

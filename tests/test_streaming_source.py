@@ -358,3 +358,18 @@ def test_conservation_law(spark, broker, tmp_path):
     acked = fake_broker.acked_count(broker, "q1")
     assert received >= acked
     assert remaining == n - acked
+
+
+def test_exclusive_queue_single_active_consumer(spark, broker):
+    """Exclusive queue: listing it twice adds an idle binding — all
+    messages flow through one consumer, none are duplicated or lost
+    (SolaceIOIT.java:148-184)."""
+    fake_broker.create_queue(broker, "xq", exclusive=True)
+    fake_broker.publish(broker, "xq", [f"xq - {i}" for i in range(10)])
+    df = read_bounded(spark, broker, ["xq", "xq"])
+    assert df.rdd.getNumPartitions() == 2  # both bindings connect
+    per_part = df.rdd.glom().map(len).collect()
+    assert sorted(per_part) == [0, 10]  # only one is active
+    assert sorted(r.payload for r in df.collect()) == sorted(
+        f"xq - {i}" for i in range(10)
+    )
