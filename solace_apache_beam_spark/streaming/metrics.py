@@ -1,0 +1,60 @@
+"""Streaming observability: the reader-stats surfacing path
+(SolaceReaderStats S14 → Spark's StreamingQueryListener + df.observe).
+
+The reference dumps per-reader counters as JSON every 120 s of advance
+time (SolaceReaderStats.java:137-155). The Spark-native equivalents:
+
+- the source's own counters land in ``<broker>/.reader_stats.json``
+  per plan/commit (sources/solace.py);
+- per-batch engine metrics (rows, duration, state rows, watermark) and
+  ``df.observe`` aggregates arrive through StreamingQueryListener
+  progress events — this module collects them into plain dicts so
+  pipelines/tests can assert on them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class ProgressCollector(StreamingQueryListener):
+    """Collects one record per finished microbatch:
+    (query name, batch id, input rows, observed-metric dicts)."""
+
+    def __init__(self) -> None:
+        self.batches: list[dict] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        self.batches.append(
+            {
+                "name": p.name,
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "observed": {
+                    k: v.asDict() for k, v in (p.observedMetrics or {}).items()
+                },
+            }
+        )
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def totals(self, name: str) -> dict:
+        """Aggregate view for one query: total input rows + last
+        observed metrics."""
+        rows = [b for b in self.batches if b["name"] == name]
+        observed: dict = {}
+        for b in rows:
+            for k, v in b["observed"].items():
+                observed[k] = v
+        return {
+            "num_input_rows": sum(b["num_input_rows"] for b in rows),
+            "observed": observed,
+        }

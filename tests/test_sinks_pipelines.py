@@ -244,3 +244,43 @@ def test_streaming_llm_ingest_dedup_normalize(spark, broker, tmp_path):
     rows = spark.read.parquet(table).select("normalized").collect()
     got = sorted(r.normalized for r in rows)
     assert got == sorted(["hello world", "other doc", "new third doc"])
+
+
+def test_progress_collector_surfaces_observed_metrics(spark, broker, tmp_path):
+    """S14 surfacing: per-batch input rows + df.observe aggregates reach
+    the StreamingQueryListener (the reference's periodic stats dump ->
+    progress events)."""
+    import time
+
+    from solace_apache_beam_spark.streaming.metrics import ProgressCollector
+    from solace_apache_beam_spark.streaming.pipelines import (
+        observed_word_metrics,
+        open_stream,
+    )
+
+    collector = ProgressCollector()
+    spark.streams.addListener(collector)
+    try:
+        fake_broker.publish(broker, "q1", ["alpha beta", "", "gamma"])
+        stream = open_stream(spark, broker, ["q1"])
+        q = (
+            observed_word_metrics(stream)
+            .writeStream.format("memory")
+            .queryName("obsq")
+            .option("checkpointLocation", str(tmp_path / "cp_obs"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener events are delivered asynchronously
+        for _ in range(50):
+            if collector.totals("obsq")["num_input_rows"] >= 3:
+                break
+            time.sleep(0.1)
+        totals = collector.totals("obsq")
+        assert totals["num_input_rows"] == 3
+        wm = totals["observed"]["word_metrics"]
+        assert wm["empty_lines"] == 1
+        assert wm["max_line_len"] == 10  # "alpha beta"
+    finally:
+        spark.streams.removeListener(collector)
