@@ -705,3 +705,33 @@ def salted_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k, count(*) AS n,
+                      sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+               FROM orders GROUP BY 1)
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o JOIN a ON o.o_custkey = a.k
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > s
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each order vs its customer's own
+    average), written as the decorrelated form Catalyst would produce:
+    per-key aggregate + equi-join — one shuffle, no per-row subquery.
+    The avg comparison is multiplied through (price * n > sum) so the
+    predicate is exact DECIMAL arithmetic on both engines — no
+    division-rounding parity to depend on."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+    )
+    return (
+        o.join(aggs, o.o_custkey == aggs.k)
+        .filter(F.col("o_totalprice").cast("decimal(18,2)") * F.col("n") > F.col("s"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
