@@ -1,0 +1,64 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that are
+(a) reproducible across runs and engines, (b) stable under
+repartitioning, and (c) cheap. `df.sample()` satisfies none of these —
+its RNG is seeded per partition, so the sample changes whenever the
+partitioning does. Hashing the row key is the standard fix: membership
+is a pure function of the key, identical on any engine (the DuckDB
+oracle replays it) and at any parallelism.
+
+All rates are in basis points (1/10000) so thresholds are exact
+integers — no float comparison at the boundary."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solace_apache_beam_spark.functions.hashing import h64
+
+
+def _bucket(id_col: str, salt: str, buckets: int) -> Column:
+    return h64(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    ) % buckets
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate_bp: int, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~rate_bp/10000 of rows, deterministically by key hash."""
+    return df.filter(_bucket(id_col, salt, 10_000) < rate_bp)
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    train_bp: int = 8000,
+    val_bp: int = 1000,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a `split` column: train/val/test by hash bucket (test gets
+    the remainder). Disjoint, exhaustive, reproducible."""
+    b = _bucket(id_col, salt, 10_000)
+    return df.withColumn(
+        "split",
+        F.when(b < train_bp, "train")
+        .when(b < train_bp + val_bp, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, strata_col: str, rates_bp: dict[str, int],
+    default_bp: int = 0, salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum sampling rates (basis points); strata not listed get
+    default_bp. Deterministic per key, so repeated runs agree."""
+    rate = None
+    for stratum, bp in sorted(rates_bp.items()):
+        cond = F.col(strata_col) == stratum
+        rate = F.when(cond, bp) if rate is None else rate.when(cond, bp)
+    rate = rate.otherwise(default_bp) if rate is not None else F.lit(default_bp)
+    return df.filter(_bucket(id_col, salt, 10_000) < rate)

@@ -327,3 +327,72 @@ def ngram_jaccard_pairs(
         )
     )
     return jac.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates share at least one of
+    n_bands signature slices (pigeonhole: any pair within hamming
+    distance < n_bands must agree on some band), verified with an exact
+    popcount of the XOR. Same bucket-collect pair generation as
+    MinHash-LSH — the signature pipeline is computed once, shuffled
+    once on (band, slice-value)."""
+    assert bits % n_bands == 0
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sig = simhash_signatures(df, text_col, id_col, bits).persist()
+    bands = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    buckets = (
+        bands.groupBy("band", "val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("s")))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "members",
+                    lambda x, i: F.transform(
+                        F.slice("members", i + 2, F.size("members")),
+                        lambda y: F.struct(
+                            x["id"].alias("doc_a"),
+                            y["id"].alias("doc_b"),
+                            x["s"].alias("sa"),
+                            y["s"].alias("sb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.sa", "p.sb").distinct()
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

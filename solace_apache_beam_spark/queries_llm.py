@@ -570,3 +570,125 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, n_cells=_N_CELLS, k=_ANN_K).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    h AS (SELECT doc_id, [{_h32("x")} for x in words] AS hlist FROM w WHERE len(words) > 0),
+    sig AS (
+      SELECT doc_id,
+             CAST(list_sum([
+               CASE WHEN CAST(list_sum([
+                      CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+                    for h in hlist]) AS BIGINT) > 0
+                    THEN (1::BIGINT << b) ELSE 0 END
+             for b in generate_series(0, 31)]) AS BIGINT) AS simhash
+      FROM h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via band-bucket candidates
+    + exact popcount verify. The oracle is the direct quadratic form —
+    pigeonhole over 4 bands guarantees the banded candidate set is a
+    superset of every qualifying pair, so both formulations agree
+    exactly."""
+    from solace_apache_beam_spark.llm.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sample_documents_10pct",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 10000 < 1000
+    """,
+)
+def sample_documents_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample by key hash — reproducible under
+    any partitioning (unlike df.sample's per-partition RNG)."""
+    from solace_apache_beam_spark.functions.sampling import hash_sample
+
+    return hash_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", rate_bp=1000
+    ).select("doc_id")
+
+
+@query(
+    "split_train_val_test",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 10000 AS b
+          FROM documents)
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by key hash — disjoint,
+    exhaustive, stable across runs and engines."""
+    from solace_apache_beam_spark.functions.sampling import assign_splits
+
+    return assign_splits(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "split"
+    )
+
+
+@query(
+    "corpus_stats",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_WORDS})) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_docs
+    FROM documents
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus summary (docs, tokens, chars, distinct contents) —
+    the pre-flight numbers every ingest run reports."""
+    from solace_apache_beam_spark.functions.hashing import words_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words_expr("text"))).cast("long").alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_docs"),
+    )
+
+
+@query(
+    "stratified_sample_lineitem",
+    oracle="""
+    SELECT l_orderkey * 8 + l_linenumber AS li_key, l_returnflag
+    FROM lineitem
+    WHERE ('0x' || substr(md5('strat:' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+          % 10000 < CASE l_returnflag WHEN 'A' THEN 500
+                                      WHEN 'N' THEN 100
+                                      WHEN 'R' THEN 2000 ELSE 0 END
+    """,
+)
+def stratified_sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (different rates per return
+    flag) — rebalancing skewed strata without a shuffle: membership is
+    a map-side hash predicate."""
+    from solace_apache_beam_spark.functions.sampling import stratified_sample
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "li_key", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    return stratified_sample(
+        li, "li_key", "l_returnflag", {"A": 500, "N": 100, "R": 2000}
+    ).select("li_key", "l_returnflag")
