@@ -692,3 +692,41 @@ def stratified_sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         li, "li_key", "l_returnflag", {"A": 500, "N": 100, "R": 2000}
     ).select("li_key", "l_returnflag")
+
+
+@query(
+    "training_shard_stats",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, {_WORDS} AS words,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+             ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 8 AS shard
+      FROM (SELECT doc_id, text,
+                   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS b
+            FROM documents)
+    )
+    SELECT split, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(words)) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard layout for training export: split assignment + hash-bucket
+    shard id, with per-shard doc/token counts — the manifest a shard
+    writer emits. All map-side until the one small aggregate."""
+    from solace_apache_beam_spark.functions.hashing import h64, words_expr
+    from solace_apache_beam_spark.functions.sampling import assign_splits
+
+    docs = assign_splits(load_table(spark, sf_dir, "documents"), "doc_id")
+    sharded = docs.withColumn(
+        "shard",
+        h64(F.concat_ws(":", F.lit("shard"), F.col("doc_id").cast("string"))) % 8,
+    )
+    return sharded.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words_expr("text"))).cast("long").alias("n_tokens"),
+    )
