@@ -70,14 +70,31 @@ def _minhash_sig_udf(n_perm: int):
 
 
 def _simhash_udf(bits: int):
-    """Arrow-vectorized SimHash: per bit, sum of +/-1 over token hashes;
-    bit set when positive. Pure integer sums — order-independent, exact."""
+    """Arrow-vectorized SimHash straight from the word arrays: md5 each
+    token (Python hashlib — same bytes the oracle hashes), then per bit
+    the sum of +/-1 over token hashes; bit set when positive. Pure
+    integer sums — order-independent, exact."""
+    import hashlib
+
     shifts = np.arange(bits, dtype=np.int64)[:, None]
 
     @pandas_udf("bigint")
-    def sim(hs: pd.Series) -> pd.Series:
-        if len(hs) == 0:
+    def sim(words: pd.Series) -> pd.Series:
+        if len(words) == 0:
             return pd.Series([], dtype=np.int64)
+        hs = pd.Series(
+            [
+                np.fromiter(
+                    (
+                        int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16)
+                        for w in ws
+                    ),
+                    dtype=np.int64,
+                    count=len(ws),
+                )
+                for ws in words
+            ]
+        )
         flat, offs = _segment_offsets(hs)
         signs = (((flat[None, :] >> shifts) & 1) * 2 - 1).astype(np.int64)
         sums = np.add.reduceat(signs, offs, axis=1)  # (bits, n_docs)
@@ -270,10 +287,10 @@ def simhash_signatures(
     """Map-side SimHash: per bit, sum +1/-1 over token hashes; bit set
     when the sum is positive. Output (id, simhash)."""
     words = words_expr(text_col)
-    hashed = df.select(
-        F.col(id_col), F.transform(words, lambda w: h32(w)).alias("hs")
-    ).filter(F.size("hs") > 0)
-    return hashed.select(id_col, _simhash_udf(bits)(F.col("hs")).alias("simhash"))
+    tokened = df.select(F.col(id_col), words.alias("words")).filter(
+        F.size("words") > 0
+    )
+    return tokened.select(id_col, _simhash_udf(bits)(F.col("words")).alias("simhash"))
 
 
 def ngram_jaccard_pairs(
