@@ -180,3 +180,61 @@ def redact_pii(
         .cast("long")
         .alias("n_phones"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_budget: int = 512,
+) -> DataFrame:
+    """Sequence packing for training export: greedy first-fit of
+    documents into fixed-token-budget bins, per partition (mapInPandas —
+    packing is inherently sequential, so the sequence is scoped to a
+    partition and bins are keyed (partition, local_bin) for global
+    uniqueness; no cross-partition coordination or driver collect).
+
+    Deterministic given a deterministic partitioning of the input —
+    callers that need run-to-run identical bins should repartition by a
+    key column first (hash partitioning is content-addressed). Documents
+    longer than the budget get a bin of their own (never split here;
+    chunk upstream if splitting is wanted).
+
+    Output: (bin_id string, doc_id, n_tokens, bin_fill)."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.functions import spark_partition_id
+
+    counted = df.select(
+        F.col(id_col),
+        F.size(words_expr(text_col)).alias("n_tokens"),
+        spark_partition_id().alias("_pid"),
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fill: dict[int, tuple[int, int]] = {}  # pid -> (bin_idx, used)
+        for pdf in batches:
+            out_bin, out_doc, out_tok, out_fill = [], [], [], []
+            for doc, n, pid in zip(pdf[id_col], pdf["n_tokens"], pdf["_pid"]):
+                n = int(n)
+                bin_idx, used = fill.get(pid, (0, 0))
+                if used > 0 and used + n > token_budget:
+                    bin_idx, used = bin_idx + 1, 0
+                used += n
+                fill[pid] = (bin_idx, used)
+                out_bin.append(f"{pid}-{bin_idx}")
+                out_doc.append(int(doc))
+                out_tok.append(n)
+                out_fill.append(used)
+            yield pd.DataFrame(
+                {
+                    "bin_id": out_bin,
+                    id_col: out_doc,
+                    "n_tokens": out_tok,
+                    "bin_fill": out_fill,
+                }
+            )
+
+    return counted.mapInPandas(
+        pack, f"bin_id string, {id_col} long, n_tokens long, bin_fill long"
+    )

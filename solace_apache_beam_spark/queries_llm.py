@@ -730,3 +730,14 @@ def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(words_expr("text"))).cast("long").alias("n_tokens"),
     )
+
+
+@query("sequence_packing")
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit sequence packing into 512-token bins (training
+    export shape). Inherently sequential per partition — non-SQL op:
+    rows-only driver check; budget/coverage invariants are exact-tested
+    in tests/test_multimodal.py."""
+    from solace_apache_beam_spark.llm.text_analysis import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), token_budget=512)

@@ -69,3 +69,24 @@ def test_frame_sample_exact_slices(spark):
 def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_pack_sequences_respects_budget_and_covers_all(spark):
+    from solace_apache_beam_spark.llm.text_analysis import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 5, 5, 12, 3, 9, 2])],
+        "doc_id long, text string",
+    ).coalesce(1)
+    rows = pack_sequences(docs, token_budget=10).collect()
+    assert {r.doc_id for r in rows} == set(range(7))  # every doc packed once
+    by_bin: dict[str, int] = {}
+    for r in rows:
+        by_bin[r.bin_id] = by_bin.get(r.bin_id, 0) + r.n_tokens
+    for bin_id, total in by_bin.items():
+        single = [r for r in rows if r.bin_id == bin_id]
+        # bins respect the budget unless a single doc exceeds it alone
+        assert total <= 10 or (len(single) == 1 and single[0].n_tokens > 10)
+    # greedy first-fit on one partition: 5+5 | 5 (12 won't fit) -> 12 | 3 -> ...
+    first_bin = [r.doc_id for r in rows if r.bin_id == rows[0].bin_id]
+    assert first_bin == [0, 1]
