@@ -238,3 +238,32 @@ def pack_sequences(
     return counted.mapInPandas(
         pack, f"bin_id string, {id_col} long, n_tokens long, bin_fill long"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking for context windows / RAG prep: word
+    chunks of ``chunk_tokens`` starting every ``stride`` tokens
+    (overlap = chunk_tokens - stride). Pure array expressions — one
+    explode, no Python, no shuffle. Output: (id, chunk_idx, chunk_text,
+    n_chunk_tokens)."""
+    words = words_expr(text_col)
+    base = df.select(F.col(id_col), words.alias("words")).filter(
+        F.size("words") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("words") - 1, F.lit(stride))
+    chunks = base.select(
+        F.col(id_col), "words", F.explode(starts).alias("start")
+    )
+    piece = F.slice("words", F.col("start") + 1, chunk_tokens)
+    return chunks.select(
+        F.col(id_col),
+        (F.col("start") / stride).cast("long").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )

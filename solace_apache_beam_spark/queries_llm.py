@@ -741,3 +741,25 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solace_apache_beam_spark.llm.text_analysis import pack_sequences
 
     return pack_sequences(load_table(spark, sf_dir, "documents"), token_budget=512)
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    s AS (SELECT doc_id, words,
+                 unnest(generate_series(0, len(words) - 1, 48)) AS start
+          FROM w WHERE len(words) > 0)
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_idx,
+           array_to_string(words[start + 1 : start + 64], ' ') AS chunk_text,
+           CAST(len(words[start + 1 : start + 64]) AS BIGINT) AS n_chunk_tokens
+    FROM s
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token chunks every 48 tokens) — the
+    context-window prep op; map-side explode, zero shuffle."""
+    from solace_apache_beam_spark.llm.text_analysis import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
