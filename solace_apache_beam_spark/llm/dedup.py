@@ -30,7 +30,6 @@ from pyspark.storagelevel import StorageLevel
 
 from solace_apache_beam_spark.functions.hashing import (
     MERSENNE_61,
-    h32,
     h64,
     minhash_coeffs,
     words_expr,

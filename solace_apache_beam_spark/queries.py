@@ -735,3 +735,37 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice").cast("decimal(18,2)") * F.col("n") > F.col("s"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "data_quality_events",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (event_id IS NULL) AS BIGINT) AS viol_null_event_id,
+           CAST(count(*) FILTER (value < 0) AS BIGINT) AS viol_negative_value,
+           CAST(count(*) FILTER (ts < TIMESTAMP '2024-01-01'
+                                 OR ts >= TIMESTAMP '2024-02-01') AS BIGINT) AS viol_ts_out_of_range,
+           CAST(count(*) FILTER (event_type NOT IN
+                ('click', 'view', 'error', 'purchase', 'signup')) AS BIGINT) AS viol_unknown_type
+    FROM events
+    """,
+)
+def data_quality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation gate over the events table: one scan, conditional
+    counts per named check (nulls, negative values, timestamp range,
+    enum membership) — the pre-publish validation report."""
+    from solace_apache_beam_spark.operators.validation import expect
+
+    ev = load_table(spark, sf_dir, "events")
+    return expect(
+        ev,
+        {
+            "null_event_id": F.col("event_id").isNull(),
+            "negative_value": F.col("value") < 0,
+            "ts_out_of_range": (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp")),
+            "unknown_type": ~F.col("event_type").isin(
+                "click", "view", "error", "purchase", "signup"
+            ),
+        },
+    )
