@@ -763,3 +763,45 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solace_apache_beam_spark.llm.text_analysis import chunk_documents
 
     return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_BASE},
+    cand AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN hs sa ON cand.doc_a = sa.doc_id
+      JOIN hs sb ON cand.doc_b = sb.doc_id
+      WHERE len(list_intersect(sa.hlist, sb.hlist)) * 1.0
+            / len(list_distinct(list_concat(sa.hlist, sb.hlist))) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs -> connected components
+    (min-label propagation; the oracle computes the same components with
+    a recursive reachability CTE). Output: every doc in a dup cluster
+    with its canonical (minimum-id) representative."""
+    from solace_apache_beam_spark.llm.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return connected_components(minhash_lsh_pairs(docs))

@@ -114,3 +114,16 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_join(left, right, "k", "rk", n_salts=4).collect()
     )
     assert got == [(1, "a", "X"), (1, "b", "X"), (2, "c", "Y")]
+
+
+def test_connected_components_chain_and_islands(spark):
+    from solace_apache_beam_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_rep for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
