@@ -183,3 +183,46 @@ def ingest_to_warehouse(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def click_view_stream_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "10 seconds",
+    join_horizon_seconds: int = 60,
+) -> DataFrame:
+    """Stream-stream inner join: clicks to the views of the same sender
+    within the preceding horizon. Both sides carry watermarks and the
+    join condition bounds event-time distance, so the state store
+    evicts rows once the watermark passes the horizon — state is
+    bounded by (rate x horizon), not stream length."""
+    c = (
+        clicks.select(
+            F.col("sender_id").alias("c_sender"),
+            F.col("message_id").alias("click_id"),
+            F.col("event_time").alias("click_time"),
+        ).withWatermark("click_time", watermark)
+    )
+    v = (
+        views.select(
+            F.col("sender_id").alias("v_sender"),
+            F.col("message_id").alias("view_id"),
+            F.col("event_time").alias("view_time"),
+        ).withWatermark("view_time", watermark)
+    )
+    return c.join(
+        v,
+        (F.col("c_sender") == F.col("v_sender"))
+        & (F.col("view_time") <= F.col("click_time"))
+        & (
+            F.col("view_time")
+            >= F.col("click_time") - F.expr(f"INTERVAL {join_horizon_seconds} SECONDS")
+        ),
+    )
+
+
+def enrich_with_static(stream: DataFrame, dim: DataFrame, key: str = "destination") -> DataFrame:
+    """Stream-static join: per-microbatch broadcast enrichment of the
+    envelope with a dimension table (queue metadata, tenant config...).
+    The static side is re-resolved every batch — no stream state."""
+    return stream.join(F.broadcast(dim), key, "left")

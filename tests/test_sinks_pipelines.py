@@ -284,3 +284,75 @@ def test_progress_collector_surfaces_observed_metrics(spark, broker, tmp_path):
         assert wm["max_line_len"] == 10  # "alpha beta"
     finally:
         spark.streams.removeListener(collector)
+
+
+def test_stream_stream_join_click_views(spark, broker, tmp_path):
+    """Watermarked stream-stream join with an event-time horizon: each
+    click matches same-sender views at-or-before it within 60 s."""
+    from solace_apache_beam_spark.streaming.pipelines import (
+        click_view_stream_join,
+        open_stream,
+    )
+
+    base = 1_800_000_000_000_000
+    fake_broker.create_queue(broker, "views")
+    fake_broker.create_queue(broker, "clicks")
+    fake_broker.publish(
+        broker, "views", ["v0", "v1"],
+        sender_id="alice",
+        sender_timestamp_us=[base, base + 30_000_000],
+    )
+    fake_broker.publish(
+        broker, "views", ["v2"], sender_id="bob", sender_timestamp_us=base
+    )
+    # alice clicks 40 s in: v0 (40 s before) and v1 (10 s before) match;
+    # bob's view is another sender; a click 200 s later matches nothing
+    fake_broker.publish(
+        broker, "clicks", ["c0"], sender_id="alice",
+        sender_timestamp_us=base + 40_000_000,
+    )
+    fake_broker.publish(
+        broker, "clicks", ["c1"], sender_id="alice",
+        sender_timestamp_us=base + 200_000_000,
+    )
+    joined = click_view_stream_join(
+        open_stream(spark, broker, ["clicks"]),
+        open_stream(spark, broker, ["views"]),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "cp_ssj"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT click_id, view_id FROM ssj").collect()
+    assert sorted((r.click_id, r.view_id) for r in rows) == [(0, 0), (0, 1)]
+
+
+def test_stream_static_enrichment(spark, broker, tmp_path):
+    """Stream-static broadcast join: envelope enriched with a queue
+    metadata dimension, no stream state."""
+    from solace_apache_beam_spark.streaming.pipelines import (
+        enrich_with_static,
+        open_stream,
+    )
+
+    fake_broker.create_queue(broker, "q2")
+    fake_broker.publish(broker, "q1", ["a"])
+    fake_broker.publish(broker, "q2", ["b"])
+    dim = spark.createDataFrame(
+        [("q1", "tenant-x"), ("q2", "tenant-y")], "destination string, tenant string"
+    )
+    q = (
+        enrich_with_static(open_stream(spark, broker, ["q1", "q2"]), dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "cp_en"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT payload, tenant FROM enriched").collect()
+    assert {(r.payload, r.tenant) for r in rows} == {("a", "tenant-x"), ("b", "tenant-y")}
