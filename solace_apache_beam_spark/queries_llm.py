@@ -805,3 +805,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return connected_components(minhash_lsh_pairs(docs))
+
+
+@query(
+    "dedup_rate_report",
+    oracle="""
+    WITH g AS (SELECT md5(text) AS h, count(*) AS n_copies
+               FROM documents GROUP BY 1)
+    SELECT n_copies,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs
+    FROM g GROUP BY 1
+    """,
+)
+def dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate histogram (how many content groups have k copies)
+    — the dedup summary an ingest run publishes. Two small aggregates,
+    the second over one row per distinct content."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return groups.groupBy("n_copies").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_copies").alias("n_docs"),
+    )
