@@ -233,14 +233,22 @@ def minhash_lsh_pairs(
     n_perm: int = 16,
     n_bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: band-bucket self-join produces
     candidates; candidates are verified with exact shingle-set Jaccard.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
 
-    The self-join shuffles only (band, band_hash) buckets; verification
-    joins the two shingle arrays per surviving pair — at 100 TB the
-    candidate set is ~linear in the number of true near-dup pairs."""
+    The self-join shuffles only (band, band_hash) buckets. Buckets larger
+    than ``max_bucket`` are dropped entirely (a degenerate band hash —
+    boilerplate/empty docs — would otherwise concentrate O(n^2) pair
+    expansion in one task); pass a ``pyspark.sql.Observation`` as
+    ``observation`` to get the dropped-bucket count. Verification is a
+    plain shuffle join keyed by doc id on both sides — candidates can be
+    billions of rows at web scale (30-50 % near-dup corpora), so nothing
+    forces a broadcast; AQE promotes the join to broadcast at runtime
+    whenever the candidate set really is small."""
     # the shingle-hash set feeds the signature pipeline AND both
     # verification sides — persist it (spills to disk at scale) so the
     # Arrow shingling kernel runs once, not three times
@@ -251,10 +259,19 @@ def minhash_lsh_pairs(
     # bucket-collect pair generation: ONE pass over the signature
     # pipeline and one groupBy shuffle, vs a self-join that computes the
     # (expensive) MinHash side twice and shuffles it twice
-    buckets = (
-        bands.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") > 1)
+    buckets = bands.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.count(F.when(F.size("ids") > max_bucket, 1)).alias(
+                "dropped_buckets"
+            ),
+            F.count(F.lit(1)).alias("total_buckets"),
+        )
+    buckets = buckets.filter(
+        (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
     )
     cand = (
         buckets.select(_pairs_within_group(F.col("ids")).alias("p"))
@@ -263,11 +280,9 @@ def minhash_lsh_pairs(
     )
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("sh_b"))
-    # candidates are ~linear in true near-dup pairs — broadcast them
-    # through the corpus scans instead of shuffling the corpus
-    half = sa.join(F.broadcast(cand), "doc_a")
+    half = sa.join(cand, "doc_a")
     verified = (
-        sb.join(F.broadcast(half), "doc_b")
+        sb.join(half, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -300,27 +315,36 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int = 1000,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via an inverted shingle index:
-    explode shingles, drop shingles with document frequency > max_df
-    (candidate blow-up is O(sum df^2) — the cutoff is what keeps this
-    tractable on common shingles at scale), self-join on shingle to count
-    intersections, derive |union| = |A| + |B| - |A∩B|."""
-    # persisted: feeds the postings index and both size joins
-    sh = _doc_shingles(df, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sizes = sh.select(F.col(id_col), F.size("hs").alias("sz"))
+    """All-pairs n-gram Jaccard via an inverted shingle index: explode
+    shingles, drop shingles with document frequency > max_df (candidate
+    blow-up is O(sum df^2) — the cutoff is what keeps this tractable on
+    common shingles at scale), self-join on shingle to count
+    intersections, derive |union| = |A| + |B| - |A∩B|.
+
+    The result is EXACT over the retained shingle universe (df <=
+    max_df): per-doc sizes count only retained shingles, so intersection
+    and sizes live in the same universe and the ratio is a true Jaccard
+    there — not a biased estimate of the uncut value."""
+    sh = _doc_shingles(df, text_col, id_col, shingle_n)
     inv = sh.select(F.col(id_col), F.explode("hs").alias("shingle"))
     # single groupBy builds the postings lists AND applies the df cutoff
     # (postings length == document frequency) — the shingle pipeline is
     # computed once and shuffled once, vs a df-count join + self-join
     # that recomputes it three times. Postings arrays are bounded by
-    # max_df, so no group row exceeds max_df ids (skew guard).
-    postings = (
+    # max_df, so no group row exceeds max_df ids (skew guard). Persisted:
+    # feeds the pair counts AND the retained-universe doc sizes.
+    grouped = (
         inv.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_df))
+        .filter(F.size("ids") <= max_df)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sizes = (
+        grouped.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    postings = grouped.filter(F.size("ids") > 1)
     inter = (
         postings.select(_pairs_within_group(F.col("ids")).alias("p"))
         .groupBy("p.doc_a", "p.doc_b")
@@ -352,13 +376,17 @@ def simhash_hamming_pairs(
     bits: int = 32,
     n_bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: candidates share at least one of
     n_bands signature slices (pigeonhole: any pair within hamming
     distance < n_bands must agree on some band), verified with an exact
     popcount of the XOR. Same bucket-collect pair generation as
     MinHash-LSH — the signature pipeline is computed once, shuffled
-    once on (band, slice-value)."""
+    once on (band, slice-value). Buckets larger than ``max_bucket``
+    (degenerate slice values concentrating O(n^2) pairs in one task) are
+    dropped; an ``Observation`` reports the drop count."""
     assert bits % n_bands == 0
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
@@ -380,14 +408,21 @@ def simhash_hamming_pairs(
             )
         ).alias("bv"),
     ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    buckets = (
-        bands.groupBy("band", "val")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("s")))
-            ).alias("members")
+    buckets = bands.groupBy("band", "val").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("s")))
+        ).alias("members")
+    )
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.count(F.when(F.size("members") > max_bucket, 1)).alias(
+                "dropped_buckets"
+            ),
+            F.count(F.lit(1)).alias("total_buckets"),
         )
-        .filter(F.size("members") > 1)
+    buckets = buckets.filter(
+        (F.size("members") > 1) & (F.size("members") <= max_bucket)
     )
     pairs = buckets.select(
         F.explode(
@@ -421,16 +456,20 @@ def connected_components(
     max_iters: int = 25,
 ) -> DataFrame:
     """Dedup clustering: connected components over near-dup pairs by
-    iterative min-label propagation — each round every node takes the
-    minimum label in its neighborhood; converged when the (monotonically
-    non-increasing) label sum stops changing, after O(graph diameter)
-    rounds. Near-dup graphs have tiny diameters (dup clusters are
-    near-cliques), so a handful of rounds suffice; the alternating
-    large-star/small-star formulation uses the same join primitive if
-    diameters ever grow. Output: (node, cluster_rep = min id reachable).
+    iterative min-label propagation with pointer jumping — each round
+    every node takes the minimum label in its neighborhood, then chases
+    one level of indirection (label := label(label)), so convergence is
+    O(log diameter) rounds rather than O(diameter). Converged when the
+    (monotonically non-increasing) label sum stops changing. Output:
+    (node, cluster_rep = min id reachable).
 
     Driver-coordinated loop, but every step is a distributed
-    join+groupBy — nothing is collected."""
+    join+groupBy — the only collects are scalar label sums. Each round's
+    labels are localCheckpoint-ed: lineage is truncated so the plan tree
+    (and task closure) stays constant-size regardless of iteration
+    count. Raises RuntimeError if max_iters rounds pass without
+    convergence — silent truncation would hand back wrong cluster
+    representatives."""
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -439,30 +478,49 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            F.col("node"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label := label(label). Every label value is
+        # itself a node (labels start as node ids and only copy existing
+        # labels), so the lookup is a self-join — one extra shuffle that
+        # halves the remaining chain length each round.
+        lab = propagated.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            propagated.join(lab, propagated.label == lab.jnode, "left")
             .select(
                 F.col("node"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+                F.coalesce(F.col("jlabel"), F.col("label")).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()  # eager: materializes + truncates lineage
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter too large?) — raise max_iters"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))

@@ -44,19 +44,22 @@ def asof_join(
     like DuckDB's ASOF JOIN). ``right_cols`` maps right column ->
     output alias. Left rows with no prior right row keep nulls.
 
-    Right rows should be unique per (by, on) — pre-aggregate if not."""
+    Right rows should be unique per (by, on) — pre-aggregate if not.
+
+    All right columns travel as ONE struct carried by a single
+    last(ignorenulls): every output column comes from the same matched
+    right row, so a NULL inside a right row stays NULL in the output
+    (per-column carries would silently mix values from different right
+    rows whenever a newer row holds a NULL)."""
     right_cols = right_cols or {"value": "asof_value"}
-    out_cols = list(right_cols.values())
+    payload = F.struct(*[F.col(c).alias(a) for c, a in right_cols.items()])
+    r_tagged = right.select(
+        F.col(by), F.col(on), F.lit(0).alias("_is_l"), payload.alias("_r")
+    )
     l_tagged = left.select(
         "*",
         F.lit(1).alias("_is_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(a) for c, a in right_cols.items()],
-    )
-    r_tagged = right.select(
-        F.col(by),
-        F.col(on),
-        F.lit(0).alias("_is_l"),
-        *[F.col(c).alias(a) for c, a in right_cols.items()],
+        F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r"),
     )
     for c in l_tagged.columns:
         if c not in r_tagged.columns:
@@ -72,9 +75,12 @@ def asof_join(
     filled = unioned.select(
         *[c for c in left.columns],
         "_is_l",
-        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in out_cols],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return filled.filter(F.col("_is_l") == 1).drop("_is_l")
+    return filled.filter(F.col("_is_l") == 1).select(
+        *left.columns,
+        *[F.col(f"_r.{a}").alias(a) for a in right_cols.values()],
+    )
 
 
 def interval_point_join(

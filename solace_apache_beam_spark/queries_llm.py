@@ -65,6 +65,24 @@ _MINHASH_BASE = f"""
   bands AS ({_BANDS_SQL})
 """
 
+# LSH bucket-membership cap (mirrors minhash_lsh_pairs max_bucket=1000:
+# buckets larger than this are dropped on BOTH engines — the skew guard
+# that keeps one degenerate band hash from concentrating O(n^2) pairs)
+_MAX_BUCKET = 1000
+
+_CAND_SQL = f"""
+    cand AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l
+      JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+                  AND l.doc_id < r.doc_id
+      JOIN (SELECT band, band_hash FROM bands
+            GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}) ok
+        ON l.band = ok.band AND l.band_hash = ok.band_hash
+      GROUP BY 1, 2
+    )
+"""
+
 
 # ---------------------------------------------------------------------------
 # Dedup family
@@ -102,12 +120,7 @@ def minhash_band_hashes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_MINHASH_BASE},
-    cand AS (
-      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM bands l JOIN bands r
-        ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
-      GROUP BY 1, 2
-    )
+    {_CAND_SQL}
     SELECT doc_a, doc_b,
            len(list_intersect(sa.hlist, sb.hlist)) * 1.0
              / len(list_distinct(list_concat(sa.hlist, sb.hlist))) AS jaccard
@@ -160,7 +173,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    sz AS (SELECT doc_id, len(hlist) AS sz FROM hs)
+    -- sizes over the RETAINED shingle universe (df <= max_df), matching
+    -- the intersection's universe — the ratio is exact there
+    sz AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY 1)
     SELECT doc_a, doc_b,
            n_inter * 1.0 / (sa.sz + sb.sz - n_inter) AS jaccard
     FROM inter
@@ -170,8 +185,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs >= 0.5 via inverted shingle index with
-    document-frequency cutoff (the blow-up guard at scale)."""
+    """N-gram Jaccard pairs >= 0.5 via inverted shingle index with
+    document-frequency cutoff (the blow-up guard at scale) — exact over
+    the retained (df <= max_df) shingle universe: per-doc sizes count
+    only retained shingles, same universe as the intersection."""
     from solace_apache_beam_spark.llm.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
@@ -438,18 +455,45 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_binary_payload(docs).drop("payload")
 
 
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    oracle="""
+    -- corpus is pure ASCII (same invariant multimodal_frame_sample
+    -- relies on), so ord(codepoint) == UTF-8 byte and DuckDB can replay
+    -- the byte histogram the Spark-side Arrow decoder computes. The
+    -- feature vector is posexploded to scalar (doc_id, bin, value) rows
+    -- so the driver's sorted-column value-hash applies.
+    WITH d AS (SELECT doc_id, text, length(text) AS total FROM documents),
+    pos AS (SELECT doc_id, text, total,
+                   unnest(generate_series(1, total)) AS i
+            FROM d),
+    cnt AS (SELECT doc_id, ord(substring(text, i, 1)) % 16 AS bin,
+                   count(*) AS c
+            FROM pos GROUP BY 1, 2),
+    bins AS (SELECT doc_id, total, unnest(generate_series(0, 15)) AS bin
+             FROM d)
+    SELECT bins.doc_id, CAST(bins.bin AS INT) AS bin,
+           CASE WHEN bins.total = 0 THEN 0.0
+                ELSE coalesce(cnt.c, 0) / CAST(bins.total AS DOUBLE) END AS value
+    FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.bin = cnt.bin
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas
-    (deterministic fake decoder: normalized byte histogram). Non-SQL op —
-    rows-only driver check; exactness covered in tests/."""
+    (deterministic fake decoder: normalized byte histogram), posexploded
+    to (doc_id, bin, value) scalars for the exact value-hash gate. The
+    per-bin values are counts over exact integers divided once in IEEE
+    double — identical on both engines."""
     from solace_apache_beam_spark.llm.multimodal import (
         attach_binary_payload,
         extract_features,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_binary_payload(docs))
+    feats = extract_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bin", "value")
+    ).withColumn("bin", F.col("bin").cast("int"))
 
 
 @query(
@@ -586,19 +630,33 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN (1::BIGINT << b) ELSE 0 END
              for b in generate_series(0, 31)]) AS BIGINT) AS simhash
       FROM h
+    ),
+    bands AS (
+      SELECT doc_id, b.band, (simhash >> (b.band * 8)) & 255 AS val
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    ok AS (SELECT band, val FROM bands
+           GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+      JOIN ok ON ok.band = a.band AND ok.val = a.val
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN sig sa ON cand.doc_a = sa.doc_id
+    JOIN sig sb ON cand.doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via band-bucket candidates
-    + exact popcount verify. The oracle is the direct quadratic form —
-    pigeonhole over 4 bands guarantees the banded candidate set is a
-    superset of every qualifying pair, so both formulations agree
-    exactly."""
+    + exact popcount verify. Pigeonhole over 4 bands guarantees the
+    banded candidate set is a superset of every qualifying pair; the
+    oracle replays the banded form INCLUDING the max-bucket skew guard,
+    so a dropped degenerate bucket drops identically on both engines."""
     from solace_apache_beam_spark.llm.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(load_table(spark, sf_dir, "documents"))
@@ -769,12 +827,7 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_MINHASH_BASE},
-    cand AS (
-      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM bands l JOIN bands r
-        ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
-      GROUP BY 1, 2
-    ),
+    {_CAND_SQL},
     pairs AS (
       SELECT doc_a, doc_b
       FROM cand

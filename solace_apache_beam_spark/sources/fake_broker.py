@@ -16,9 +16,25 @@ Layout:  <dir>/<queue>/messages.jsonl   append-only message log
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
+from contextlib import contextmanager
+
+
+@contextmanager
+def _locked(path: str):
+    """flock-guarded critical section: read-max-write watermark updates
+    are called concurrently from executor tasks reading slices of the
+    same queue — without the lock, interleaving could leave a watermark
+    at the lower value (under-reporting `redelivered` on replay)."""
+    with open(path + ".lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def create_queue(broker_dir: str, queue: str, exclusive: bool = False) -> None:
@@ -119,9 +135,10 @@ def acked_count(broker_dir: str, queue: str) -> int:
 
 
 def ack_up_to(broker_dir: str, queue: str, n: int) -> None:
-    """Ack (≈ delete from the broker) messages < n; monotone."""
+    """Ack (≈ delete from the broker) messages < n; monotone, atomic."""
     path = os.path.join(queue_dir(broker_dir, queue), "acked")
-    _write_int(path, max(n, _read_int(path)))
+    with _locked(path):
+        _write_int(path, max(n, _read_int(path)))
 
 
 def delivered_watermark(broker_dir: str, queue: str) -> int:
@@ -129,8 +146,11 @@ def delivered_watermark(broker_dir: str, queue: str) -> int:
 
 
 def advance_delivered(broker_dir: str, queue: str, n: int) -> None:
+    """Monotone high-watermark advance; flock-atomic because executor
+    tasks reading slices of one queue race on the same file."""
     path = os.path.join(queue_dir(broker_dir, queue), "delivered")
-    _write_int(path, max(n, _read_int(path)))
+    with _locked(path):
+        _write_int(path, max(n, _read_int(path)))
 
 
 def backlog_messages(broker_dir: str, queue: str) -> int:

@@ -36,6 +36,27 @@ def test_asof_join_semantics(spark):
     assert out[3] == (None, None)  # no prior right row -> nulls kept
 
 
+def test_asof_join_null_right_values_stay_together(spark):
+    """A NULL inside the matched right row must come through as NULL —
+    not be back-filled from an older right row (true ASOF semantics:
+    all output columns from the single matched row)."""
+    from solace_apache_beam_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts(8), 1.0)], "event_id long, user_id string, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(5), 50.0), ("u", _ts(7), None)],
+        "user_id string, ts timestamp, rv double",
+    )
+    row = asof_join(
+        left, right, right_cols={"rv": "asof_value", "ts": "asof_ts"}
+    ).collect()[0]
+    # matched row is ts=7 whose rv is NULL: asof_ts from it, asof_value NULL
+    assert row.asof_ts == _ts(7)
+    assert row.asof_value is None
+
+
 def test_interval_point_join_boundaries(spark):
     from solace_apache_beam_spark.operators.temporal import interval_point_join
 
