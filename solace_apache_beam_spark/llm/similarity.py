@@ -190,33 +190,95 @@ def lsh_bucket(
     )
 
 
-def ann_lsh_topk(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    n_planes: int = 4,
-    k: int = 5,
-) -> DataFrame:
-    """Approximate top-k: brute force within each LSH bucket
-    (groupBy(bucket).applyInPandas — each bucket is one matmul). The
-    bucket shuffle is the only shuffle of the corpus; per-bucket work is
-    (N/2^planes)^2, the planes knob trades recall for cost. IVF-style:
-    swap the bucket expression for nearest-centroid."""
-    b = lsh_bucket(df, vec_col, id_col, n_planes)
+def _derive_n_buckets(n_rows: int, target_bucket: int) -> int:
+    """Buckets needed so the MEAN bucket holds ~target_bucket vectors.
+    (Individual buckets still skew — the block-pair scorer bounds
+    per-task memory regardless; this knob bounds total in-bucket
+    O(bucket^2) work.)"""
+    import math
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        q = _unpack(pdf["q"])
-        cos = _block_scores(q, q)
-        mask = np.isfinite(cos) & (ids[:, None] != ids[None, :])
-        ii, jj = np.nonzero(mask)
+    return max(1, math.ceil(n_rows / max(1, target_bucket)))
+
+
+def _bucketed_all_pairs_topk(
+    b: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    k: int,
+    block_size: int,
+) -> DataFrame:
+    """All-pairs cosine within each bucket with BOUNDED per-task memory,
+    merged to per-query top-k.
+
+    Members of a bucket are packed into dense ~block_size sub-blocks
+    (row_number within bucket — the per-bucket sort is Spark's external
+    spill-safe sort, not a pandas frame), then every sub-block pair of
+    the same bucket is scored with one matmul. A skewed bucket of M
+    vectors costs (M/block_size)^2 small tasks instead of one task
+    holding an M x d matrix and an M x M cosine matrix — per-task memory
+    is <= 2 * block_size * d + block_size^2 doubles no matter how
+    degenerate the bucket. Output is identical to a whole-bucket matmul:
+    the same pairs are scored with the same integer-exact arithmetic and
+    the same top-k window applies."""
+    w = Window.partitionBy(bucket_col).orderBy(F.col(id_col))
+    blocked = b.withColumn(
+        "_blk", ((F.row_number().over(w) - F.lit(1)) / F.lit(block_size)).cast("long")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"query_id": ids[ii], "neighbor_id": ids[jj], "cos_raw": cos[ii, jj]}
+            {
+                "bucket": [int(pdf[bucket_col].iloc[0])],
+                "blk": [int(pdf["_blk"].iloc[0])],
+                "ids": [pdf[id_col].to_numpy(dtype=np.int64).tolist()],
+                "mat": [_unpack(pdf["q"]).tolist()],
+            }
         )
 
+    packed = blocked.groupBy(bucket_col, "_blk").applyInPandas(
+        pack, "bucket long, blk long, ids array<long>, mat array<array<double>>"
+    )
+    a = packed.select(
+        F.col("bucket").alias("abucket"),
+        F.col("blk").alias("ablk"),
+        F.col("ids").alias("aids"),
+        F.col("mat").alias("amat"),
+    )
+    bb = packed.select(
+        F.col("bucket").alias("bbucket"),
+        F.col("blk").alias("bblk"),
+        F.col("ids").alias("bids"),
+        F.col("mat").alias("bmat"),
+    )
+
+    def score(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ia = np.asarray(r.aids, dtype=np.int64)
+                ib = np.asarray(r.bids, dtype=np.int64)
+                cos = _block_scores(_unpack(r.amat), _unpack(r.bmat))
+                mask = np.isfinite(cos) & (ia[:, None] != ib[None, :])
+                ii, jj = np.nonzero(mask)
+                out = {
+                    "query_id": ia[ii],
+                    "neighbor_id": ib[jj],
+                    "cos_raw": cos[ii, jj],
+                }
+                if r.ablk != r.bblk:
+                    # distinct blocks are joined once (ablk < bblk) —
+                    # emit the reverse direction from the transpose
+                    out = {
+                        "query_id": np.concatenate([out["query_id"], ib[jj]]),
+                        "neighbor_id": np.concatenate([out["neighbor_id"], ia[ii]]),
+                        "cos_raw": np.concatenate([out["cos_raw"], cos[ii, jj]]),
+                    }
+                yield pd.DataFrame(out)
+
     scored = (
-        b.groupBy("bucket")
-        .applyInPandas(score_bucket, "query_id long, neighbor_id long, cos_raw double")
+        a.join(
+            bb, (F.col("abucket") == F.col("bbucket")) & (F.col("ablk") <= F.col("bblk"))
+        )
+        .mapInPandas(score, "query_id long, neighbor_id long, cos_raw double")
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -225,6 +287,40 @@ def ann_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int | None = None,
+    k: int = 5,
+    block_size: int = 4096,
+    target_bucket: int = 4096,
+) -> DataFrame:
+    """Approximate top-k: brute force within each LSH bucket. The bucket
+    shuffle is the only shuffle of the corpus; the planes knob trades
+    recall for cost. Two scale guards:
+
+    - ``n_planes=None`` (the default) derives the plane count from the
+      corpus size so the MEAN bucket holds ~``target_bucket`` vectors —
+      a fixed plane count would leave N/2^planes vectors per bucket and
+      O((N/2^planes)^2) work growing quadratically with the corpus.
+      (Registered queries pin ``n_planes`` explicitly so their static
+      oracles stay valid; the derivation costs one count() over ids.)
+    - In-bucket scoring goes through sub-blocked block pairs
+      (:func:`_bucketed_all_pairs_topk`), so per-task memory is bounded
+      by ``block_size`` even when one degenerate bucket swallows the
+      corpus — no single pandas frame ever holds a whole bucket.
+
+    IVF-style: swap the bucket expression for nearest-centroid."""
+    if n_planes is None:
+        import math
+
+        n_buckets = _derive_n_buckets(df.count(), target_bucket)
+        n_planes = max(1, math.ceil(math.log2(n_buckets)))
+    b = lsh_bucket(df, vec_col, id_col, n_planes)
+    return _bucketed_all_pairs_topk(b, "bucket", id_col, k, block_size)
 
 
 def neardup_pairs(
@@ -277,8 +373,10 @@ def ivf_topk(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     k: int = 5,
+    block_size: int = 4096,
+    target_bucket: int = 4096,
 ) -> DataFrame:
     """IVF-style ANN: the coarse quantizer is a deterministic seed
     sample (the vectors with id < n_cells stand in for trained k-means
@@ -287,7 +385,15 @@ def ivf_topk(
     integer dots -> the argmax is deterministic; ties break to the
     smallest centroid id), then top-k search is brute force within the
     cell — identical shuffle profile to lsh_bucket: the corpus moves
-    once, keyed by cell."""
+    once, keyed by cell.
+
+    Scale guards mirror :func:`ann_lsh_topk`: ``n_cells=None`` derives
+    the cell count from the corpus size (mean cell ~``target_bucket``
+    vectors — registered queries pin it for their static oracles), and
+    in-cell scoring is sub-blocked so no task materializes a whole
+    cell."""
+    if n_cells is None:
+        n_cells = _derive_n_buckets(df.count(), target_bucket)
     cents = _pack_blocks(
         df.filter(F.col(id_col) < n_cells), vec_col, id_col, 1 << 62
     ).select(F.col("ids").alias("cids"), F.col("mat").alias("cmat"))
@@ -309,24 +415,4 @@ def ivf_topk(
         assign, f"{id_col} long, q array<double>, cell long"
     )
 
-    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        q = _unpack(pdf["q"])
-        cos = _block_scores(q, q)
-        mask = np.isfinite(cos) & (ids[:, None] != ids[None, :])
-        ii, jj = np.nonzero(mask)
-        return pd.DataFrame(
-            {"query_id": ids[ii], "neighbor_id": ids[jj], "cos_raw": cos[ii, jj]}
-        )
-
-    scored = (
-        assigned.groupBy("cell")
-        .applyInPandas(score_cell, "query_id long, neighbor_id long, cos_raw double")
-        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _bucketed_all_pairs_topk(assigned, "cell", id_col, k, block_size)

@@ -1,0 +1,110 @@
+"""Adversarial scale-guard tests: degenerate inputs that would melt a
+single task at 100 TB must be survivable (and observable) at any size.
+
+- LSH/SimHash bucket caps: 10k identical docs form one degenerate band
+  bucket per band; without the `max_bucket` cutoff that is a 50M-pair
+  explosion inside one task. The cap must drop those buckets (reported
+  via Observation) while unrelated near-dup pairs still come through.
+- ANN bucketed scoring: a corpus whose vectors all land in ONE bucket
+  must still be scored through bounded sub-blocks, never one pandas
+  frame per bucket.
+- Plan shape: minhash_lsh_pairs must not force a broadcast of the
+  shingle-array verification side (VERDICT r1: unbounded at web scale).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+N_DEGENERATE = 10_000
+
+
+@pytest.fixture(scope="module")
+def skew_docs(spark):
+    """10k byte-identical docs + two (mutually identical) outliers."""
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rare = "completely different content about distributed query engines"
+    base = spark.range(N_DEGENERATE).select(
+        F.col("id").alias("doc_id"), F.lit(common).alias("text")
+    )
+    extra = spark.createDataFrame(
+        [(N_DEGENERATE, rare), (N_DEGENERATE + 1, rare)], "doc_id long, text string"
+    )
+    return base.union(extra)
+
+
+def test_minhash_lsh_bucket_cap_drops_degenerate(spark, skew_docs):
+    from solace_apache_beam_spark.llm.dedup import minhash_lsh_pairs
+
+    ob = Observation("lsh_buckets")
+    out = minhash_lsh_pairs(skew_docs, observation=ob).collect()
+    # the 10k-identical cluster is dropped wholesale (its buckets exceed
+    # the cap); the small outlier pair survives
+    assert [(r.doc_a, r.doc_b) for r in out] == [(N_DEGENERATE, N_DEGENERATE + 1)]
+    assert out[0].jaccard == 1.0
+    got = ob.get
+    assert got["dropped_buckets"] >= 1
+    assert got["total_buckets"] > got["dropped_buckets"]
+
+
+def test_simhash_bucket_cap_drops_degenerate(spark, skew_docs):
+    from solace_apache_beam_spark.llm.dedup import simhash_hamming_pairs
+
+    ob = Observation("simhash_buckets")
+    out = simhash_hamming_pairs(skew_docs, observation=ob).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(N_DEGENERATE, N_DEGENERATE + 1)]
+    assert out[0].hamming == 0
+    got = ob.get
+    assert got["dropped_buckets"] >= 1
+
+
+def test_ann_lsh_single_degenerate_bucket_is_subblocked(spark):
+    """300 identical vectors -> every vector in the same LSH bucket.
+    With block_size=64 the bucket is scored as 5 sub-blocks (15 block
+    pairs), each task bounded — and the merged top-k is exactly what a
+    whole-bucket matmul would produce: all cosines 1.0, ties broken by
+    ascending neighbor id."""
+    from solace_apache_beam_spark.llm.similarity import ann_lsh_topk
+
+    n = 300
+    vec = [0.25, -0.5, 1.0, 0.125]
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x) for x in vec]).alias("embedding"),
+    )
+    out = ann_lsh_topk(df, n_planes=2, k=5, block_size=64).collect()
+    assert len(out) == n * 5
+    by_q = {}
+    for r in out:
+        assert r.cos_sim == 1.0
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for q, neigh in by_q.items():
+        expected = [i for i in range(n) if i != q][:5]
+        assert [nid for _, nid in sorted(neigh)] == expected
+
+
+def test_ann_derived_plane_count_scales_with_corpus(spark):
+    """n_planes=None derives the bucket count from the corpus size so
+    mean bucket occupancy stays ~target_bucket."""
+    from solace_apache_beam_spark.llm.similarity import _derive_n_buckets
+
+    assert _derive_n_buckets(1_000, 4096) == 1
+    assert _derive_n_buckets(1_000_000, 4096) == 245
+    assert _derive_n_buckets(10_000_000_000, 4096) == 2441407
+
+
+def test_minhash_lsh_no_forced_broadcast_of_shingles(spark, sf_dir):
+    """VERDICT r1: the verification join must not FORCE a broadcast —
+    the candidate+shingle side is unbounded at web scale. Static plan
+    must show shuffle joins only (AQE may still promote small sides at
+    runtime, which is the point)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["dedup_minhash_lsh"](spark, sf_dir)
+    # F.broadcast() shows up as ResolvedHint in the analyzed plan; a
+    # statistics-driven BroadcastHashJoin in the physical plan is fine
+    # (that's the planner/AQE doing its job on genuinely small inputs)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
