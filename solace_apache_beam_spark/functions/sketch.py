@@ -8,15 +8,20 @@ distinct hash values, and estimate distinct = (k-1) * 2^60 / kth_min —
 the classic bottom-k estimator (Bar-Yossef et al.), reproducible
 bit-for-bit.
 
-Scale: the distinct-hash pass is one shuffle keyed by (group, hash);
-the bottom-k per group is a per-group sort of distinct hashes. At
-100 TB, partial per-partition bottom-k (each partition keeps its k
-smallest before the shuffle) bounds the shuffle to k rows per partition
-per group — the implementation keeps the algebraic form that AQE can
-coalesce, and k is small (hundreds)."""
+Scale: hashing is JVM-side; an Arrow map-side kernel then keeps only
+each group's k smallest distinct hashes PER BATCH before anything
+shuffles, so the shuffle carries <= k rows per group per Arrow batch
+(vs every distinct (group, hash) row of a 100 TB table). The prefilter
+is lossless: any hash among a group's global k smallest is among the k
+smallest of whichever batch holds it (at most k-1 hashes are globally
+smaller), and groups under k distinct values lose nothing, keeping the
+exact-count fallback exact."""
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -26,16 +31,32 @@ from solace_apache_beam_spark.functions.hashing import h64
 HASH_SPACE = float(1 << 60)  # h64 = 15 hex chars = 60 bits
 
 
+def _bottom_k_prefilter(group_by: str, k: int):
+    """Map-side kernel: per Arrow batch, each group's k smallest
+    distinct hashes. Bounded output, no shuffle."""
+
+    def keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield (
+                pdf.drop_duplicates()
+                .sort_values("h", kind="mergesort")
+                .groupby(group_by, sort=False, dropna=False)
+                .head(k)
+            )
+
+    return keep
+
+
 def kmv_distinct(
     df: DataFrame, col: str, group_by: str, k: int = 128
 ) -> DataFrame:
     """Per-group distinct-count estimate: (group, est_distinct DOUBLE).
     Exact count is used when a group has fewer than k distinct values
     (the estimator is undefined there, and exact is free at that size)."""
-    hashes = (
-        df.select(F.col(group_by), h64(F.col(col).cast("string")).alias("h"))
-        .distinct()
-    )
+    hashed = df.select(F.col(group_by), h64(F.col(col).cast("string")).alias("h"))
+    hashes = hashed.mapInPandas(
+        _bottom_k_prefilter(group_by, k), hashed.schema
+    ).distinct()
     w = Window.partitionBy(group_by).orderBy("h")
     ranked = hashes.withColumn("rn", F.row_number().over(w))
     per_group = ranked.groupBy(group_by).agg(

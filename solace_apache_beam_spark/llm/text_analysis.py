@@ -9,7 +9,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solace_apache_beam_spark.functions.hashing import h32, words_expr
+from solace_apache_beam_spark.functions.hashing import h32, h64, words_expr
 
 # Minimal per-language stopword profiles for the n-gram/stopword
 # heuristic language id (public common stopwords).
@@ -236,6 +236,65 @@ def pack_sequences(
             )
 
     return counted.mapInPandas(
+        pack, f"bin_id string, {id_col} long, n_tokens long, bin_fill long"
+    )
+
+
+def pack_sequences_canonical(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Canonical (run-to-run AND engine-to-engine deterministic)
+    sequence packing: documents are hash-sharded by
+    ``h64('pack:' || id) % n_shards``, ordered by id within the shard,
+    and packed greedy next-fit into fixed-token-budget bins. Unlike
+    :func:`pack_sequences` (partition-scoped, fastest, ordering follows
+    the input partitioning) this variant's bins are a pure function of
+    the data, so a DuckDB recursive CTE can replay them row-for-row —
+    the correctness-gate form.
+
+    Scale: token counting and shard assignment stay JVM-side; the
+    per-shard pandas kernel sees ONLY (doc_id, n_tokens) int pairs —
+    a shard of 100M docs is ~1.6 GB of ints, and ``n_shards`` is the
+    knob that bounds it (packing inside a shard is inherently
+    sequential: one O(n) pass). Documents longer than the budget get a
+    bin of their own; never split here.
+
+    Output: (bin_id string 'shard-binidx', doc_id, n_tokens, bin_fill)."""
+    counted = df.select(
+        F.col(id_col),
+        F.size(words_expr(text_col)).alias("n_tokens"),
+        (
+            h64(F.concat_ws(":", F.lit("pack"), F.col(id_col).cast("string")))
+            % n_shards
+        ).alias("shard"),
+    )
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        pdf = pdf.sort_values(id_col)
+        bin_idx, used = 0, 0
+        out_bin, out_fill = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if used > 0 and used + n > token_budget:
+                bin_idx, used = bin_idx + 1, 0
+            used += n
+            out_bin.append(f"{shard}-{bin_idx}")
+            out_fill.append(used)
+        return pd.DataFrame(
+            {
+                "bin_id": out_bin,
+                id_col: pdf[id_col].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "bin_fill": out_fill,
+            }
+        )
+
+    return counted.groupBy("shard").applyInPandas(
         pack, f"bin_id string, {id_col} long, n_tokens long, bin_fill long"
     )
 

@@ -790,15 +790,52 @@ def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sequence_packing")
+@query(
+    "sequence_packing",
+    oracle=f"""
+    -- canonical packing is a pure function of the data (hash shards,
+    -- doc_id order within shard, greedy next-fit), so the sequential
+    -- recurrence replays as a recursive CTE stepping rn = 1, 2, ...
+    -- across all shards in parallel
+    WITH RECURSIVE w AS (
+      SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 8 AS shard
+      FROM documents
+    ),
+    rw AS (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM w
+    ),
+    pk AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             0::BIGINT AS bin_idx, n_tokens AS fill
+      FROM rw WHERE rn = 1
+      UNION ALL
+      SELECT rw.shard, rw.rn, rw.doc_id, rw.n_tokens,
+             CASE WHEN pk.fill > 0 AND pk.fill + rw.n_tokens > 512
+                  THEN pk.bin_idx + 1 ELSE pk.bin_idx END,
+             CASE WHEN pk.fill > 0 AND pk.fill + rw.n_tokens > 512
+                  THEN rw.n_tokens ELSE pk.fill + rw.n_tokens END
+      FROM pk JOIN rw ON rw.shard = pk.shard AND rw.rn = pk.rn + 1
+    )
+    SELECT CAST(shard AS VARCHAR) || '-' || CAST(bin_idx AS VARCHAR) AS bin_id,
+           doc_id, n_tokens, fill AS bin_fill
+    FROM pk
+    """,
+)
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy first-fit sequence packing into 512-token bins (training
-    export shape). Inherently sequential per partition — non-SQL op:
-    rows-only driver check; budget/coverage invariants are exact-tested
-    in tests/test_multimodal.py."""
-    from solace_apache_beam_spark.llm.text_analysis import pack_sequences
+    """Canonical greedy next-fit sequence packing into 512-token bins
+    (training export shape): hash-sharded, doc_id-ordered within shard —
+    bins are a pure function of the data, replayed row-for-row by the
+    recursive-CTE oracle. The partition-scoped no-shuffle variant
+    (pack_sequences) remains for pipelines that don't need canonical
+    bins; its invariants are exact-tested in tests/test_multimodal.py."""
+    from solace_apache_beam_spark.llm.text_analysis import pack_sequences_canonical
 
-    return pack_sequences(load_table(spark, sf_dir, "documents"), token_budget=512)
+    return pack_sequences_canonical(
+        load_table(spark, sf_dir, "documents"), token_budget=512
+    )
 
 
 @query(

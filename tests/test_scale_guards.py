@@ -95,6 +95,50 @@ def test_ann_derived_plane_count_scales_with_corpus(spark):
     assert _derive_n_buckets(10_000_000_000, 4096) == 2441407
 
 
+def test_kmv_bottom_k_prefilter_bounds_shuffle_and_keeps_estimate(spark):
+    """The map-side bottom-k kernel must (a) cut the shuffled rows to
+    <= k per group per batch and (b) be lossless: the estimate equals
+    the full bottom-k estimator replayed in Python over the same md5
+    hash."""
+    import hashlib
+
+    from solace_apache_beam_spark.functions.sketch import (
+        HASH_SPACE,
+        _bottom_k_prefilter,
+        kmv_distinct,
+    )
+
+    n, k = 5000, 128
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+
+    # (a) bound: one group, one partition -> one batch of n rows in, k out
+    hashed = df.select(
+        "grp",
+        F.conv(F.substring(F.md5(F.col("val").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).coalesce(1)
+    pruned = hashed.mapInPandas(_bottom_k_prefilter("grp", k), hashed.schema)
+    assert pruned.count() == k
+
+    # (b) losslessness vs a Python replay of the full estimator
+    hs = sorted(
+        {int(hashlib.md5(f"v{i}".encode()).hexdigest()[:15], 16) for i in range(n)}
+    )
+    expected = (k - 1) * HASH_SPACE / hs[k - 1]
+    [row] = kmv_distinct(df, "val", "grp", k=k).collect()
+    assert row.est_distinct == expected
+
+    # small group: exact-count fallback unharmed by the prefilter
+    small = spark.range(50).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("val")
+    )
+    [srow] = kmv_distinct(small, "val", "grp", k=k).collect()
+    assert srow.est_distinct == 50.0
+
+
 def test_minhash_lsh_no_forced_broadcast_of_shingles(spark, sf_dir):
     """VERDICT r1: the verification join must not FORCE a broadcast —
     the candidate+shingle side is unbounded at web scale. Static plan
