@@ -550,16 +550,20 @@ def analytic_user_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 def protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Protobuf decode (P4, SolaceProtoBuffRecordTest.java:189-194):
     documents.text is proto2-encoded into a BINARY payload column and
-    decoded back with the Arrow-batched wire-format parser; the oracle
-    checks the decode against the original text."""
+    decoded back — descriptor-driven from_protobuf when the
+    spark-protobuf jar is present, the Arrow-batched wire-format parser
+    otherwise; the oracle checks the decode against the original
+    text."""
     from solace_apache_beam_spark.operators.protobuf_ops import (
-        decode_proto_test,
+        decode_proto_test_auto,
         encode_proto_test,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     encoded = docs.select("doc_id", encode_proto_test(F.col("text")).alias("payload"))
-    return encoded.select("doc_id", decode_proto_test(F.col("payload")).alias("test"))
+    return encoded.select(
+        "doc_id", decode_proto_test_auto(spark, F.col("payload")).alias("test")
+    )
 
 
 @query(
