@@ -1,10 +1,23 @@
 """Per-round benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "regressions": {name: ratio}}.
 
-Each query executes its full physical plan into the noop sink (no
-driver-side collect — measuring engine work, not row transfer).
+Methodology:
+
+- Each query executes its full physical plan into the noop sink (no
+  driver-side collect — measuring engine work, not row transfer).
+- Each query runs TWICE and the min is reported: the first run pays
+  one-time codegen / Python-worker-pool / shuffle-service warmup that
+  is irrelevant at cluster scale (amortized over hours of work), and
+  on this shared VM it is also the noisiest sample — min-of-2 is the
+  steady-state engine cost. (BASELINE.md documents the anchor.)
+- Regression gate: per-query times are diffed against the committed
+  anchor in BENCH_ANCHOR.json; any query slower than
+  REGRESSION_FACTOR x its anchor is reported under "regressions".
+  With SPARK_GRAFT_BENCH_STRICT=1 the process also exits non-zero —
+  the CI/test mode; the default exit stays 0 so the driver's bench
+  recording never breaks.
 """
 
 from __future__ import annotations
@@ -16,6 +29,24 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ANCHOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
+REGRESSION_FACTOR = 2.0
+N_RUNS = 2
+
+
+def compute_regressions(
+    timings: dict[str, float],
+    anchor: dict[str, float],
+    factor: float = REGRESSION_FACTOR,
+) -> dict[str, float]:
+    """Queries slower than factor x their anchor time -> ratio."""
+    out = {}
+    for name, t in timings.items():
+        base = anchor.get(name)
+        if base and t > factor * base:
+            out[name] = round(t / base, 2)
+    return out
 
 
 def main() -> None:
@@ -47,10 +78,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    anchor: dict[str, float] = {}
+    if os.path.exists(ANCHOR_PATH):
+        anchor = json.load(open(ANCHOR_PATH)).get("queries", {})
+    regressions = compute_regressions(timings, anchor)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -61,9 +100,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": regressions,
             }
         )
     )
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        sys.exit(1)
 
 
 if __name__ == "__main__":
