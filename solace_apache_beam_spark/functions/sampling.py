@@ -62,3 +62,34 @@ def stratified_sample(
         rate = F.when(cond, bp) if rate is None else rate.when(cond, bp)
     rate = rate.otherwise(default_bp) if rate is not None else F.lit(default_bp)
     return df.filter(_bucket(id_col, salt, 10_000) < rate)
+
+
+def training_shuffle(
+    df: DataFrame, id_col: str, n_shards: int = 8, salt: str = "shuffle"
+) -> DataFrame:
+    """Deterministic pseudorandom global shuffle for training export:
+    every row gets a (shard, pos) address that is a pure function of
+    its key — the reading order `ORDER BY shard, pos` is a reproducible
+    permutation of the dataset, identical across runs, engines, and
+    partitionings (df.orderBy(rand()) is none of these).
+
+    shard = h64(salt || id) % n_shards spreads rows uniformly; pos =
+    rank of the row's hash within its shard (ties broken by id — h64
+    collisions must not make the order ambiguous). Scale: one shuffle
+    keyed by shard; the per-shard ordering is Spark's external
+    spill-safe sort, and n_shards bounds what any reader must stream.
+
+    Output: (shard, pos, id)."""
+    from pyspark.sql.window import Window
+
+    h = h64(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .withColumn("shard", F.col("h") % n_shards)
+        .select(
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+            F.col(id_col),
+        )
+    )

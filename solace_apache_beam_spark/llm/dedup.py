@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from solace_apache_beam_spark.functions.hashing import (
@@ -447,6 +448,131 @@ def simhash_hamming_pairs(
         "doc_b",
         F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    n_perm: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an EXISTING reference corpus —
+    the shape every continuously-ingesting training pipeline needs
+    (the full-corpus pair ops re-dedup everything; this touches only
+    the new batch plus the corpus's precomputed index).
+
+    Stages, all batch-vs-corpus (never corpus-vs-corpus):
+
+    1. exact: content-hash anti-check — one join keyed on md5(text);
+       matches become status='exact_dup' with the smallest matching
+       corpus id.
+    2. near: MinHash band hashes of the survivors joined against the
+       corpus band-hash index on (band, band_hash). In production the
+       corpus index is computed once and persisted as a table — only
+       the new batch's signatures are computed per run. Corpus buckets
+       larger than ``max_bucket`` are skipped (same skew guard as
+       minhash_lsh_pairs). Candidates are verified with exact
+       shingle-set Jaccard; best match = highest jaccard, ties to the
+       smallest corpus id. status='near_dup'.
+    3. everything else: status='unique'.
+
+    Output: (doc_id, status, match_id, jaccard) — one row per new doc;
+    match_id/jaccard are NULL for 'unique', jaccard NULL for
+    'exact_dup'. Shuffles: hash join + band join + verify join, each
+    keyed and AQE-promotable; zero driver collects."""
+    new_ids = new_df.select(F.col(id_col))
+    new_hash = new_df.select(
+        F.col(id_col).alias("new_id"), F.md5(F.col(text_col)).alias("h")
+    )
+    corp_hash = corpus_df.select(
+        F.col(id_col).alias("corp_id"), F.md5(F.col(text_col)).alias("h")
+    )
+    exact = (
+        new_hash.join(corp_hash, "h")
+        .groupBy("new_id")
+        .agg(F.min("corp_id").alias("match_id"))
+    )
+
+    remaining = new_df.join(
+        exact.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
+    )
+    sh_new = _doc_shingles(remaining, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_corp = _doc_shingles(corpus_df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands_new = _band_hashes_from_shingles(sh_new, id_col, n_perm, n_bands).select(
+        F.col(id_col).alias("new_id"), "band", "band_hash"
+    )
+    bands_corp = _band_hashes_from_shingles(sh_corp, id_col, n_perm, n_bands).select(
+        F.col(id_col).alias("corp_id"), "band", "band_hash"
+    )
+    ok_buckets = (
+        bands_corp.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "band_hash")
+    )
+    cand = (
+        bands_new.join(ok_buckets, ["band", "band_hash"])
+        .join(bands_corp, ["band", "band_hash"])
+        .select("new_id", "corp_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh_new.select(F.col(id_col).alias("new_id"), F.col("hs").alias("sh_n")),
+            "new_id",
+        )
+        .join(
+            sh_corp.select(F.col(id_col).alias("corp_id"), F.col("hs").alias("sh_c")),
+            "corp_id",
+        )
+        .select(
+            "new_id",
+            "corp_id",
+            (
+                F.size(F.array_intersect("sh_n", "sh_c"))
+                / F.size(F.array_union("sh_n", "sh_c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("corp_id").asc()
+    )
+    near = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", F.col("corp_id").alias("match_id"), "jaccard")
+    )
+
+    exact_out = exact.select(
+        F.col("new_id").alias(id_col),
+        F.lit("exact_dup").alias("status"),
+        "match_id",
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    near_out = near.select(
+        F.col("new_id").alias(id_col),
+        F.lit("near_dup").alias("status"),
+        "match_id",
+        "jaccard",
+    )
+    matched = exact_out.select(id_col).union(near_out.select(id_col))
+    unique_out = new_ids.join(matched, id_col, "left_anti").select(
+        F.col(id_col),
+        F.lit("unique").alias("status"),
+        F.lit(None).cast("long").alias("match_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return exact_out.union(near_out).union(unique_out)
 
 
 def connected_components(

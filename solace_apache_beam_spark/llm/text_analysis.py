@@ -52,11 +52,17 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return scored.withColumn("predicted_lang", pred)
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features + combined score: length, word count,
     mean word length, punctuation/digit/stopword ratios. Ratios are
     int/int divisions and the score is a fixed expression tree — exact
-    across engines."""
+    across engines. ``extra_cols`` pass through untouched (e.g. a
+    source column for per-source gating)."""
     words = words_expr(text_col)
     n_chars = F.length(F.col(text_col)).cast("long")
     n_words = F.size(words).cast("long")
@@ -70,6 +76,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     n_stop = _stop_score(words, "en")
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         n_punct.alias("n_punct"),
@@ -237,6 +244,102 @@ def pack_sequences(
 
     return counted.mapInPandas(
         pack, f"bin_id string, {id_col} long, n_tokens long, bin_fill long"
+    )
+
+
+def source_quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    low_quality_threshold: float = 0.5,
+    max_low_fraction: float = 0.3,
+    min_docs: int = 10,
+) -> DataFrame:
+    """Per-source corpus gating: aggregate each source's doc count,
+    low-quality fraction (quality < ``low_quality_threshold``), and
+    mean doc length, then decide keep/drop — the crawl-source filter a
+    training pipeline applies before spending tokens on a domain.
+
+    Exactness: every aggregate is integer-derived (counts and int
+    sums), so the one groupBy shuffle is order-independent and the
+    oracle replays it bit-for-bit; the only doubles are final
+    divisions of exact integers. Scale: map-side partial aggregation
+    means the shuffle carries one row per (partition, source).
+
+    Output: (source, n_docs, n_low_quality, low_quality_fraction,
+    avg_chars, keep)."""
+    q = quality_score(df, text_col, id_col, extra_cols=(source_col,))
+    stats = q.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("quality") < low_quality_threshold, 1).otherwise(0)
+        ).cast("long").alias("n_low_quality"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    low_frac = F.col("n_low_quality") / F.col("n_docs")
+    return stats.select(
+        F.col(source_col),
+        "n_docs",
+        "n_low_quality",
+        low_frac.alias("low_quality_fraction"),
+        (F.col("total_chars") / F.col("n_docs")).alias("avg_chars"),
+        (
+            (low_frac <= F.lit(max_low_fraction))
+            & (F.col("n_docs") >= F.lit(min_docs))
+        ).alias("keep"),
+    )
+
+
+def text_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rules family —
+    boilerplate and degenerate generations repeat themselves):
+
+    - top_word_fraction: occurrences of the most frequent word / total
+      words (one (doc, word) keyed agg — map-side partial combine makes
+      the shuffle carry distinct words per doc, not tokens)
+    - dup_2gram_fraction / dup_3gram_fraction: 1 - distinct/total word
+      n-grams, pure array expressions, zero shuffle
+
+    Output: (id, n_words, top_word_fraction, dup_2gram_fraction,
+    dup_3gram_fraction) for docs with at least one word."""
+    words = words_expr(text_col)
+    base = df.select(F.col(id_col), words.alias("words")).filter(
+        F.size("words") >= 1
+    )
+
+    def _dup_frac(n: int):
+        total = F.size("words") - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("words") - n),
+            lambda i: F.concat_ws(" ", F.slice("words", i + 1, n)),
+        )
+        return F.when(
+            F.size("words") >= n,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
+        ).otherwise(F.lit(0.0))
+
+    grams = base.select(
+        F.col(id_col),
+        F.size("words").cast("long").alias("n_words"),
+        _dup_frac(2).alias("dup_2gram_fraction"),
+        _dup_frac(3).alias("dup_3gram_fraction"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("words").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"))
+    )
+    return grams.join(top, id_col).select(
+        F.col(id_col),
+        "n_words",
+        (F.col("top_c") / F.col("n_words")).alias("top_word_fraction"),
+        "dup_2gram_fraction",
+        "dup_3gram_fraction",
     )
 
 

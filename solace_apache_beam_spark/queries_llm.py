@@ -90,6 +90,131 @@ _CAND_SQL = f"""
 
 
 @query(
+    "training_shuffle_manifest",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    )
+    SELECT h % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos,
+           doc_id
+    FROM h
+    """,
+)
+def training_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudorandom global shuffle addresses (shard, pos)
+    per doc — the reproducible training-order permutation (orderBy(rand())
+    is partitioning-dependent; this is a pure function of the key)."""
+    from solace_apache_beam_spark.functions.sampling import training_shuffle
+
+    return training_shuffle(load_table(spark, sf_dir, "documents"), "doc_id")
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    base AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words
+             FROM w WHERE len(words) >= 1),
+    wc AS (SELECT doc_id, x AS word, count(*) AS c
+           FROM (SELECT doc_id, unnest(words) AS x FROM base)
+           GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) AS top_c FROM wc GROUP BY 1),
+    grams AS (SELECT doc_id, n_words,
+      CASE WHEN n_words >= 2 THEN 1.0 -
+        len(list_distinct([array_to_string(words[i:i+1], ' ')
+                           for i in generate_series(1, len(words) - 1)]))
+        * 1.0 / (n_words - 1) ELSE 0.0 END AS dup_2gram_fraction,
+      CASE WHEN n_words >= 3 THEN 1.0 -
+        len(list_distinct([array_to_string(words[i:i+2], ' ')
+                           for i in generate_series(1, len(words) - 2)]))
+        * 1.0 / (n_words - 2) ELSE 0.0 END AS dup_3gram_fraction
+      FROM base)
+    SELECT g.doc_id, g.n_words,
+           top.top_c * 1.0 / g.n_words AS top_word_fraction,
+           g.dup_2gram_fraction, g.dup_3gram_fraction
+    FROM grams g JOIN top ON g.doc_id = top.doc_id
+    """,
+)
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition signals: top-word fraction and
+    duplicate word-n-gram fractions (boilerplate/degenerate-generation
+    filters for training corpora)."""
+    from solace_apache_beam_spark.llm.text_analysis import text_repetition
+
+    return text_repetition(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "incremental_dedup",
+    oracle=f"""
+    WITH {_MINHASH_BASE},
+    newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+    corpdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+    exact AS (
+      SELECT n.doc_id AS doc_id, min(c.doc_id) AS match_id
+      FROM newdocs n JOIN corpdocs c ON md5(n.text) = md5(c.text)
+      GROUP BY 1
+    ),
+    bn AS (SELECT doc_id AS new_id, band, band_hash FROM bands
+           WHERE doc_id % 4 = 0
+             AND doc_id NOT IN (SELECT doc_id FROM exact)),
+    bc AS (SELECT doc_id AS corp_id, band, band_hash FROM bands
+           WHERE doc_id % 4 <> 0),
+    ok AS (SELECT band, band_hash FROM bc
+           GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT bn.new_id, bc.corp_id
+      FROM bn
+      JOIN ok ON bn.band = ok.band AND bn.band_hash = ok.band_hash
+      JOIN bc ON bn.band = bc.band AND bn.band_hash = bc.band_hash
+    ),
+    ver AS (
+      SELECT new_id, corp_id,
+             len(list_intersect(sn.hlist, sc.hlist)) * 1.0
+               / len(list_distinct(list_concat(sn.hlist, sc.hlist))) AS jaccard
+      FROM cand
+      JOIN hs sn ON cand.new_id = sn.doc_id
+      JOIN hs sc ON cand.corp_id = sc.doc_id
+    ),
+    near AS (
+      SELECT new_id, corp_id AS match_id, jaccard,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY jaccard DESC, corp_id) AS rn
+      FROM ver WHERE jaccard >= 0.5
+    )
+    SELECT doc_id, 'exact_dup' AS status, match_id,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM exact
+    UNION ALL
+    SELECT new_id AS doc_id, 'near_dup' AS status, match_id, jaccard
+    FROM near WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, 'unique' AS status, CAST(NULL AS BIGINT) AS match_id,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM newdocs
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+      AND doc_id NOT IN (SELECT new_id FROM near WHERE rn = 1)
+    """,
+)
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch (doc_id % 4 = 0) against the reference
+    corpus (the rest): exact content-hash check, then MinHash-LSH
+    near-dup against the corpus band index, batch-vs-corpus only —
+    the continuously-ingesting pipeline shape where the corpus index
+    is precomputed and only the batch is signatured per run."""
+    from solace_apache_beam_spark.llm.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        docs.filter(F.col("doc_id") % 4 != 0),
+    )
+
+
+@query(
     "dedup_exact",
     oracle="""
     SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -266,6 +391,47 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solace_apache_beam_spark.llm.text_analysis import quality_score
 
     return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "source_quality_gate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, text, {_WORDS} AS words FROM documents),
+    base AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+             {_stop_sql("en")} AS n_stopwords
+      FROM w
+    ),
+    scored AS (
+      SELECT *,
+             0.4 * (CAST(n_stopwords AS DOUBLE) / greatest(n_words, 1))
+               + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+               + 0.3 * (1.0 - CAST(n_digits AS DOUBLE) / greatest(n_chars, 1)) AS quality
+      FROM base
+    ),
+    stats AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+             sum(n_chars) AS total_chars
+      FROM scored GROUP BY 1
+    )
+    SELECT source, n_docs, n_low_quality,
+           n_low_quality * 1.0 / n_docs AS low_quality_fraction,
+           total_chars * 1.0 / n_docs AS avg_chars,
+           (n_low_quality * 1.0 / n_docs <= 0.3 AND n_docs >= 10) AS keep
+    FROM stats
+    """,
+)
+def source_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep/drop gate from integer-exact quality aggregates
+    (crawl-source filtering before training export)."""
+    from solace_apache_beam_spark.llm.text_analysis import source_quality_gate
+
+    return source_quality_gate(load_table(spark, sf_dir, "documents"))
 
 
 @query(
