@@ -369,6 +369,131 @@ def neardup_pairs(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def _quantized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, qv array<double> of exact quantized integers) — map-side."""
+
+    def k(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _quantize(_to_matrix(pdf[vec_col]))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(dtype=np.int64), "qv": list(q)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        k, f"{id_col} long, qv array<double>"
+    )
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.abs(x) + 0.5) * np.sign(x)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    n_iters: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic quantized Lloyd's k-means — real trained centroids
+    for the IVF coarse quantizer (replacing the seed-vector stand-in).
+
+    Engine-exact by construction, so a DuckDB oracle can replay the
+    whole training loop bit-for-bit:
+
+    - vectors and centroids are 2^20-quantized integers; every dot
+      product / squared norm is an exact integer sum in float64
+    - assignment = argmax cosine, ties to the smallest centroid id
+      (numpy argmax takes the first maximum; centroid rows are kept
+      id-sorted)
+    - centroid update = elementwise mean re-quantized with
+      round-half-away-from-zero: sum and count are exact integers, the
+      division is one IEEE op, the rounding matches SQL round()
+    - FIXED iteration count (no convergence epsilon — a float
+      tolerance would be another cross-engine hazard); empty cells
+      keep their previous centroid
+
+    Scale: assignment is map-side (centroids ride the task closure,
+    n_cells x dim ints); the update is one posexplode + groupBy(cell,
+    pos) whose shuffle carries partial integer sums — the only driver
+    traffic is the n_cells x dim aggregated sums per iteration.
+
+    Returns (cids, cmat) as numpy arrays (id-sorted)."""
+    qdf = _quantized_vectors(df, vec_col, id_col).persist()
+    seed = sorted(
+        (int(r[id_col]), np.asarray(r["qv"], dtype=np.float64))
+        for r in qdf.filter(F.col(id_col) < n_cells).collect()
+    )
+    cids = np.array([c for c, _ in seed], dtype=np.int64)
+    cmat = np.stack([v for _, v in seed])
+
+    for _ in range(n_iters):
+        assigned = _assign_cells(qdf, id_col, cids, cmat)
+        rows = (
+            assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        new = cmat.copy()
+        for r in rows:
+            i = int(np.searchsorted(cids, r["cell"]))
+            new[i, int(r["pos"])] = _round_half_away(r["s"] / r["cnt"])
+        cmat = new
+    qdf.unpersist()
+    return cids, cmat
+
+
+def _assign_cells(
+    qdf: DataFrame, id_col: str, cids: np.ndarray, cmat: np.ndarray
+) -> DataFrame:
+    """Map-side nearest-centroid assignment over quantized vectors."""
+    b_cids, b_cmat = cids.copy(), cmat.copy()
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _unpack(pdf["qv"])
+            cos = _block_scores(qm, b_cmat)
+            cos = np.where(np.isnan(cos), -np.inf, cos)
+            best = cos.argmax(axis=1)  # first max -> smallest cid (sorted)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "qv": pdf["qv"],
+                    "cell": b_cids[best],
+                    "cos_raw": cos[np.arange(len(best)), best],
+                }
+            )
+
+    return qdf.mapInPandas(
+        assign, f"{id_col} long, qv array<double>, cell long, cos_raw double"
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Train quantized k-means centroids, then assign every vector to
+    its cell: (id, cell, cos_sim rounded to 6). The trained centroids
+    drop into ivf_topk's join shape unchanged — this is the 'swap in
+    real centroids' point, implemented."""
+    cids, cmat = kmeans_centroids(df, vec_col, id_col, n_cells, n_iters)
+    qdf = _quantized_vectors(df, vec_col, id_col)
+    return _assign_cells(qdf, id_col, cids, cmat).select(
+        F.col(id_col),
+        "cell",
+        F.round("cos_raw", 6).alias("cos_sim"),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -377,42 +502,41 @@ def ivf_topk(
     k: int = 5,
     block_size: int = 4096,
     target_bucket: int = 4096,
+    centroids: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> DataFrame:
-    """IVF-style ANN: the coarse quantizer is a deterministic seed
-    sample (the vectors with id < n_cells stand in for trained k-means
-    centroids — swap in real centroids without changing the join shape).
-    Each vector is assigned to its highest-cosine centroid (quantized
-    integer dots -> the argmax is deterministic; ties break to the
-    smallest centroid id), then top-k search is brute force within the
-    cell — identical shuffle profile to lsh_bucket: the corpus moves
-    once, keyed by cell.
+    """IVF-style ANN: assign each vector to its highest-cosine centroid
+    (quantized integer dots -> the argmax is deterministic; ties break
+    to the smallest centroid id), then top-k search is brute force
+    within the cell — identical shuffle profile to lsh_bucket: the
+    corpus moves once, keyed by cell.
+
+    The coarse quantizer is pluggable: pass ``centroids=(cids, cmat)``
+    from :func:`kmeans_centroids` for trained cells; default is the
+    deterministic seed sample (vectors with id < n_cells), which the
+    registered query pins for its static oracle. Assignment is
+    map-side either way — centroids ride the task closure
+    (n_cells x dim ints, small by definition).
 
     Scale guards mirror :func:`ann_lsh_topk`: ``n_cells=None`` derives
     the cell count from the corpus size (mean cell ~``target_bucket``
-    vectors — registered queries pin it for their static oracles), and
-    in-cell scoring is sub-blocked so no task materializes a whole
-    cell."""
-    if n_cells is None:
-        n_cells = _derive_n_buckets(df.count(), target_bucket)
-    cents = _pack_blocks(
-        df.filter(F.col(id_col) < n_cells), vec_col, id_col, 1 << 62
-    ).select(F.col("ids").alias("cids"), F.col("mat").alias("cmat"))
-
-    def assign(batches):
-        for pdf in batches:
-            for r in pdf.itertuples(index=False):
-                ids = np.asarray(r.ids, dtype=np.int64)
-                q = _unpack(r.mat)
-                cids = np.asarray(r.cids, dtype=np.int64)
-                order = np.argsort(cids)  # ties -> smallest centroid id
-                cids, cmat = cids[order], _unpack(r.cmat)[order]
-                cos = _block_scores(q, cmat)
-                cell = cids[np.nanargmax(np.where(np.isnan(cos), -np.inf, cos), axis=1)]
-                yield pd.DataFrame({"vec_id": ids, "q": list(q), "cell": cell})
-
-    packed = _pack_blocks(df, vec_col, id_col, 4096)
-    assigned = packed.join(F.broadcast(cents)).mapInPandas(
-        assign, f"{id_col} long, q array<double>, cell long"
+    vectors), and in-cell scoring is sub-blocked so no task
+    materializes a whole cell."""
+    if centroids is None:
+        if n_cells is None:
+            n_cells = _derive_n_buckets(df.count(), target_bucket)
+        seed = sorted(
+            (int(r[id_col]), np.asarray(r["qv"], dtype=np.float64))
+            for r in _quantized_vectors(
+                df.filter(F.col(id_col) < n_cells), vec_col, id_col
+            ).collect()
+        )
+        centroids = (
+            np.array([c for c, _ in seed], dtype=np.int64),
+            np.stack([v for _, v in seed]),
+        )
+    cids, cmat = centroids
+    qdf = _quantized_vectors(df, vec_col, id_col)
+    assigned = _assign_cells(qdf, id_col, cids, cmat).select(
+        id_col, F.col("qv").alias("q"), "cell"
     )
-
     return _bucketed_all_pairs_topk(assigned, "cell", id_col, k, block_size)

@@ -89,6 +89,88 @@ _CAND_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
+_KM_CELLS, _KM_ITERS = 8, 2
+
+
+def _km_iter_sql(it: int) -> str:
+    """One Lloyd iteration: assignment under c{it}, integer-sum centroid
+    update, empty cells keep c{it}'s centroid -> c{it+1}."""
+    return f"""
+    a{it} AS (
+      SELECT vec_id, qv, cid, cos,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY (CASE WHEN isnan(cos) THEN CAST('-infinity' AS DOUBLE)
+                         ELSE cos END) DESC, cid) AS rn
+      FROM (
+        SELECT q.vec_id, q.qv, c.cid,
+               list_inner_product(q.qv, c.cv)
+                 / (sqrt(list_inner_product(q.qv, q.qv))
+                    * sqrt(list_inner_product(c.cv, c.cv))) AS cos
+        FROM q, c{it} c
+      )
+    ),
+    asg{it} AS (SELECT vec_id, qv, cid AS cell FROM a{it} WHERE rn = 1),
+    sums{it} AS (
+      SELECT cell, pos, sum(v) AS s, count(*) AS cnt
+      FROM (SELECT cell, unnest(generate_series(1, len(qv))) AS pos,
+                   unnest(qv) AS v
+            FROM asg{it})
+      GROUP BY 1, 2
+    ),
+    newc{it} AS (
+      SELECT cell AS cid, list(round(s / cnt) ORDER BY pos) AS cv
+      FROM sums{it} GROUP BY 1
+    ),
+    c{it + 1} AS (
+      SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+      FROM c{it} p LEFT JOIN newc{it} n ON p.cid = n.cid
+    )"""
+
+
+_KM_SQL = f"""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1048576) AS DOUBLE)
+              for x in embedding] AS qv
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KM_CELLS}),
+    {", ".join(_km_iter_sql(i) for i in range(_KM_ITERS))},
+    final AS (
+      SELECT q.vec_id, c.cid,
+             list_inner_product(q.qv, c.cv)
+               / (sqrt(list_inner_product(q.qv, q.qv))
+                  * sqrt(list_inner_product(c.cv, c.cv))) AS cos
+      FROM q, c{_KM_ITERS} c
+    ),
+    ranked AS (
+      SELECT vec_id, cid AS cell, cos,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY (CASE WHEN isnan(cos) THEN CAST('-infinity' AS DOUBLE)
+                         ELSE cos END) DESC, cid) AS rn
+      FROM final
+    )
+    SELECT vec_id, cell, round(cos, 6) AS cos_sim FROM ranked WHERE rn = 1
+"""
+
+
+@query("ivf_kmeans_assign", oracle=_KM_SQL)
+def ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Lloyd k-means (2 fixed iterations, integer-exact
+    updates) + nearest-centroid cell assignment — the trained coarse
+    quantizer for IVF; the oracle replays the entire training loop
+    bit-for-bit in SQL."""
+    from solace_apache_beam_spark.llm.similarity import kmeans_assign
+
+    return kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"),
+        n_cells=_KM_CELLS,
+        n_iters=_KM_ITERS,
+    )
+
+
 @query(
     "training_shuffle_manifest",
     oracle="""
