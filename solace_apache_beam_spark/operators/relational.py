@@ -55,3 +55,63 @@ def top_k_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    tiebreak_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Exact per-group percentiles with linear interpolation, computed
+    from explicit ranks so an independent engine reproduces them
+    bit-for-bit (Spark's percentile / DuckDB's quantile_cont are
+    internally-ordered float reductions — never cross-comparable).
+
+    Continuous quantile q over n ranked values: pos = 1 + (n-1)*q,
+    result = v_floor(pos) + (v_ceil(pos) - v_floor(pos)) * (pos -
+    floor(pos)) — every term one IEEE op on identically-ranked doubles.
+
+    Scale: one per-group rank (external sort), one count, one
+    conditional aggregation — the rank row_number is the only whole-
+    table window and it's spill-safe; no collects.
+
+    Output: (group, n, p<q> per quantile e.g. p50, p95)."""
+    w = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+    ranked = df.select(group_col, value_col, tiebreak_col).withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    )
+    counts = (
+        ranked.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col(group_col).alias("_g"), "n")
+    )
+    j = ranked.join(F.broadcast(counts), F.col(group_col) == F.col("_g"))
+
+    def pos(q: float):
+        return F.lit(1.0) + (F.col("n") - F.lit(1)) * F.lit(q)
+
+    def pname(q: float) -> str:
+        return f"p{q * 100:g}".replace(".", "_")
+
+    aggs = [F.max("n").alias("n")]
+    for q in quantiles:
+        aggs.append(
+            F.max(
+                F.when(F.col("rn") == F.floor(pos(q)), F.col(value_col))
+            ).alias(f"_lo_{pname(q)}")
+        )
+        aggs.append(
+            F.max(
+                F.when(F.col("rn") == F.ceil(pos(q)), F.col(value_col))
+            ).alias(f"_hi_{pname(q)}")
+        )
+    a = j.groupBy(group_col).agg(*aggs)
+    out_cols = [F.col(group_col), F.col("n")]
+    for q in quantiles:
+        lo, hi = F.col(f"_lo_{pname(q)}"), F.col(f"_hi_{pname(q)}")
+        out_cols.append(
+            (lo + (hi - lo) * (pos(q) - F.floor(pos(q)))).alias(pname(q))
+        )
+    return a.select(*out_cols)

@@ -148,3 +148,73 @@ def hypertable_rollup(
         F.col("dec_total").cast("double").alias("total"),
     )
     return out_cols(fine, hourly).unionByName(out_cols(coarse, daily))
+
+
+def funnel_counts(
+    df,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+):
+    """Ordered-funnel analysis: how many users performed stage 1, then
+    stage 2 strictly after it, then stage 3 after that, ... (the
+    view->click->purchase product-analytics staple; DuckDB/sequence
+    engines express it as window funnels / MATCH_RECOGNIZE).
+
+    Greedy earliest-match per stage is exact for existence: taking the
+    EARLIEST qualifying event at each stage leaves maximal room for the
+    rest of the sequence. "Strictly after" compares (ts, event_id) so
+    same-timestamp events have a deterministic order and a single event
+    can never satisfy two stages.
+
+    Scale: one keyed join + two grouped aggregations per stage, all on
+    user_id — no windows over the full table, no driver collects; each
+    stage's frontier (one row per surviving user) is the only
+    intermediate. Timestamps and counts only — no float anywhere, so
+    the oracle matches bit-for-bit.
+
+    Output: (stage_idx, stage, n_users) — one row per stage."""
+    from functools import reduce
+
+    ev = df.select(user_col, type_col, ts_col, id_col)
+    frontier = None  # (user, t, i): earliest qualifying event per user
+    outs = []
+    for idx, stage in enumerate(stages):
+        e = ev.filter(F.col(type_col) == stage)
+        if frontier is None:
+            qual = e.select(user_col, ts_col, id_col)
+        else:
+            prev = frontier.select(
+                F.col(user_col), F.col("t").alias("_pt"), F.col("i").alias("_pi")
+            )
+            qual = (
+                e.join(prev, user_col)
+                .filter(
+                    (F.col(ts_col) > F.col("_pt"))
+                    | ((F.col(ts_col) == F.col("_pt")) & (F.col(id_col) > F.col("_pi")))
+                )
+                .select(user_col, ts_col, id_col)
+            )
+        first_ts = (
+            qual.groupBy(user_col)
+            .agg(F.min(ts_col).alias("t"))
+            .select(F.col(user_col).alias("_u"), "t")
+        )
+        frontier = (
+            qual.join(
+                first_ts,
+                (F.col(user_col) == F.col("_u")) & (F.col(ts_col) == F.col("t")),
+            )
+            .groupBy(user_col, "t")
+            .agg(F.min(id_col).alias("i"))
+        )
+        outs.append(
+            frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(idx + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+    return reduce(lambda a, b: a.union(b), outs)

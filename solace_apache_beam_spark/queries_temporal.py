@@ -137,3 +137,88 @@ def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return kmv_distinct(li, "l_partkey", "l_returnflag", k=128)
+
+
+def _funnel_stage_sql(idx: int, stage: str) -> str:
+    """qual -> earliest-(ts, event_id) frontier for one stage."""
+    if idx == 0:
+        qual = f"""q0 AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = '{stage}')"""
+    else:
+        qual = f"""q{idx} AS (
+          SELECT e.user_id, e.ts, e.event_id
+          FROM events e JOIN s{idx - 1} p ON e.user_id = p.user_id
+          WHERE e.event_type = '{stage}'
+            AND (e.ts > p.t OR (e.ts = p.t AND e.event_id > p.i)))"""
+    return f"""{qual},
+    t{idx} AS (SELECT user_id, min(ts) AS t FROM q{idx} GROUP BY 1),
+    s{idx} AS (SELECT q.user_id, q.ts AS t, min(q.event_id) AS i
+               FROM q{idx} q JOIN t{idx} ON q.user_id = t{idx}.user_id
+                                        AND q.ts = t{idx}.t
+               GROUP BY 1, 2)"""
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+_FUNNEL_SQL = (
+    "WITH "
+    + ",\n".join(_funnel_stage_sql(i, s) for i, s in enumerate(_FUNNEL_STAGES))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS stage_idx, '{s}' AS stage, count(*) AS n_users FROM s{i}"
+        for i, s in enumerate(_FUNNEL_STAGES)
+    )
+)
+
+
+@query("funnel_view_click_purchase", oracle=_FUNNEL_SQL)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: users surviving each
+    stage with strictly-later (ts, event_id) matches; greedy earliest
+    match per stage (exact for existence). Counts only — no floats."""
+    from solace_apache_beam_spark.operators.temporal import funnel_counts
+
+    return funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "percentiles_event_value",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS BIGINT) AS rn
+      FROM events
+    ),
+    n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+    j AS (SELECT r.event_type, r.value, r.rn, n.n
+          FROM ranked r JOIN n ON r.event_type = n.event_type),
+    a AS (
+      SELECT event_type, max(n) AS n,
+             max(CASE WHEN rn = CAST(floor(1.0::DOUBLE + (n - 1) * 0.5::DOUBLE) AS BIGINT)
+                      THEN value END) AS lo50,
+             max(CASE WHEN rn = CAST(ceil(1.0::DOUBLE + (n - 1) * 0.5::DOUBLE) AS BIGINT)
+                      THEN value END) AS hi50,
+             max(CASE WHEN rn = CAST(floor(1.0::DOUBLE + (n - 1) * 0.95::DOUBLE) AS BIGINT)
+                      THEN value END) AS lo95,
+             max(CASE WHEN rn = CAST(ceil(1.0::DOUBLE + (n - 1) * 0.95::DOUBLE) AS BIGINT)
+                      THEN value END) AS hi95
+      FROM j GROUP BY 1
+    )
+    SELECT event_type, n,
+           lo50 + (hi50 - lo50)
+             * ((1.0::DOUBLE + (n - 1) * 0.5::DOUBLE) - floor(1.0::DOUBLE + (n - 1) * 0.5::DOUBLE)) AS p50,
+           lo95 + (hi95 - lo95)
+             * ((1.0::DOUBLE + (n - 1) * 0.95::DOUBLE) - floor(1.0::DOUBLE + (n - 1) * 0.95::DOUBLE)) AS p95
+    FROM a
+    """,
+)
+def percentiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type p50/p95 of value via explicit ranks +
+    linear interpolation — engine-reproducible, unlike built-in
+    percentile/quantile_cont reductions."""
+    from solace_apache_beam_spark.operators.relational import exact_percentiles
+
+    return exact_percentiles(
+        load_table(spark, sf_dir, "events"), "value", "event_type", "event_id"
+    )

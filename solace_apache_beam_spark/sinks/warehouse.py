@@ -48,7 +48,12 @@ def make_idempotent_appender(
 
 
 def make_log_sink(logger=None):
-    """Element -> log line (SolaceRecordTest.java:158-164)."""
+    """Element -> log line (SolaceRecordTest.java:158-164).
+
+    Dev/debug sink: collects the batch to the driver so the lines land
+    in the DRIVER's log (what you want at a console). For production
+    log shipping use :func:`make_distributed_log_sink` — this one is a
+    driver bottleneck by design."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         for row in batch_df.collect():
@@ -57,5 +62,26 @@ def make_log_sink(logger=None):
                 logger.info(msg)
             else:
                 print(msg)
+
+    return write
+
+
+def make_distributed_log_sink(line_logger=None):
+    """Scale-safe log sink: each EXECUTOR logs its own partition's rows
+    (foreachPartition — nothing moves to the driver; lines appear in
+    executor logs, or wherever ``line_logger`` ships them). Same
+    element->line contract as make_log_sink; use this one when the
+    stream is bigger than a debug session."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        def log_partition(rows) -> None:
+            for row in rows:
+                msg = f"epoch={epoch_id} {row.asDict()}"
+                if line_logger:
+                    line_logger(msg)
+                else:
+                    print(msg)
+
+        batch_df.foreachPartition(log_partition)
 
     return write

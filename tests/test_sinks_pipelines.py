@@ -356,3 +356,27 @@ def test_stream_static_enrichment(spark, broker, tmp_path):
     q.stop()
     rows = spark.sql("SELECT payload, tenant FROM enriched").collect()
     assert {(r.payload, r.tenant) for r in rows} == {("a", "tenant-x"), ("b", "tenant-y")}
+
+
+def test_distributed_log_sink_logs_all_rows_without_driver_collect(spark, tmp_path):
+    """foreachPartition variant: every row becomes a line on the
+    EXECUTOR side (here: one file per line via the injected logger) —
+    no driver collect anywhere in the path."""
+    from solace_apache_beam_spark.sinks.warehouse import make_distributed_log_sink
+
+    out = tmp_path / "lines"
+    out.mkdir()
+    target = str(out)
+
+    def line_logger(msg: str) -> None:
+        import os
+        import uuid
+
+        with open(os.path.join(target, uuid.uuid4().hex), "w") as f:
+            f.write(msg)
+
+    sink = make_distributed_log_sink(line_logger)
+    sink(spark.range(100).withColumnRenamed("id", "v"), 7)
+    files = list(out.iterdir())
+    assert len(files) == 100
+    assert all("epoch=7" in f.read_text() for f in files)
