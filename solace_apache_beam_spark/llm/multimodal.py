@@ -82,6 +82,41 @@ def extract_features(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_payload(df: DataFrame, target: int = 8) -> DataFrame:
+    """Resize for a (fake) image payload: block-average the byte stream
+    down to ``target`` cells — byte j lands in cell floor(j*target/n),
+    cell value = mean of its bytes. This is the 1-D shape of real
+    image resizing (area interpolation): per-item numpy kernel over
+    Arrow batches, output scalar rows so the exact value-hash gate
+    applies. Integer sums / counts -> one exact division per cell.
+    Swap the byte view for a decoded pixel array where codecs exist.
+    Output: (doc_id, cell, value); empty payloads produce no rows."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cells, vals = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not payload:
+                    continue
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                cell = (np.arange(n, dtype=np.int64) * target) // n
+                sums = np.bincount(cell, weights=b, minlength=target)
+                cnts = np.bincount(cell, minlength=target)
+                present = np.nonzero(cnts)[0]
+                ids.extend([doc_id] * len(present))
+                cells.extend(present.tolist())
+                vals.extend((sums[present] / cnts[present]).tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "cell": cells, "value": vals}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        op, schema="doc_id long, cell int, value double"
+    )
+
+
 def frame_sample(df: DataFrame, frame_bytes: int = 64, stride: int = 4) -> DataFrame:
     """Frame sampling for a (fake) video payload: slice the byte stream
     into fixed-size frames and keep every ``stride``-th — the batch shape

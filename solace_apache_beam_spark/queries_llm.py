@@ -89,6 +89,36 @@ _CAND_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
+@query(
+    "multimodal_resize",
+    oracle="""
+    -- ASCII corpus: ord(char) == byte (same invariant as the
+    -- frame_sample / features oracles). Byte j (0-based) lands in cell
+    -- floor(j * 8 / n); cell value = integer mean of its bytes.
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) > 0),
+    b AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS i, text FROM d),
+    c AS (SELECT doc_id,
+                 CAST(((i - 1) * 8) // n AS INT) AS cell,
+                 ord(substring(text, i, 1)) AS v
+          FROM b)
+    SELECT doc_id, cell, sum(v) * 1.0 / count(*) AS value
+    FROM c GROUP BY 1, 2
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-average resize of binary payloads to 8 cells (the 1-D
+    shape of area-interpolation image resizing) — scalar rows under
+    the exact value-hash gate."""
+    from solace_apache_beam_spark.llm.multimodal import (
+        attach_binary_payload,
+        resize_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_payload(attach_binary_payload(docs))
+
+
 _KM_CELLS, _KM_ITERS = 8, 2
 
 

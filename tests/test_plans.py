@@ -53,3 +53,51 @@ def test_minhash_lsh_no_self_join_recompute(spark, sf_dir, queries):
 def test_salted_join_spreads_key(spark, sf_dir, queries):
     plan = _plan(spark, queries["salted_revenue_by_segment"](spark, sf_dir))
     assert "_salt" in plan  # the salt is part of the join key
+
+
+def test_funnel_no_full_table_window(spark, sf_dir, queries):
+    """Funnel must advance a keyed frontier (joins + aggs), never rank
+    the whole events table with a window."""
+    plan = _plan(spark, queries["funnel_view_click_purchase"](spark, sf_dir))
+    assert "Window" not in plan
+
+
+def test_percentiles_single_rank_window(spark, sf_dir, queries):
+    """Exact percentiles: one per-group rank window; the count side
+    rides a broadcast, not a shuffle of the ranked table."""
+    plan = queries["percentiles_event_value"](spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("Window ") == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_incremental_dedup_no_forced_broadcast(spark, sf_dir, queries):
+    """Batch-vs-corpus verification joins must stay AQE-choosable
+    shuffle joins — candidates are unbounded at web scale."""
+    analyzed = (
+        queries["incremental_dedup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_dir):
+    """Nearest-centroid assignment must be pure map work: centroids in
+    the task closure, zero exchanges in the assignment plan."""
+    import numpy as np
+
+    from solace_apache_beam_spark.llm.similarity import (
+        _assign_cells,
+        _quantized_vectors,
+    )
+    from solace_apache_beam_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _quantized_vectors(emb, "embedding", "vec_id")
+    cids = np.arange(4, dtype=np.int64)
+    cmat = np.ones((4, 64))
+    plan = _plan(spark, _assign_cells(qdf, "vec_id", cids, cmat))
+    assert "Exchange" not in plan

@@ -158,3 +158,106 @@ def test_kmv_exact_when_below_k(spark, rows):
     for g in {g for g, _ in rows}:
         exact = len({v for gg, v in rows if gg == g})
         assert got[g] == pytest.approx(exact)
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 4),   # user
+            st.integers(0, 2),   # stage index into (view, click, purchase)
+            st.integers(0, 20),  # ts seconds
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_matches_brute_force(spark, events):
+    from solace_apache_beam_spark.operators.temporal import funnel_counts
+
+    stages = ("view", "click", "purchase")
+    rows = [
+        (i, _ts(t), u, stages[s], 0.0) for i, (u, s, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r.stage: r.n_users for r in funnel_counts(df, stages=stages).collect()
+    }
+
+    # brute force: greedy earliest qualifying (ts, id) per stage
+    by_user: dict[int, list] = {}
+    for i, (u, s, t) in enumerate(events):
+        by_user.setdefault(u, []).append((t, i, s))
+    expect = {s: 0 for s in stages}
+    for evs in by_user.values():
+        evs.sort()
+        frontier = (-1, -1)
+        for k, stage in enumerate(stages):
+            nxt = min(
+                ((t, i) for (t, i, s) in evs if s == k and (t, i) > frontier),
+                default=None,
+            )
+            if nxt is None:
+                break
+            frontier = nxt
+            expect[stage] += 1
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    values=st.lists(
+        st.tuples(st.integers(0, 2), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_exact_percentiles_match_numpy_linear(spark, values):
+    import numpy as np
+
+    from solace_apache_beam_spark.operators.relational import exact_percentiles
+
+    df = spark.createDataFrame(
+        [(i, f"g{g}", float(v)) for i, (g, v) in enumerate(values)],
+        "event_id long, grp string, value double",
+    )
+    out = {
+        r.grp: (r.n, r.p50, r.p95)
+        for r in exact_percentiles(df, "value", "grp", "event_id").collect()
+    }
+    groups: dict[str, list[float]] = {}
+    for _, (g, v) in enumerate(values):
+        groups.setdefault(f"g{g}", []).append(float(v))
+    for g, vs in groups.items():
+        n, p50, p95 = out[g]
+        assert n == len(vs)
+        # numpy 'linear' interpolation is the same pos = 1+(n-1)q rule
+        assert p50 == pytest.approx(np.percentile(vs, 50), abs=1e-9)
+        assert p95 == pytest.approx(np.percentile(vs, 95), abs=1e-9)
+
+
+@settings(**SETTINGS)
+@given(payloads=st.lists(st.binary(min_size=0, max_size=50), max_size=8))
+def test_resize_payload_matches_reference(spark, payloads):
+    from solace_apache_beam_spark.llm.multimodal import resize_payload
+
+    target = 4
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
+    )
+    got = {
+        (r.doc_id, r.cell): r.value
+        for r in resize_payload(df, target=target).collect()
+    }
+    expect = {}
+    for i, p in enumerate(payloads):
+        if not p:
+            continue
+        cells: dict[int, list[int]] = {}
+        for j, byte in enumerate(p):
+            cells.setdefault(j * target // len(p), []).append(byte)
+        for c, bs in cells.items():
+            expect[(i, c)] = sum(bs) / len(bs)
+    assert got == expect
