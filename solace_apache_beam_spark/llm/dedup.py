@@ -492,10 +492,13 @@ def incremental_dedup(
     corp_hash = corpus_df.select(
         F.col(id_col).alias("corp_id"), F.md5(F.col(text_col)).alias("h")
     )
+    # consumed twice (remaining-exclusion + final union): persist so the
+    # hash join runs once, not per consumer
     exact = (
         new_hash.join(corp_hash, "h")
         .groupBy("new_id")
         .agg(F.min("corp_id").alias("match_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     remaining = new_df.join(
@@ -547,10 +550,12 @@ def incremental_dedup(
     w = Window.partitionBy("new_id").orderBy(
         F.col("jaccard").desc(), F.col("corp_id").asc()
     )
+    # also consumed twice (near_out + unique exclusion)
     near = (
         verified.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("new_id", F.col("corp_id").alias("match_id"), "jaccard")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     exact_out = exact.select(

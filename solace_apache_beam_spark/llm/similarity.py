@@ -422,6 +422,15 @@ def kmeans_centroids(
 
     Returns (cids, cmat) as numpy arrays (id-sorted)."""
     qdf = _quantized_vectors(df, vec_col, id_col).persist()
+    out = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
+    qdf.unpersist()
+    return out
+
+
+def _kmeans_from_quantized(
+    qdf: DataFrame, id_col: str, n_cells: int, n_iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd loop over an (already persisted) quantized frame."""
     seed = sorted(
         (int(r[id_col]), np.asarray(r["qv"], dtype=np.float64))
         for r in qdf.filter(F.col(id_col) < n_cells).collect()
@@ -442,7 +451,6 @@ def kmeans_centroids(
             i = int(np.searchsorted(cids, r["cell"]))
             new[i, int(r["pos"])] = _round_half_away(r["s"] / r["cnt"])
         cmat = new
-    qdf.unpersist()
     return cids, cmat
 
 
@@ -484,9 +492,11 @@ def kmeans_assign(
     """Train quantized k-means centroids, then assign every vector to
     its cell: (id, cell, cos_sim rounded to 6). The trained centroids
     drop into ivf_topk's join shape unchanged — this is the 'swap in
-    real centroids' point, implemented."""
-    cids, cmat = kmeans_centroids(df, vec_col, id_col, n_cells, n_iters)
-    qdf = _quantized_vectors(df, vec_col, id_col)
+    real centroids' point, implemented. One persisted quantized frame
+    feeds both the training loop and the final assignment (the Arrow
+    quantization kernel runs once)."""
+    qdf = _quantized_vectors(df, vec_col, id_col).persist()
+    cids, cmat = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
     return _assign_cells(qdf, id_col, cids, cmat).select(
         F.col(id_col),
         "cell",
