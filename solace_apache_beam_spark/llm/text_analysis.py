@@ -429,3 +429,80 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary: the top_k words by total occurrences (ties
+    broken lexicographically), with document frequency — the
+    tokenizer-vocab / stopword-discovery primitive. One (word) keyed
+    agg with map-side combine; the top-k is a TakeOrdered over the
+    aggregated (distinct-word-sized) frame, never the token stream.
+    Output: (rank, word, n_occurrences, n_docs)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.col(id_col), F.explode(words_expr(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+        )
+    )
+    # limit first: TakeOrderedAndProject does a DISTRIBUTED partial
+    # top-k (per-partition heaps merged at the driver) — a global
+    # row_number window would funnel every distinct word through one
+    # task. The rank window then runs over top_k rows only.
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("word").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "word", "n_occurrences", "n_docs"
+    )
+
+
+def bm25_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-(doc, term) BM25 raw components: term frequency, document
+    frequency, document length, corpus size. Scores are left to the
+    caller as score = idf(df_t, N) * tf*(k1+1)/(tf + k1*(1-b+b*len/avg))
+    — deliberately NOT computed here: idf needs log(), and libm log is
+    not guaranteed bit-identical across engines, so the engine-exact
+    contract stops at the integer components (everything here is a
+    count). Terms below ``min_df`` docs are dropped (the long tail that
+    dominates index size at corpus scale).
+
+    Scale: one explode + (doc, term) agg feeds EVERYTHING — document
+    length is sum(tf) per doc and document frequency is a count per
+    term, both derived from the tf frame (the token stream is read
+    once); joins are keyed equi-joins (term, then doc), and the only
+    broadcast is the single-row corpus count. Output: (doc_id, term,
+    tf, df, doc_len, n_docs_total)."""
+    tokens = df.select(
+        F.col(id_col), F.explode(words_expr(text_col)).alias("term")
+    )
+    tf = tokens.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
+    n_total = df.select(F.countDistinct(F.col(id_col)).alias("n_docs_total"))
+    return (
+        tf.join(dfreq, "term")
+        .join(doc_len, id_col)
+        .crossJoin(F.broadcast(n_total))
+        .select(id_col, "term", "tf", "df", "doc_len", "n_docs_total")
+    )

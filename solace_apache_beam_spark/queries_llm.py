@@ -90,6 +90,55 @@ _CAND_SQL = f"""
 
 
 @query(
+    "vocab_top_words",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+    counts AS (SELECT word, count(*) AS n_occurrences,
+                      count(DISTINCT doc_id) AS n_docs
+               FROM tok GROUP BY 1),
+    top AS (SELECT *, CAST(row_number() OVER (ORDER BY n_occurrences DESC, word)
+                           AS BIGINT) AS rank
+            FROM counts)
+    SELECT rank, word, n_occurrences, n_docs FROM top WHERE rank <= 1000
+    """,
+)
+def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-1000 words by occurrences (lexicographic
+    ties) + document frequency; distributed partial top-k, never a
+    global rank of the token stream."""
+    from solace_apache_beam_spark.llm.text_analysis import vocabulary
+
+    return vocabulary(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "bm25_components",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf
+              GROUP BY 1 HAVING count(*) >= 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1),
+    nt AS (SELECT count(DISTINCT doc_id) AS n_docs_total FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.doc_len, nt.n_docs_total
+    FROM tf
+    JOIN dfreq ON tf.term = dfreq.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN nt
+    """,
+)
+def bm25_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 components per (doc, term >= min_df): tf,
+    df, doc length, corpus size — scoring (which needs libm log, not
+    bit-portable) is one expression away for the caller."""
+    from solace_apache_beam_spark.llm.text_analysis import bm25_components
+
+    return bm25_components(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "multimodal_resize",
     oracle="""
     -- ASCII corpus: ord(char) == byte (same invariant as the

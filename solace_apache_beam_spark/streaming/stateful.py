@@ -148,3 +148,73 @@ def sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_FUNNEL_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("stage_reached", LongType()),
+    ]
+)
+_FUNNEL_STATE = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("last_id", LongType()),
+    ]
+)
+
+
+def funnel_progress(
+    stream: DataFrame,
+    stages: tuple[str, ...],
+    key_col: str = "user",
+    type_col: str = "stage_name",
+    ts_col: str = "event_time",
+    id_col: str = "message_id",
+) -> DataFrame:
+    """Streaming funnel: per key, advance a stage machine as qualifying
+    events arrive — stage k+1 requires an event of stages[k] strictly
+    after the event that reached stage k (by (ts, id), same rule as the
+    batch funnel_counts). Emits (key, stage_reached) per updated key
+    per microbatch; use outputMode('update').
+
+    State per key is three longs — bounded by live keys, no timeline
+    retained. Events are processed in (ts, id) order WITHIN each batch;
+    cross-batch stragglers older than the frontier are ignored (the
+    batch funnel is the exact offline oracle; this is its
+    monotone-progress online twin)."""
+    n_stages = len(stages)
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        stage, ts_us, last_id = (
+            state.get if state.exists else (0, -(1 << 62), -1)
+        )
+        parts = [pdf[[type_col, ts_col, id_col]] for pdf in pdfs]
+        ev = pd.concat(parts) if parts else pd.DataFrame(
+            columns=[type_col, ts_col, id_col]
+        )
+        if len(ev):
+            ev = ev.sort_values([ts_col, id_col])
+            for typ, ts, mid in ev.itertuples(index=False):
+                t_us = pd.Timestamp(ts).value // 1000
+                if (
+                    stage < n_stages
+                    and stage_of.get(typ) == stage
+                    and (t_us, int(mid)) > (ts_us, last_id)
+                ):
+                    stage += 1
+                    ts_us, last_id = t_us, int(mid)
+        state.update((stage, ts_us, last_id))
+        yield pd.DataFrame({"key": [key[0]], "stage_reached": [stage]})
+
+    return (
+        stream.select(key_col, type_col, ts_col, id_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, _FUNNEL_OUT, _FUNNEL_STATE, "update", GroupStateTimeout.NoTimeout
+        )
+    )

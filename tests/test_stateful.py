@@ -120,3 +120,48 @@ def test_running_counts_resume_from_checkpoint(spark, broker, tmp_path):
         .collect()
     )
     assert {r.key: r.c for r in got} == {"q1": 3}  # 2 before restart + 1 after
+
+
+def test_funnel_progress_advances_across_batches(spark, broker, tmp_path):
+    """The per-user stage machine persists in the state store: a user
+    completing view->click in batch 1 converts on purchase in batch 2;
+    out-of-order stages don't advance."""
+    from solace_apache_beam_spark.streaming.stateful import funnel_progress
+
+    base_us = 1_700_000_000_000_000
+    # payload = "user:stage"; u1 does view,click; u2 starts with click
+    fake_broker.publish(
+        broker,
+        "q1",
+        ["u1:view", "u1:click", "u2:click"],
+        sender_timestamp_us=[base_us, base_us + 1_000_000, base_us + 2_000_000],
+    )
+    stream = open_stream(spark, broker, ["q1"]).select(
+        F.split("payload", ":")[0].alias("user"),
+        F.split("payload", ":")[1].alias("stage_name"),
+        "event_time",
+        "message_id",
+    )
+    q = (
+        funnel_progress(stream, ("view", "click", "purchase"), key_col="user")
+        .writeStream.format("memory")
+        .queryName("funnelp")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_funnel"))
+        .start()
+    )
+    q.processAllAvailable()
+    fake_broker.publish(
+        broker,
+        "q1",
+        ["u1:purchase", "u2:view"],
+        sender_timestamp_us=[base_us + 3_000_000, base_us + 4_000_000],
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT key, max(stage_reached) s FROM funnelp GROUP BY key"
+    ).collect()
+    got = {r.key: r.s for r in rows}
+    assert got["u1"] == 3  # view -> click -> purchase across two batches
+    assert got["u2"] == 1  # click first didn't count; view later reached stage 1
