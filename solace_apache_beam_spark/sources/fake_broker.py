@@ -178,3 +178,20 @@ def read_messages(broker_dir: str, queue: str, start: int, end: int) -> list[dic
             if idx >= start:
                 out.append(json.loads(line))
     return out
+
+
+def admissible_end(
+    broker_dir: str, queue: str, start: int, limit: int, max_bytes: int
+) -> int:
+    """Largest end offset in [start, limit) whose cumulative payload
+    bytes stay within max_bytes — always admits at least one message
+    when any is available (progress guarantee). The real-broker
+    equivalent is a SEMP spool metadata query."""
+    total, end = 0, start
+    for m in read_messages(broker_dir, queue, start, limit):
+        b = len((m.get("payload") or "").encode("utf-8"))
+        if end > start and total + b > max_bytes:
+            break
+        total += b
+        end += 1
+    return end

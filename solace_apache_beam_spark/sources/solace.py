@@ -24,7 +24,8 @@ Scale notes: offsets are per-queue record counts — tiny, JSON-encodable,
 and the partition count equals the queue-entry count exactly like the
 reference's split() (UnboundedSolaceSource.java:50-61). Per-batch
 `maxRecordsPerBatch` caps in-flight records (the reference's
-maxDeliveredUnackedMsgsPerFlow guidance, README.md:136-142).
+maxDeliveredUnackedMsgsPerFlow guidance, README.md:136-142);
+`maxBytesPerBatch` is its byte-budget sibling for size-skewed feeds.
 """
 
 from __future__ import annotations
@@ -194,6 +195,12 @@ class SolaceStreamReader(DataSourceStreamReader):
             str(options.get("usesendertimestamp", "false")).lower() == "true"
         )
         self.max_per_batch = int(options.get("maxrecordsperbatch", 10_000))
+        # byte-based backpressure sibling of the record cap: the offset
+        # range admits messages until their cumulative payload bytes
+        # exceed the budget (>= 1 message per poll for progress) —
+        # bounds per-microbatch memory when message sizes vary wildly
+        mb = options.get("maxbytesperbatch")
+        self.max_bytes_per_batch = int(mb) if mb is not None else None
         # bounded adapter (S15): after maxReadTimeMs the offset range
         # freezes — the stream keeps running but admits no new data
         # (withMaxReadTime, SolaceIO.java:230-232)
@@ -233,7 +240,12 @@ class SolaceStreamReader(DataSourceStreamReader):
             if base is None:
                 base = fake_broker.acked_count(self.path, q)
             avail = fake_broker.message_count(self.path, q)
-            out[q] = max(base, min(avail, base + self.max_per_batch))
+            cap = min(avail, base + self.max_per_batch)
+            if self.max_bytes_per_batch is not None and cap > base:
+                cap = fake_broker.admissible_end(
+                    self.path, q, base, cap, self.max_bytes_per_batch
+                )
+            out[q] = max(base, cap)
             if out[q] > base:
                 grew = True
         self._last_end = dict(out)
@@ -312,7 +324,8 @@ class SolaceDataSource(DataSource):
     """spark.readStream.format("solace").options(path=..., queues="a,b")
 
     Options: path, queues (comma list; duplicates = extra consumers),
-    useSenderTimestamp, maxRecordsPerBatch (stream), maxRecords (batch).
+    useSenderTimestamp, maxRecordsPerBatch / maxBytesPerBatch (stream),
+    maxRecords (batch).
     """
 
     @classmethod

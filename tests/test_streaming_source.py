@@ -381,3 +381,24 @@ def test_exclusive_queue_single_active_consumer(spark, broker):
     assert sorted(r.payload for r in df.collect()) == sorted(
         f"xq - {i}" for i in range(10)
     )
+
+
+def test_max_bytes_per_batch_backpressure(spark, tmp_path):
+    """Byte-budget backpressure: each poll admits messages only until
+    their cumulative payload bytes exceed the cap — and always at
+    least one (progress guarantee even for oversized messages)."""
+    from solace_apache_beam_spark.sources import fake_broker
+    from solace_apache_beam_spark.sources.solace import SolaceStreamReader
+
+    broker = str(tmp_path / "broker")
+    fake_broker.create_queue(broker, "q1")
+    # payload sizes: 4, 4, 4, 100, 4 bytes
+    fake_broker.publish(broker, "q1", ["aaaa", "bbbb", "cccc", "x" * 100, "dddd"])
+    r = SolaceStreamReader(
+        {"path": broker, "queues": "q1", "maxbytesperbatch": "10"}
+    )
+    assert r.initialOffset() == {"q1": 0}
+    assert r.latestOffset() == {"q1": 2}  # 4+4=8; +4 would exceed 10
+    assert r.latestOffset() == {"q1": 3}  # 4; the 100B message would exceed
+    assert r.latestOffset() == {"q1": 4}  # oversized message admitted alone
+    assert r.latestOffset() == {"q1": 5}  # tail
