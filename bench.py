@@ -39,12 +39,16 @@ def compute_regressions(
     timings: dict[str, float],
     anchor: dict[str, float],
     factor: float = REGRESSION_FACTOR,
+    min_delta: float = 0.5,
 ) -> dict[str, float]:
-    """Queries slower than factor x their anchor time -> ratio."""
+    """Queries slower than factor x their anchor time -> ratio.
+    ``min_delta`` is an absolute-slack floor: sub-second queries jitter
+    2x on a shared VM without any plan change, so a flag additionally
+    requires the absolute slowdown to exceed min_delta seconds."""
     out = {}
     for name, t in timings.items():
         base = anchor.get(name)
-        if base and t > factor * base:
+        if base and t > factor * base and (t - base) > min_delta:
             out[name] = round(t / base, 2)
     return out
 

@@ -33,6 +33,14 @@ def _h64(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def _stop_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(coalesce(list_sum([CASE WHEN list_contains([{lst}], x) THEN 1 ELSE 0 END "
+        f"for x in words]), 0) AS BIGINT)"
+    )
+
+
 # per-doc distinct shingle-HASH set (dedup after hashing, matching the
 # Spark-side Arrow UDF — a 32-bit collision merges the same pair on
 # both engines)
@@ -87,6 +95,80 @@ _CAND_SQL = f"""
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "training_data_pipeline",
+    oracle=f"""
+    -- end-to-end composition: quality gate -> near-dup removal
+    -- (MinHash-LSH, keep the smaller id of each pair) -> split
+    -- assignment -> per-split manifest. Every stage reuses the exact
+    -- fragments of its standalone query.
+    WITH {_MINHASH_BASE},
+    {_CAND_SQL},
+    dupb AS (
+      SELECT DISTINCT doc_b
+      FROM cand
+      JOIN hs sa ON cand.doc_a = sa.doc_id
+      JOIN hs sb ON cand.doc_b = sb.doc_id
+      WHERE len(list_intersect(sa.hlist, sb.hlist)) * 1.0
+              / len(list_distinct(list_concat(sa.hlist, sb.hlist))) >= 0.5
+    ),
+    scored AS (
+      SELECT doc_id,
+             0.4 * (CAST({_stop_sql("en")} AS DOUBLE) / greatest(len(words), 1))
+               + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+               + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) AS quality,
+             len(words) AS n_tokens
+      FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents)
+    ),
+    clean AS (
+      SELECT s.doc_id, s.n_tokens
+      FROM scored s
+      WHERE s.quality >= 0.5
+        AND s.doc_id NOT IN (SELECT doc_b FROM dupb)
+    ),
+    assigned AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, n_tokens,
+                   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS b
+            FROM clean)
+    )
+    SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY 1
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition: quality-gate the corpus, drop MinHash
+    near-duplicates (keep the smaller id of each pair), assign
+    deterministic train/val/test splits, and emit the per-split
+    manifest — one declarative DataFrame graph; Catalyst fuses the
+    stages (the quality scan and the token count share one read)."""
+    from solace_apache_beam_spark.functions.hashing import words_expr
+    from solace_apache_beam_spark.functions.sampling import assign_splits
+    from solace_apache_beam_spark.llm.dedup import minhash_lsh_pairs
+    from solace_apache_beam_spark.llm.text_analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select(
+        "doc_id", "quality"
+    )
+    dup_b = minhash_lsh_pairs(docs).select(F.col("doc_b").alias("doc_id")).distinct()
+    base = docs.select(
+        "doc_id", F.size(words_expr("text")).cast("long").alias("n_tokens")
+    )
+    clean = (
+        base.join(scored, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .join(dup_b, "doc_id", "left_anti")
+    )
+    return assign_splits(clean, "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
 
 
 @query(
@@ -483,14 +565,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
-
-
-def _stop_sql(lang: str) -> str:
-    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return (
-        f"CAST(coalesce(list_sum([CASE WHEN list_contains([{lst}], x) THEN 1 ELSE 0 END "
-        f"for x in words]), 0) AS BIGINT)"
-    )
 
 
 _LANGS_SORTED = sorted(STOPWORDS)

@@ -9,11 +9,14 @@ import bench
 
 
 def test_compute_regressions_flags_only_true_regressions():
-    anchor = {"q1": 1.0, "q2": 2.0, "q3": 0.5}
-    timings = {"q1": 1.9, "q2": 4.5, "q3": 0.4, "new_query": 9.9}
+    anchor = {"q1": 1.0, "q2": 2.0, "q3": 0.5, "q4": 0.2}
+    timings = {"q1": 1.9, "q2": 4.5, "q3": 0.4, "q4": 0.45, "new_query": 9.9}
     out = bench.compute_regressions(timings, anchor, factor=2.0)
-    # q1 is within 2x, q3 improved, new_query has no anchor -> only q2
+    # q1 within 2x, q3 improved, q4 over 2x but under the absolute-slack
+    # floor (sub-second jitter), new_query unanchored -> only q2
     assert out == {"q2": 2.25}
+    # the floor stops masking once the slowdown is material
+    assert bench.compute_regressions({"q4": 1.2}, anchor, factor=2.0) == {"q4": 6.0}
 
 
 def test_anchor_file_is_committed_and_covers_registered_queries():
