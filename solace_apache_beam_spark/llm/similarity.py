@@ -435,6 +435,11 @@ def _kmeans_from_quantized(
         (int(r[id_col]), np.asarray(r["qv"], dtype=np.float64))
         for r in qdf.filter(F.col(id_col) < n_cells).collect()
     )
+    if not seed:
+        raise ValueError(
+            f"k-means seeding found no vectors with {id_col} < {n_cells}; "
+            "pass centroids explicitly or renumber ids"
+        )
     cids = np.array([c for c, _ in seed], dtype=np.int64)
     cmat = np.stack([v for _, v in seed])
 
@@ -494,8 +499,12 @@ def kmeans_assign(
     drop into ivf_topk's join shape unchanged — this is the 'swap in
     real centroids' point, implemented. One persisted quantized frame
     feeds both the training loop and the final assignment (the Arrow
-    quantization kernel runs once)."""
+    quantization kernel runs once). Empty corpus -> empty result."""
     qdf = _quantized_vectors(df, vec_col, id_col).persist()
+    if qdf.isEmpty():
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cell long, cos_sim double"
+        )
     cids, cmat = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
     return _assign_cells(qdf, id_col, cids, cmat).select(
         F.col(id_col),
@@ -540,6 +549,11 @@ def ivf_topk(
                 df.filter(F.col(id_col) < n_cells), vec_col, id_col
             ).collect()
         )
+        if not seed:
+            # empty corpus (or no ids under n_cells): nothing to search
+            return df.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cos_sim double, rank int"
+            )
         centroids = (
             np.array([c for c, _ in seed], dtype=np.int64),
             np.stack([v for _, v in seed]),
