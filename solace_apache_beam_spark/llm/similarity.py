@@ -235,9 +235,14 @@ def _bucketed_all_pairs_topk(
             }
         )
 
+    # both sides of the block-pair self-join read this — persist, or
+    # the whole bucketize+window+pack pipeline (Python kernels
+    # included) executes twice
+    from pyspark.storagelevel import StorageLevel
+
     packed = blocked.groupBy(bucket_col, "_blk").applyInPandas(
         pack, "bucket long, blk long, ids array<long>, mat array<array<double>>"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = packed.select(
         F.col("bucket").alias("abucket"),
         F.col("blk").alias("ablk"),
