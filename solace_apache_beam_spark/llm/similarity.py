@@ -339,7 +339,12 @@ def neardup_pairs(
     all-pairs via block-nested-loop over packed blocks (blk_a <= blk_b;
     one matmul per block pair). At corpus scale, route through
     lsh_bucket first — same verify step."""
-    packed = _pack_blocks(df, vec_col, id_col, block_size)
+    from pyspark.storagelevel import StorageLevel
+
+    # both sides of the blk_a <= blk_b self-join read this frame
+    packed = _pack_blocks(df, vec_col, id_col, block_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = packed.select(
         F.col("blk").alias("ablk"),
         F.col("ids").alias("aids"),

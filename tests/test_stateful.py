@@ -165,3 +165,46 @@ def test_funnel_progress_advances_across_batches(spark, broker, tmp_path):
     got = {r.key: r.s for r in rows}
     assert got["u1"] == 3  # view -> click -> purchase across two batches
     assert got["u2"] == 1  # click first didn't count; view later reached stage 1
+
+
+def test_funnel_progress_resumes_from_checkpoint(spark, broker, tmp_path):
+    """Stage-machine state survives a full query restart from the
+    checkpoint (the state store, not process memory, is the source of
+    truth). Memory sink can't recover, so sink via foreachBatch."""
+    from solace_apache_beam_spark.sinks.warehouse import make_warehouse_appender
+    from solace_apache_beam_spark.streaming.stateful import funnel_progress
+
+    base_us = 1_700_000_000_000_000
+    cp = str(tmp_path / "cp_funnel_r")
+    table = str(tmp_path / "funnel_sink")
+    fake_broker.publish(broker, "q1", ["u1:view"], sender_timestamp_us=[base_us])
+
+    def run_once():
+        stream = open_stream(spark, broker, ["q1"]).select(
+            F.split("payload", ":")[0].alias("user"),
+            F.split("payload", ":")[1].alias("stage_name"),
+            "event_time",
+            "message_id",
+        )
+        q = (
+            funnel_progress(stream, ("view", "click"), key_col="user")
+            .writeStream.foreachBatch(make_warehouse_appender(table))
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    fake_broker.publish(
+        broker, "q1", ["u1:click"], sender_timestamp_us=[base_us + 1_000_000]
+    )
+    run_once()
+    got = (
+        spark.read.parquet(table)
+        .groupBy("key")
+        .agg(F.max("stage_reached").alias("s"))
+        .collect()
+    )
+    assert {r.key: r.s for r in got} == {"u1": 2}  # view before + click after
