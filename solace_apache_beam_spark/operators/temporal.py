@@ -202,6 +202,10 @@ def funnel_counts(
             .agg(F.min(ts_col).alias("t"))
             .select(F.col(user_col).alias("_u"), "t")
         )
+        # one row per surviving user; consumed twice (next stage's
+        # qualifier + this stage's count) — persist, or each stage
+        # re-executes every prior stage's joins for both consumers
+        # (pipeline duplication compounds per stage)
         frontier = (
             qual.join(
                 first_ts,
@@ -209,6 +213,7 @@ def funnel_counts(
             )
             .groupBy(user_col, "t")
             .agg(F.min(id_col).alias("i"))
+            .persist()
         )
         outs.append(
             frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
