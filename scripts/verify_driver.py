@@ -55,9 +55,16 @@ def main() -> int:
         cols = [d[0] for d in res.description]
         idx = sorted(range(len(cols)), key=lambda i: cols[i])
         d = sorted(tuple(str(r[i]) for i in idx) for r in res.fetchall())
-        ok = s == d
+        # the driver also gates on schema: column NAMES must agree
+        names_ok = sorted(sdf.columns) == sorted(cols)
+        ok = s == d and names_ok
         bad += not ok
-        print(name, "OK" if ok else "MISMATCH", len(s), len(d))
+        print(
+            name,
+            "OK" if ok else ("SCHEMA-MISMATCH" if not names_ok else "MISMATCH"),
+            len(s),
+            len(d),
+        )
     print(f"MISMATCHES: {bad} of {len(names)}")
     return 1 if bad else 0
 
