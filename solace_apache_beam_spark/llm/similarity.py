@@ -147,19 +147,26 @@ def brute_force_topk(
     )
 
 
-def _plane_coeffs(n_planes: int, dim: int) -> np.ndarray:
+def _plane_coeffs(n_planes: int, dim: int, offset: int = 0) -> np.ndarray:
     """+-1 hyperplane coefficients from md5("plane:dim") — matches the
-    oracle's ('0x' || substr(md5(p || ':' || d), 1, 8))::BIGINT & 1."""
+    oracle's ('0x' || substr(md5(p || ':' || d), 1, 8))::BIGINT & 1.
+    ``offset`` shifts the global plane index: table t of a multi-table
+    scheme uses planes [t*n_planes, (t+1)*n_planes) — independent
+    hyperplane sets from the same deterministic stream."""
     c = np.empty((n_planes, dim))
     for p in range(n_planes):
         for d in range(dim):
-            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            h = int(hashlib.md5(f"{offset + p}:{d}".encode()).hexdigest()[:8], 16)
             c[p, d] = (h & 1) * 2 - 1
     return c
 
 
 def lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", n_planes: int = 8
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Random-hyperplane bucket id per vector (map-side, vectorized).
     Projections are integer-exact over the quantized vector, so the
@@ -172,7 +179,9 @@ def lsh_bucket(
             if len(pdf) == 0:
                 continue
             q = _quantize(_to_matrix(pdf[vec_col]))
-            c = coeffs.setdefault(q.shape[1], _plane_coeffs(n_planes, q.shape[1]))
+            c = coeffs.setdefault(
+                q.shape[1], _plane_coeffs(n_planes, q.shape[1], plane_offset)
+            )
             proj = q @ c.T  # (n, planes) exact integers
             bucket = ((proj >= 0).astype(np.int64) << np.arange(n_planes)).sum(
                 axis=1
@@ -206,6 +215,7 @@ def _bucketed_all_pairs_topk(
     id_col: str,
     k: int,
     block_size: int,
+    dedup_pairs: bool = False,
 ) -> DataFrame:
     """All-pairs cosine within each bucket with BOUNDED per-task memory,
     merged to per-query top-k.
@@ -286,6 +296,11 @@ def _bucketed_all_pairs_topk(
         .mapInPandas(score, "query_id long, neighbor_id long, cos_raw double")
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
+    if dedup_pairs:
+        # multi-table OR-construction: the same pair can collide in
+        # several tables; its cosine is identical everywhere, so a
+        # distinct collapses the copies before ranking
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -302,10 +317,15 @@ def ann_lsh_topk(
     k: int = 5,
     block_size: int = 4096,
     target_bucket: int = 4096,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: brute force within each LSH bucket. The bucket
     shuffle is the only shuffle of the corpus; the planes knob trades
-    recall for cost. Two scale guards:
+    recall for cost, and ``n_tables`` is the recall lever: L
+    independent hyperplane tables (OR-construction) each bucket the
+    corpus, candidates are unioned and deduped — recall rises
+    1-(1-r)^L for per-table recall r, at L x the scoring cost. Two
+    scale guards:
 
     - ``n_planes=None`` (the default) derives the plane count from the
       corpus size so the MEAN bucket holds ~``target_bucket`` vectors —
@@ -324,8 +344,17 @@ def ann_lsh_topk(
 
         n_buckets = _derive_n_buckets(df.count(), target_bucket)
         n_planes = max(1, math.ceil(math.log2(n_buckets)))
-    b = lsh_bucket(df, vec_col, id_col, n_planes)
-    return _bucketed_all_pairs_topk(b, "bucket", id_col, k, block_size)
+    from functools import reduce
+
+    tables = [
+        lsh_bucket(df, vec_col, id_col, n_planes, plane_offset=t * n_planes)
+        .withColumn("bucket", F.col("bucket") + F.lit(t * (1 << n_planes)))
+        for t in range(n_tables)
+    ]
+    b = reduce(lambda x, y: x.union(y), tables)
+    return _bucketed_all_pairs_topk(
+        b, "bucket", id_col, k, block_size, dedup_pairs=n_tables > 1
+    )
 
 
 def neardup_pairs(

@@ -56,3 +56,31 @@ def test_trained_centroids_plug_into_ivf_topk(spark):
     # x-cluster members 0,2,4 neighbor each other; y-cluster 1,3,5
     assert by_q[2] in (0, 4) and by_q[4] in (0, 2)
     assert by_q[3] in (1, 5) and by_q[5] in (1, 3)
+
+
+def test_multi_table_lsh_raises_recall(spark, sf_dir):
+    """OR-construction recall lever: 3 independent hyperplane tables
+    more than double single-table recall on the fixed corpus. Values
+    are exact pins — hashes and data are fully deterministic."""
+    from solace_apache_beam_spark.llm.similarity import (
+        ann_lsh_topk,
+        brute_force_topk,
+    )
+    from solace_apache_beam_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, emb, k=5).collect()
+    }
+    recalls = {}
+    for n_tables in (1, 3):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_lsh_topk(
+                emb, n_planes=4, k=5, n_tables=n_tables
+            ).collect()
+        }
+        recalls[n_tables] = len(exact & approx) / len(exact)
+    assert recalls[1] == 386 / 2500
+    assert recalls[3] == 924 / 2500
