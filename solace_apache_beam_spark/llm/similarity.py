@@ -77,6 +77,7 @@ def _pack_blocks(
 
     return (
         df.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())  # undecoded rows carry no vector
         .withColumn("_blk", (F.col(id_col) / F.lit(block_size)).cast("long"))
         .groupBy("_blk")
         .applyInPandas(pack, _PACKED_SCHEMA)
@@ -194,8 +195,10 @@ def lsh_bucket(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        bucketize, f"{id_col} long, q array<double>, bucket long"
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())  # undecoded rows carry no vector
+        .mapInPandas(bucketize, f"{id_col} long, q array<double>, bucket long")
     )
 
 
@@ -420,8 +423,10 @@ def _quantized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
                 {id_col: pdf[id_col].to_numpy(dtype=np.int64), "qv": list(q)}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        k, f"{id_col} long, qv array<double>"
+    return (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())  # undecoded rows carry no vector
+        .mapInPandas(k, f"{id_col} long, qv array<double>")
     )
 
 

@@ -214,7 +214,8 @@ def pack_sequences(
 
     counted = df.select(
         F.col(id_col),
-        F.size(words_expr(text_col)).alias("n_tokens"),
+        # NULL text -> size() is NULL in ANSI Spark; treat as 0 tokens
+        F.coalesce(F.size(words_expr(text_col)), F.lit(0)).alias("n_tokens"),
         spark_partition_id().alias("_pid"),
     )
 
@@ -369,7 +370,8 @@ def pack_sequences_canonical(
     Output: (bin_id string 'shard-binidx', doc_id, n_tokens, bin_fill)."""
     counted = df.select(
         F.col(id_col),
-        F.size(words_expr(text_col)).alias("n_tokens"),
+        # NULL text -> size() is NULL in ANSI Spark; treat as 0 tokens
+        F.coalesce(F.size(words_expr(text_col)), F.lit(0)).alias("n_tokens"),
         (
             h64(F.concat_ws(":", F.lit("pack"), F.col(id_col).cast("string")))
             % n_shards

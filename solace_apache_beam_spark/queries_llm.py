@@ -1199,7 +1199,7 @@ def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- recurrence replays as a recursive CTE stepping rn = 1, 2, ...
     -- across all shards in parallel
     WITH RECURSIVE w AS (
-      SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+      SELECT doc_id, CAST(coalesce(len({_WORDS}), 0) AS BIGINT) AS n_tokens,
              ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
              % 8 AS shard
       FROM documents

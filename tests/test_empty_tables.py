@@ -37,3 +37,62 @@ def empty_sf_dir(tmp_path_factory, sf_dir):
 def test_query_survives_empty_tables(name, spark, empty_sf_dir):
     df = all_queries()[name](spark, empty_sf_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def nullrow_sf_dir(tmp_path_factory, sf_dir):
+    """One-row copies of every table: key (first) column = 0/epoch,
+    every nullable non-key column NULL — the degenerate-record probe
+    (undecodable payloads, missing embeddings, null text)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("sf_nullrow")
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        schema = pq.read_schema(src)
+        def zero_of(t):
+            if pa.types.is_integer(t):
+                return 0
+            if pa.types.is_floating(t):
+                return 0.0
+            if pa.types.is_decimal(t):
+                return 0
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                return ""
+            if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                return b""
+            if pa.types.is_boolean(t):
+                return False
+            if pa.types.is_date(t):
+                return 0
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                return []
+            raise AssertionError(f"no zero value for {t}")
+
+        arrays = []
+        for i, field in enumerate(schema):
+            if i == 0:
+                # key column: a real value (ids are int64 across tables)
+                arrays.append(pa.array([0], type=field.type))
+            elif pa.types.is_timestamp(field.type):
+                # keep timestamps real — sources guarantee event time
+                # (pyarrow converts the datetime into the field's unit)
+                import datetime as _dt
+
+                arrays.append(
+                    pa.array([_dt.datetime(2023, 11, 14, 22, 13, 20)], type=field.type)
+                )
+            elif not field.nullable:
+                # a required column can't carry NULL — use a zero value
+                arrays.append(pa.array([zero_of(field.type)], type=field.type))
+            else:
+                arrays.append(pa.array([None], type=field.type))
+        pq.write_table(pa.Table.from_arrays(arrays, schema=schema), f"{out}/{t}.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_query_survives_null_rows(name, spark, nullrow_sf_dir):
+    df = all_queries()[name](spark, nullrow_sf_dir)
+    assert df.count() >= 0
