@@ -101,3 +101,22 @@ def test_kmeans_assignment_is_map_side(spark, sf_dir):
     cmat = np.ones((4, 64))
     plan = _plan(spark, _assign_cells(qdf, "vec_id", cids, cmat))
     assert "Exchange" not in plan
+
+
+def test_vocab_distributed_topk(spark, sf_dir, queries):
+    """Vocabulary must plan the top-k as TakeOrderedAndProject (a
+    distributed partial top-k), not a global rank window over every
+    distinct word."""
+    plan = _plan(spark, queries["vocab_top_words"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_single_shuffle_manifest_queries(spark, sf_dir, queries):
+    """sequence_packing and training_shuffle_manifest each move the
+    corpus exactly once (one shard-keyed exchange)."""
+    for name in ("sequence_packing", "training_shuffle_manifest"):
+        plan = queries[name](spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n_shuffles == 1, f"{name}: {n_shuffles} shuffles"
