@@ -39,12 +39,15 @@ def compute_regressions(
     timings: dict[str, float],
     anchor: dict[str, float],
     factor: float = REGRESSION_FACTOR,
-    min_delta: float = 0.5,
+    min_delta: float = 1.0,
 ) -> dict[str, float]:
     """Queries slower than factor x their anchor time -> ratio.
     ``min_delta`` is an absolute-slack floor: sub-second queries jitter
-    2x on a shared VM without any plan change, so a flag additionally
-    requires the absolute slowdown to exceed min_delta seconds."""
+    2-3x on a shared VM without any plan change (observed repeatedly on
+    untouched queries whose isolated warm time matched the anchor), so
+    a flag additionally requires the absolute slowdown to exceed
+    min_delta seconds — sub-second drift shows up in the total instead,
+    while a genuine 2x regression on any material query still trips."""
     out = {}
     for name, t in timings.items():
         base = anchor.get(name)

@@ -16,7 +16,7 @@ def test_compute_regressions_flags_only_true_regressions():
     # floor (sub-second jitter), new_query unanchored -> only q2
     assert out == {"q2": 2.25}
     # the floor stops masking once the slowdown is material
-    assert bench.compute_regressions({"q4": 1.2}, anchor, factor=2.0) == {"q4": 6.0}
+    assert bench.compute_regressions({"q4": 2.2}, anchor, factor=2.0) == {"q4": 11.0}
 
 
 def test_anchor_file_is_committed_and_covers_registered_queries():
