@@ -655,3 +655,55 @@ def connected_components(
             "(graph diameter too large?) — raise max_iters"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
+def decontaminate(
+    train_df: DataFrame,
+    holdout_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per TRAINING document, the fraction
+    of its distinct word n-gram shingles that also appear anywhere in
+    the HOLDOUT (benchmark/eval) corpus — the standard pre-training
+    hygiene pass that catches test-set leakage verbatim or lightly
+    edited.
+
+    Scale: the holdout shingle set is benchmark-sized (tiny next to
+    the corpus) — the join is keyed on the shingle hash and AQE
+    broadcasts the holdout side when it fits; the training side is one
+    explode + one (doc)-keyed count. Integer counts + one exact
+    division.
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination) for
+    every train doc with >= shingle_n words."""
+    sh_t = _doc_shingles(train_df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hold = (
+        _doc_shingles(holdout_df, text_col, id_col, shingle_n)
+        .select(F.explode("hs").alias("shingle"))
+        .distinct()
+    )
+    inv = sh_t.select(F.col(id_col), F.explode("hs").alias("shingle"))
+    cnt = (
+        inv.join(hold, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        sh_t.select(F.col(id_col), F.size("hs").cast("long").alias("n_shingles"))
+        .join(cnt, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            (
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                / F.col("n_shingles")
+            ).alias("contamination"),
+        )
+    )

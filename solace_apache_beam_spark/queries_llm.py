@@ -391,6 +391,84 @@ def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_coverage",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS b
+            FROM documents)
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_embedding,
+           sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*)
+             AS coverage
+    FROM assigned a LEFT JOIN embeddings e ON a.doc_id = e.vec_id
+    GROUP BY 1
+    """,
+)
+def embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-to-embedding alignment per split: which documents have a
+    vector (doc_id = vec_id), per train/val/test — the coverage
+    manifest before any embedding-dependent stage. One keyed equi-join
+    + one small agg."""
+    from solace_apache_beam_spark.functions.sampling import assign_splits
+
+    docs = assign_splits(load_table(spark, sf_dir, "documents"), "doc_id")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("_vid")
+    )
+    joined = docs.join(emb, docs.doc_id == F.col("_vid"), "left")
+    return joined.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("_vid").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_embedding"),
+        (
+            F.sum(F.when(F.col("_vid").isNotNull(), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("coverage"),
+    )
+
+
+@query(
+    "decontamination_report",
+    oracle=f"""
+    WITH {_DOC_BASE},
+    hold AS (SELECT DISTINCT unnest(hlist) AS shingle FROM hs
+             WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, hlist FROM hs WHERE doc_id % 10 <> 0),
+    cnt AS (
+      SELECT t.doc_id, count(*) AS n_cont
+      FROM (SELECT doc_id, unnest(hlist) AS shingle FROM tr) t
+      JOIN hold ON t.shingle = hold.shingle
+      GROUP BY 1
+    )
+    SELECT tr.doc_id,
+           CAST(len(tr.hlist) AS BIGINT) AS n_shingles,
+           CAST(coalesce(cnt.n_cont, 0) AS BIGINT) AS n_contaminated,
+           coalesce(cnt.n_cont, 0) * 1.0 / len(tr.hlist) AS contamination
+    FROM tr LEFT JOIN cnt ON tr.doc_id = cnt.doc_id
+    """,
+)
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per train doc (doc_id % 10 != 0),
+    the fraction of its shingles found anywhere in the holdout corpus
+    (doc_id % 10 = 0) — the test-set-leakage hygiene pass."""
+    from solace_apache_beam_spark.llm.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+@query(
     "incremental_dedup",
     oracle=f"""
     WITH {_MINHASH_BASE},
