@@ -9,6 +9,8 @@ detectable/idempotent downstream.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -85,3 +87,48 @@ def make_distributed_log_sink(line_logger=None):
         batch_df.foreachPartition(log_partition)
 
     return write
+
+
+def write_training_shards(
+    df: DataFrame, path: str, id_col: str, n_shards: int = 8, salt: str = "shuffle"
+) -> None:
+    """Training-export writer: rows land in `shard=K/` partition
+    directories in the deterministic pseudorandom order of
+    training_shuffle (ORDER BY pos within each shard) — a reader
+    streaming shard files in row order replays the canonical
+    permutation. One shuffle (partitionBy shard) + per-shard sort;
+    every shard is written by exactly one task (repartition on the
+    shard column), so file contents are run-to-run identical."""
+    from solace_apache_beam_spark.functions.sampling import training_shuffle
+
+    addressed = training_shuffle(df, id_col, n_shards, salt)
+    out = addressed.join(df, id_col)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def compact_epochs(spark, table_path: str, partition_by: list[str] | None = None) -> None:
+    """Compaction for make_idempotent_appender tables: fold the
+    accumulated `_epoch_id=N` partitions into a single equivalent
+    table (the 'compact downstream' step its docstring promises).
+    Rewrites to a temp location first, then swaps — readers of the old
+    path see either the old partitioned layout or the compacted one,
+    never a half-delete."""
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(table_path).drop("_epoch_id")
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(table_path) or ".")
+    writer = df.repartition(max(1, df.rdd.getNumPartitions() // 4)).write.mode(
+        "overwrite"
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    shutil.rmtree(table_path)
+    os.rename(tmp, table_path)

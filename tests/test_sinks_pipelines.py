@@ -8,6 +8,7 @@ import os
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from solace_apache_beam_spark.sources import fake_broker
 from solace_apache_beam_spark.streaming.pipelines import (
@@ -380,3 +381,54 @@ def test_distributed_log_sink_logs_all_rows_without_driver_collect(spark, tmp_pa
     files = list(out.iterdir())
     assert len(files) == 100
     assert all("epoch=7" in f.read_text() for f in files)
+
+
+def test_write_training_shards_canonical_order(spark, tmp_path):
+    """The shard writer materializes exactly the training_shuffle
+    permutation: shard=K directories, rows in pos order, content
+    identical across runs."""
+    from solace_apache_beam_spark.functions.sampling import training_shuffle
+    from solace_apache_beam_spark.sinks.warehouse import write_training_shards
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7).alias("payload")
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", n_shards=4)
+
+    import os
+
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shard_dirs) == 4
+    manifest = {
+        (r.shard, r.pos): r.doc_id
+        for r in training_shuffle(df, "doc_id", 4).collect()
+    }
+    back = spark.read.parquet(out)
+    got = {(r.shard, r.pos): r.doc_id for r in back.collect()}
+    assert got == manifest
+    assert back.count() == 200
+
+
+def test_compact_epochs_preserves_rows(spark, tmp_path):
+    """Compaction folds _epoch_id partitions into one equivalent
+    table: same rows, no _epoch_id column, single flat layout."""
+    from solace_apache_beam_spark.sinks.warehouse import (
+        compact_epochs,
+        make_idempotent_appender,
+    )
+
+    table = str(tmp_path / "tbl")
+    appender = make_idempotent_appender(table)
+    appender(spark.range(10).withColumnRenamed("id", "v"), 0)
+    appender(spark.range(10, 25).withColumnRenamed("id", "v"), 1)
+    assert spark.read.parquet(table).count() == 25
+
+    compact_epochs(spark, table)
+    back = spark.read.parquet(table)
+    assert back.columns == ["v"]
+    assert sorted(r.v for r in back.collect()) == list(range(25))
+
+    import os
+
+    assert not any("_epoch_id=" in d for d in os.listdir(table))
