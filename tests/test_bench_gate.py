@@ -28,3 +28,27 @@ def test_anchor_file_is_committed_and_covers_registered_queries():
     # would silently lose its gate
     missing = set(anchor["queries"]) - set(all_queries())
     assert not missing, f"anchored queries no longer registered: {missing}"
+
+
+def test_cli_lists_and_runs(tmp_path, spark):
+    """python -m solace_apache_beam_spark: --list covers the registry;
+    a query runs and writes parquet (reusing the session fixture via
+    direct main() call — a subprocess would boot a second JVM)."""
+    from solace_apache_beam_spark.__main__ import main
+    from solace_apache_beam_spark.registry import all_queries
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--list"]) == 0
+    assert set(buf.getvalue().split()) == set(all_queries())
+
+    out = str(tmp_path / "res")
+    assert main([
+        "wordcount_global", "--sf-dir", "/root/testdata/sf0.001", "--out", out
+    ]) == 0
+    assert spark.read.parquet(out).count() > 0
+
+    assert main(["no_such_query"]) == 2
