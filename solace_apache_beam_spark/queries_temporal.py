@@ -222,3 +222,47 @@ def percentiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_percentiles(
         load_table(spark, sf_dir, "events"), "value", "event_type", "event_id"
     )
+
+
+@query(
+    "expectation_report_lineitem",
+    oracle="""
+    SELECT 'quantity_in_range' AS rule,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_in_range', count(*),
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_positive', count(*),
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'line_key_unique', CAST(sum(c) AS BIGINT), CAST(sum(c - 1) AS BIGINT),
+           sum(c - 1) = 0
+    FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    """,
+)
+def expectation_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over lineitem: range rules in one
+    scan (N rules = N conditional counts in one aggregation) plus a
+    key-uniqueness rule (its own keyed agg) — the validation report a
+    pipeline checks before trusting an input drop."""
+    from solace_apache_beam_spark.functions.expectations import expectation_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return expectation_report(
+        li,
+        rules={
+            "quantity_in_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            "discount_in_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+            "price_positive": F.col("l_extendedprice") <= 0,
+        },
+        unique_keys={"line_key_unique": ["l_orderkey", "l_linenumber"]},
+    )
