@@ -605,10 +605,16 @@ def connected_components(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # initialize straight to min(node, min neighbor): exactly round
+    # one's neighbor-min folded into the init groupBy — one fewer loop
+    # iteration (each costs a join + two shuffles + a checkpoint job)
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mind"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("mind")).alias("label"),
+        )
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
