@@ -261,3 +261,81 @@ def test_resize_payload_matches_reference(spark, payloads):
         for c, bs in cells.items():
             expect[(i, c)] = sum(bs) / len(bs)
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    from solace_apache_beam_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_rep for r in connected_components(pairs).collect()
+    }
+
+    # reference union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    corpus=st.lists(st.integers(0, 4), min_size=1, max_size=8),
+    batch=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+)
+def test_incremental_dedup_exact_statuses_match_reference(spark, corpus, batch):
+    """Exact-dup detection (the deterministic branch — near-dup
+    candidacy is probabilistic and covered by its oracle): batch docs
+    byte-identical to a corpus doc get exact_dup + the smallest
+    matching corpus id."""
+    from solace_apache_beam_spark.llm.dedup import incremental_dedup
+
+    texts = [
+        "alpha beta gamma delta", "epsilon zeta eta theta",
+        "iota kappa lambda mu", "nu xi omicron pi", "rho sigma tau upsilon",
+    ]
+    corpus_rows = [(i, texts[t]) for i, t in enumerate(corpus)]
+    batch_rows = [(100 + i, texts[t]) for i, t in enumerate(batch)]
+    out = {
+        r.doc_id: r
+        for r in incremental_dedup(
+            spark.createDataFrame(batch_rows, "doc_id long, text string"),
+            spark.createDataFrame(corpus_rows, "doc_id long, text string"),
+        ).collect()
+    }
+    assert set(out) == {100 + i for i in range(len(batch))}
+    corpus_by_text: dict[str, int] = {}
+    for i, t in enumerate(corpus):
+        corpus_by_text.setdefault(texts[t], i)
+    for i, t in enumerate(batch):
+        row = out[100 + i]
+        if texts[t] in corpus_by_text:
+            assert row.status == "exact_dup"
+            assert row.match_id == corpus_by_text[texts[t]]
+        else:
+            # the five texts share no trigram shingles, so a
+            # non-identical batch doc can only be unique
+            assert row.status == "unique" and row.match_id is None
