@@ -87,6 +87,13 @@ def main() -> None:
     for name in sorted(queries):
         best = float("inf")
         for _ in range(N_RUNS):
+            # drop persisted frames from the previous run/query: the
+            # CacheManager substitutes any identical cached subtree, so
+            # without this a repeat run of a persist()-using query reads
+            # run 1's materialized cache and times nothing — hiding
+            # regressions inside exactly the expensive pipelines the
+            # gate exists to watch
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -28,6 +28,8 @@ def expectation_report(
     fails). ``unique_keys`` maps rule name -> key columns that must be
     unique (violations = rows beyond the first per duplicate key).
     Output: (rule, n_rows, n_violations, passed) — one row per rule."""
+    if not rules and not unique_keys:
+        raise ValueError("expectation_report needs at least one rule")
     agg_cols = [F.count(F.lit(1)).alias("n_rows")] + [
         F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"v_{i}")
         for i, pred in enumerate(rules.values())

@@ -53,7 +53,13 @@ def kmv_distinct(
     """Per-group distinct-count estimate: (group, est_distinct DOUBLE).
     Exact count is used when a group has fewer than k distinct values
     (the estimator is undefined there, and exact is free at that size)."""
-    hashed = df.select(F.col(group_by), h64(F.col(col).cast("string")).alias("h"))
+    # NULL values don't count toward distinct (COUNT DISTINCT
+    # semantics) — and the filter must run BEFORE the Arrow hop: a
+    # nullable int64 column becomes float64 in pandas, and 60-bit
+    # hashes exceed float64's 53-bit mantissa (silent corruption)
+    hashed = df.select(
+        F.col(group_by), h64(F.col(col).cast("string")).alias("h")
+    ).filter(F.col("h").isNotNull())
     hashes = hashed.mapInPandas(
         _bottom_k_prefilter(group_by, k), hashed.schema
     ).distinct()

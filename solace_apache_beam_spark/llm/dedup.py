@@ -649,7 +649,12 @@ def connected_components(
             .localCheckpoint()  # eager: materializes + truncates lineage
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        # release the superseded round's checkpoint blocks — without
+        # this every round's full labels frame stays in the block
+        # manager for the query's lifetime
+        superseded = labels
         labels = new_labels
+        superseded.unpersist()
         if new_sum == prev_sum:
             converged = True
             break

@@ -515,8 +515,11 @@ def _assign_cells(
                 continue
             qm = _unpack(pdf["qv"])
             cos = _block_scores(qm, b_cmat)
-            cos = np.where(np.isnan(cos), -np.inf, cos)
-            best = cos.argmax(axis=1)  # first max -> smallest cid (sorted)
+            # -inf only for the argmax (NaN would poison it); the
+            # REPORTED cosine keeps the original NaN — the oracle
+            # likewise maps NaN to -inf inside ORDER BY only
+            masked = np.where(np.isnan(cos), -np.inf, cos)
+            best = masked.argmax(axis=1)  # first max -> smallest cid (sorted)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(dtype=np.int64),

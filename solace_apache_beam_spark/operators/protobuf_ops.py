@@ -123,15 +123,29 @@ def spark_protobuf_available(spark: SparkSession) -> bool:
         return False
 
 
+_DESC_PATH: str | None = None
+
+
+def _descriptor_path() -> str:
+    """The descriptor-set temp file, written once per process (the
+    bytes never change — rewriting per call would leak temp files)."""
+    global _DESC_PATH
+    if _DESC_PATH is None or not os.path.exists(_DESC_PATH):
+        fd, path = tempfile.mkstemp(suffix=".desc")
+        with os.fdopen(fd, "wb") as f:
+            f.write(descriptor_set_for_test_message())
+        _DESC_PATH = path
+    return _DESC_PATH
+
+
 def decode_proto_test_native(col: Column | str) -> Column:
     """JVM-side decode via from_protobuf + the hand-built descriptor
-    set (written once to a temp file — from_protobuf takes a path)."""
+    set (from_protobuf takes a file path)."""
     from pyspark.sql.protobuf.functions import from_protobuf
 
-    fd, path = tempfile.mkstemp(suffix=".desc")
-    with os.fdopen(fd, "wb") as f:
-        f.write(descriptor_set_for_test_message())
-    return from_protobuf(col, "Test", descFilePath=path).getField("test")
+    return from_protobuf(col, "Test", descFilePath=_descriptor_path()).getField(
+        "test"
+    )
 
 
 def decode_proto_test_auto(spark: SparkSession, col: Column | str) -> Column:

@@ -79,15 +79,22 @@ def exact_percentiles(
 
     Output: (group, n, p<q> per quantile e.g. p50, p95)."""
     w = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
-    ranked = df.select(group_col, value_col, tiebreak_col).withColumn(
-        "rn", F.row_number().over(w).cast("long")
+    # NULL values are excluded (standard percentile semantics) — and
+    # they must be: Spark ranks NULLS FIRST, DuckDB NULLS LAST, so a
+    # NULL reaching the rank would silently shift every endpoint
+    ranked = (
+        df.select(group_col, value_col, tiebreak_col)
+        .filter(F.col(value_col).isNotNull())
+        .withColumn("rn", F.row_number().over(w).cast("long"))
     )
     counts = (
         ranked.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col(group_col).alias("_g"), "n")
     )
-    j = ranked.join(F.broadcast(counts), F.col(group_col) == F.col("_g"))
+    # no broadcast hint: counts has one row PER GROUP (unbounded
+    # cardinality) — AQE promotes the join when it is genuinely small
+    j = ranked.join(counts, F.col(group_col) == F.col("_g"))
 
     def pos(q: float):
         return F.lit(1.0) + (F.col("n") - F.lit(1)) * F.lit(q)

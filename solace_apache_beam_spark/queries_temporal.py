@@ -184,13 +184,15 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "percentiles_event_value",
     oracle="""
-    WITH ranked AS (
+    WITH nn AS (SELECT event_type, value, event_id FROM events
+                WHERE value IS NOT NULL),
+    ranked AS (
       SELECT event_type, value,
              CAST(row_number() OVER (PARTITION BY event_type
                                      ORDER BY value, event_id) AS BIGINT) AS rn
-      FROM events
+      FROM nn
     ),
-    n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+    n AS (SELECT event_type, count(*) AS n FROM nn GROUP BY 1),
     j AS (SELECT r.event_type, r.value, r.rn, n.n
           FROM ranked r JOIN n ON r.event_type = n.event_type),
     a AS (

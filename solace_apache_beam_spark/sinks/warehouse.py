@@ -116,19 +116,28 @@ def compact_epochs(spark, table_path: str, partition_by: list[str] | None = None
     """Compaction for make_idempotent_appender tables: fold the
     accumulated `_epoch_id=N` partitions into a single equivalent
     table (the 'compact downstream' step its docstring promises).
-    Rewrites to a temp location first, then swaps — readers of the old
-    path see either the old partitioned layout or the compacted one,
-    never a half-delete."""
+
+    Swap protocol: write to a temp dir, move the old table aside to
+    `<path>.bak`, move the compacted data in, then drop the backup.
+    Plain-directory rename is NOT transactional — there is a brief
+    window where the published path is absent (a concurrent reader
+    can see not-found and should retry), but a crash at ANY point
+    leaves a complete copy of the data on disk (in .bak or the temp
+    dir) rather than a half-deleted table. True atomic swap needs a
+    table format with a metadata pointer (Delta/Iceberg)."""
     import shutil
     import tempfile
 
     df = spark.read.parquet(table_path).drop("_epoch_id")
-    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(table_path) or ".")
+    parent = os.path.dirname(table_path) or "."
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=parent)
     writer = df.repartition(max(1, df.rdd.getNumPartitions() // 4)).write.mode(
         "overwrite"
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    shutil.rmtree(table_path)
+    bak = table_path.rstrip("/") + ".bak"
+    os.rename(table_path, bak)
     os.rename(tmp, table_path)
+    shutil.rmtree(bak)

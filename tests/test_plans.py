@@ -63,13 +63,16 @@ def test_funnel_no_full_table_window(spark, sf_dir, queries):
 
 
 def test_percentiles_single_rank_window(spark, sf_dir, queries):
-    """Exact percentiles: one per-group rank window; the count side
-    rides a broadcast, not a shuffle of the ranked table."""
-    plan = queries["percentiles_event_value"](spark, sf_dir)._jdf.queryExecution().explainString(
+    """Exact percentiles: one per-group rank window, and no FORCED
+    broadcast — counts has one row per group (unbounded cardinality),
+    so the join must stay AQE-choosable."""
+    df = queries["percentiles_event_value"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert plan.count("Window ") == 1
-    assert "BroadcastExchange" in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
 
 
 def test_incremental_dedup_no_forced_broadcast(spark, sf_dir, queries):
