@@ -77,31 +77,41 @@ def publish(
     if not os.path.isdir(qdir):
         raise ValueError(f"unknown queue: {queue}")
     path = os.path.join(qdir, "messages.jsonl")
-    start = _count_lines(path)
+    idx_path = os.path.join(qdir, "bytes.idx")
     now_us = int(time.time() * 1_000_000)
-    with open(path, "a") as f:
-        for i, payload in enumerate(payloads):
-            if isinstance(sender_timestamp_us, list):
-                ts_us = sender_timestamp_us[i]
-            else:
-                ts_us = sender_timestamp_us if sender_timestamp_us else now_us
-            f.write(
-                json.dumps(
-                    {
-                        "message_id": start + i,
-                        "payload": payload,
-                        "properties": properties or {},
-                        "priority": 0,
-                        "reply_to": None,
-                        "sender_id": sender_id,
-                        "sender_timestamp_us": ts_us,
-                        "sequence_number": start + i,
-                        "expiration": 0,
-                        "ttl": 0,
-                    }
+    # count-then-append under the queue lock: concurrent publishers
+    # would otherwise read the same start and mint duplicate
+    # message_id/sequence_number values
+    with _locked(path):
+        start = _count_lines(path)
+        cum = _last_cumsum(idx_path, start)
+        with open(path, "a") as f, open(idx_path, "a") as ix:
+            for i, payload in enumerate(payloads):
+                if isinstance(sender_timestamp_us, list):
+                    ts_us = sender_timestamp_us[i]
+                elif sender_timestamp_us is not None:
+                    ts_us = sender_timestamp_us  # 0 = epoch, not "unset"
+                else:
+                    ts_us = now_us
+                f.write(
+                    json.dumps(
+                        {
+                            "message_id": start + i,
+                            "payload": payload,
+                            "properties": properties or {},
+                            "priority": 0,
+                            "reply_to": None,
+                            "sender_id": sender_id,
+                            "sender_timestamp_us": ts_us,
+                            "sequence_number": start + i,
+                            "expiration": 0,
+                            "ttl": 0,
+                        }
+                    )
+                    + "\n"
                 )
-                + "\n"
-            )
+                cum += len((payload or "").encode("utf-8"))
+                ix.write(f"{cum:016d}\n")
 
 
 def _count_lines(path: str) -> int:
@@ -159,13 +169,30 @@ def backlog_messages(broker_dir: str, queue: str) -> int:
     return message_count(broker_dir, queue) - acked_count(broker_dir, queue)
 
 
+_IDX_REC = 17  # 16 digits + newline: fixed-width -> O(1) seeks
+
+
+def _last_cumsum(idx_path: str, n: int) -> int:
+    """Cumulative payload bytes through message n-1 (0 for n=0)."""
+    if n <= 0 or not os.path.exists(idx_path):
+        return 0
+    with open(idx_path, "rb") as f:
+        f.seek((n - 1) * _IDX_REC)
+        return int(f.read(16))
+
+
 def backlog_bytes(broker_dir: str, queue: str) -> int:
     """Un-acked backlog in payload bytes — getSplitBacklogBytes twin:
     `show queue ... current-spool-usage-in-bytes`
-    (UnboundedSolaceReader.java:305-340, MsgBusSempUtil.java:112-147)."""
+    (UnboundedSolaceReader.java:305-340, MsgBusSempUtil.java:112-147).
+    Two O(1) seeks into the fixed-width cumulative-bytes index written
+    at publish — the previous implementation JSON-parsed the whole
+    backlog on every checkpoint commit."""
+    qdir = queue_dir(broker_dir, queue)
+    idx_path = os.path.join(qdir, "bytes.idx")
+    total = message_count(broker_dir, queue)
     acked = acked_count(broker_dir, queue)
-    msgs = read_messages(broker_dir, queue, acked, message_count(broker_dir, queue))
-    return sum(len((m.get("payload") or "").encode("utf-8")) for m in msgs)
+    return _last_cumsum(idx_path, total) - _last_cumsum(idx_path, acked)
 
 
 def read_messages(broker_dir: str, queue: str, start: int, end: int) -> list[dict]:
@@ -187,11 +214,11 @@ def admissible_end(
     bytes stay within max_bytes — always admits at least one message
     when any is available (progress guarantee). The real-broker
     equivalent is a SEMP spool metadata query."""
-    total, end = 0, start
-    for m in read_messages(broker_dir, queue, start, limit):
-        b = len((m.get("payload") or "").encode("utf-8"))
-        if end > start and total + b > max_bytes:
+    idx_path = os.path.join(queue_dir(broker_dir, queue), "bytes.idx")
+    base = _last_cumsum(idx_path, start)
+    end = start
+    while end < limit:
+        if end > start and _last_cumsum(idx_path, end + 1) - base > max_bytes:
             break
-        total += b
         end += 1
     return end

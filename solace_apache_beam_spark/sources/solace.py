@@ -88,7 +88,7 @@ def _validate_options(options: dict) -> tuple[str, list[str]]:
     queues = [q.strip() for q in queues_opt.split(",") if q.strip()]
     if not queues:
         raise ValueError("option 'queues' must list at least one queue")
-    for opt in ("maxrecordsperbatch", "maxrecords", "maxreadtimems"):
+    for opt in ("maxrecordsperbatch", "maxrecords", "maxreadtimems", "maxbytesperbatch"):
         if opt in options and int(options[opt]) <= 0:
             raise ValueError(f"option '{opt}' must be > 0")
     if not os.path.isdir(path):
@@ -112,11 +112,14 @@ def display_options(options: dict) -> dict:
 
 
 def _ts(us: int | None) -> _dt.datetime | None:
+    """Microseconds-since-epoch -> tz-AWARE UTC datetime. Spark
+    interprets a naive datetime in the session timezone — stripping
+    tzinfo here would shift every instant by the tz offset on any
+    non-UTC session; an aware value is converted to the true instant
+    regardless of session tz."""
     if us is None:
         return None
-    return _dt.datetime.fromtimestamp(us / 1_000_000, tz=_dt.timezone.utc).replace(
-        tzinfo=None
-    )
+    return _dt.datetime.fromtimestamp(us / 1_000_000, tz=_dt.timezone.utc)
 
 
 class QueueSlicePartition(InputPartition):
@@ -161,7 +164,10 @@ def _split_ranges(
 
 
 def _read_partition(
-    path: str, part: QueueSlicePartition, use_sender_ts: bool
+    path: str,
+    part: QueueSlicePartition,
+    use_sender_ts: bool,
+    advance_watermark: bool = True,
 ) -> Iterator[tuple]:
     msgs = fake_broker.read_messages(path, part.queue, part.start, part.end)
     now = _ts(int(time.time() * 1_000_000))
@@ -184,7 +190,7 @@ def _read_partition(
             m.get("ttl", 0),
             event_time,
         )
-    if msgs:
+    if msgs and advance_watermark:
         fake_broker.advance_delivered(path, part.queue, part.end)
 
 
@@ -317,7 +323,12 @@ class SolaceBatchReader(DataSourceReader):
         return _split_ranges(self.path, self.queues, start, end)
 
     def read(self, partition: QueueSlicePartition) -> Iterator[tuple]:
-        return _read_partition(self.path, partition, self.use_sender_ts)
+        # a bounded sample leaves the queue intact: it must not move
+        # the delivered watermark either, or a later FIRST streaming
+        # read would wrongly flag everything redelivered
+        return _read_partition(
+            self.path, partition, self.use_sender_ts, advance_watermark=False
+        )
 
 
 class SolaceDataSource(DataSource):

@@ -93,7 +93,33 @@ def sessionize(
     watermark: str = "0 seconds",
 ) -> DataFrame:
     """Close a key's session once the watermark passes last_event + gap;
-    emit the closed session exactly once. Use outputMode('append')."""
+    emit the closed session exactly once. Use outputMode('append').
+
+    Gap separation is enforced WITHIN a batch too: the batch's events
+    are sorted and split wherever consecutive timestamps are more than
+    the gap apart — two bursts landing in one microbatch close the
+    first session immediately instead of fusing (the timeout alone can
+    only separate sessions across batches). Null timestamps are
+    dropped (a NaT would otherwise poison the bounds with the int64
+    sentinel). Late events older than the open session merge into it
+    (same tolerance the watermark grants)."""
+    gap_us = gap_seconds * 1_000_000
+
+    def _emit(sessions: list) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": pd.Series([s[3] for s in sessions], dtype=object),
+                "session_start": pd.Series(
+                    [pd.Timestamp(s[0], unit="us") for s in sessions],
+                    dtype="datetime64[ns]",
+                ),
+                "session_end": pd.Series(
+                    [pd.Timestamp(s[1], unit="us") for s in sessions],
+                    dtype="datetime64[ns]",
+                ),
+                "n_events": pd.Series([s[2] for s in sessions], dtype="int64"),
+            }
+        )
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -101,40 +127,30 @@ def sessionize(
         if state.hasTimedOut:
             start_us, end_us, n = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "key": [key[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(end_us, unit="us")],
-                    "n_events": [n],
-                }
-            )
+            yield _emit([(start_us, end_us, n, key[0])])
             return
-        lo, hi, n = None, None, 0
+        ts_us: list[int] = []
         for pdf in pdfs:
-            ts = pd.to_datetime(pdf[ts_col])
-            if len(ts) == 0:
-                continue
-            b_lo = ts.min().value // 1000
-            b_hi = ts.max().value // 1000
-            lo = b_lo if lo is None else min(lo, b_lo)
-            hi = b_hi if hi is None else max(hi, b_hi)
-            n += len(ts)
-        if n:
-            if state.exists:
-                s0, e0, n0 = state.get
-                lo, hi, n = min(lo, s0), max(hi, e0), n + n0
-            state.update((lo, hi, n))
+            ts = pd.to_datetime(pdf[ts_col]).dropna()
+            ts_us.extend((ts.astype("int64") // 1000).tolist())
+        closed: list = []
+        if ts_us:
+            ts_us.sort()
+            cur = list(state.get) if state.exists else None
+            for t in ts_us:
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t > cur[1] + gap_us:
+                    closed.append((cur[0], cur[1], cur[2], key[0]))
+                    cur = [t, t, 1]
+                else:
+                    cur[0] = min(cur[0], t)
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+            state.update((cur[0], cur[1], cur[2]))
             # event-time timeout: fires when watermark > end + gap
-            state.setTimeoutTimestamp(hi // 1000 + gap_seconds * 1000)
-        yield pd.DataFrame(
-            {
-                "key": pd.Series([], dtype=object),
-                "session_start": pd.Series([], dtype="datetime64[ns]"),
-                "session_end": pd.Series([], dtype="datetime64[ns]"),
-                "n_events": pd.Series([], dtype="int64"),
-            }
-        )
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+        yield _emit(closed)
 
     return (
         stream.withWatermark(ts_col, watermark)

@@ -208,3 +208,41 @@ def test_funnel_progress_resumes_from_checkpoint(spark, broker, tmp_path):
         .collect()
     )
     assert {r.key: r.s for r in got} == {"u1": 2}  # view before + click after
+
+
+def test_sessionize_splits_gap_within_one_batch(spark, broker, tmp_path):
+    """Two bursts separated by >> gap arriving in ONE microbatch must
+    close as two sessions — the in-batch gap split, not just the
+    cross-batch timeout."""
+    base_us = 1_700_000_000_000_000
+    hour = 3_600_000_000
+    fake_broker.publish(
+        broker,
+        "q1",
+        ["a", "b", "c", "d"],
+        sender_timestamp_us=[
+            base_us,
+            base_us + 1_000_000,
+            base_us + hour,          # > 30s gap -> new session
+            base_us + hour + 2_000_000,
+        ],
+    )
+    stream = open_stream(spark, broker, ["q1"])
+    q = (
+        sessionize(stream, gap_seconds=30)
+        .writeStream.format("memory")
+        .queryName("sess_split")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_split"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT session_start, session_end, n_events FROM sess_split ORDER BY session_start"
+    ).collect()
+    # the FIRST burst closed in-batch (the second stays open awaiting
+    # its timeout, unemitted)
+    assert len(rows) == 1
+    assert rows[0].n_events == 2
+    assert (rows[0].session_end - rows[0].session_start).total_seconds() == 1.0
