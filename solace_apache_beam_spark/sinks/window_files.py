@@ -5,7 +5,12 @@ The reference writes one text file per event-time window with names
 IntervalWindow bounds (common/WriteOneFilePerWindow.java:95-112,
 FileWriterPTransform.java:36-42). Documented divergence: Spark
 microbatches have no Beam pane index, so panes never appear in names;
-repeated triggers for the same window overwrite (update semantics).
+repeated triggers for the same window overwrite (update semantics) —
+including removing the previous trigger's shard files first, so a
+different shard count can never leave stale -of-N files beside the new
+set. Reference-parity caveat: names carry HH.mm only (exactly the
+reference's format), so two windows 24h apart collide — jobs spanning
+days should write into per-date output dirs.
 
 Used through ``writeStream.foreachBatch(make_window_file_writer(...))``.
 Per batch the distinct-window list is tiny (bounded by the watermark),
@@ -39,6 +44,9 @@ def write_window_files(
     """Write one text file set per distinct window in ``df``. Returns the
     paths written."""
     os.makedirs(output_dir, exist_ok=True)
+    # the loop filters the SAME batch frame once per window — persist,
+    # or the upstream lineage recomputes per window (W+1 jobs per batch)
+    df = df.persist()
     windows = [
         (r[0], r[1])
         for r in df.select(window_start_col, window_end_col).distinct().collect()
@@ -60,6 +68,13 @@ def write_window_files(
             f for f in os.listdir(staging) if f.startswith("part-")
         )
         n = len(parts)
+        # drop the previous trigger's files for this window FIRST: a
+        # re-trigger with a different part count would otherwise leave
+        # stale -of-N shards beside the new set
+        window_prefix = f"{prefix}-{_fmt(start)}-{_fmt(end)}-"
+        for old in os.listdir(output_dir):
+            if old.startswith(window_prefix):
+                os.remove(os.path.join(output_dir, old))
         for shard, part in enumerate(parts):
             name = f"{prefix}-{_fmt(start)}-{_fmt(end)}-{shard:05d}-of-{n:05d}"
             if suffix:
@@ -69,6 +84,7 @@ def write_window_files(
         for leftover in os.listdir(staging):
             os.remove(os.path.join(staging, leftover))
         os.rmdir(staging)
+    df.unpersist()
     return written
 
 

@@ -47,13 +47,23 @@ class ProgressCollector(StreamingQueryListener):
         pass
 
     def totals(self, name: str) -> dict:
-        """Aggregate view for one query: total input rows + last
-        observed metrics."""
+        """Aggregate view for one query: total input rows + observed
+        metrics SUMMED across microbatches where numeric (df.observe
+        aggregates are per-batch — last-wins would undercount a
+        counter whose events span batches); non-numeric values keep
+        the latest."""
         rows = [b for b in self.batches if b["name"] == name]
         observed: dict = {}
         for b in rows:
-            for k, v in b["observed"].items():
-                observed[k] = v
+            for obs_name, metrics in b["observed"].items():
+                acc = observed.setdefault(obs_name, {})
+                for k, v in metrics.items():
+                    if isinstance(v, (int, float)) and isinstance(
+                        acc.get(k), (int, float)
+                    ):
+                        acc[k] = acc[k] + v
+                    else:
+                        acc[k] = v
         return {
             "num_input_rows": sum(b["num_input_rows"] for b in rows),
             "observed": observed,

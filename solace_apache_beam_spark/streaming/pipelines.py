@@ -44,9 +44,11 @@ def open_stream(
         .option("queues", ",".join(queues))
         .option("useSenderTimestamp", str(use_sender_timestamp).lower())
     )
-    if max_records_per_batch:
+    # `is not None`, not truthiness: 0 must reach the source and fail
+    # its positive-value validation, not silently become "unlimited"
+    if max_records_per_batch is not None:
         reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))
-    if max_read_time_ms:
+    if max_read_time_ms is not None:
         reader = reader.option("maxReadTimeMs", str(max_read_time_ms))
     return reader.load()
 
@@ -68,7 +70,7 @@ def read_bounded(
         .option("queues", ",".join(queues))
         .option("useSenderTimestamp", str(use_sender_timestamp).lower())
     )
-    if max_records:
+    if max_records is not None:
         reader = reader.option("maxRecords", str(max_records))
     return reader.load()
 
