@@ -46,11 +46,50 @@ def _load() -> None:
     from solace_apache_beam_spark import queries_temporal as _qt  # noqa: F401
 
 
+# The driver's correctness snapshot records at most ~50 queries per round,
+# enumerated in dict insertion order.  Queries that have never had a full
+# oracle-gated driver row (or whose only row predates their oracle, e.g.
+# sequence_packing's rows-only r01 row) must enumerate first so the gate
+# covers them; next come queries last verified in round 1 only.  Everything
+# else keeps registration order.
+_PRIORITY: tuple[str, ...] = (
+    # never driver-verified through round 2
+    "asof_click_view",
+    "range_join_error_clicks",
+    "hypertable_rollup_events",
+    "dedup_clusters",
+    "dedup_rate_report",
+    "chunk_documents",
+    "kmv_distinct_parts",
+    "sequence_packing",
+    "funnel_view_click_purchase",
+    "percentiles_event_value",
+    "expectation_report_lineitem",
+    # green in round 1 only (rotated out of the round-2 snapshot)
+    "multimodal_frame_sample",
+    "text_normalize",
+    "text_pii_redact",
+    "ann_ivf_cosine",
+    "dedup_simhash_pairs",
+    "sample_documents_10pct",
+    "split_train_val_test",
+    "corpus_stats",
+    "stratified_sample_lineitem",
+    "training_shard_stats",
+)
+
+
+def _ordered(mapping: dict) -> dict:
+    head = {n: mapping[n] for n in _PRIORITY if n in mapping}
+    tail = {n: v for n, v in mapping.items() if n not in head}
+    return {**head, **tail}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
