@@ -106,8 +106,13 @@ def main() -> None:
     regressions = compute_regressions(timings, anchor)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # the driver parses this single JSON line from stdout: flush stderr
+    # first and lead with a newline so any \r-terminated progress output
+    # can't share the line, then make the JSON the final stdout content
+    sys.stderr.flush()
+    sys.stdout.write(
+        "\n"
+        + json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
@@ -117,7 +122,9 @@ def main() -> None:
                 "regressions": regressions,
             }
         )
+        + "\n"
     )
+    sys.stdout.flush()
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
         sys.exit(1)
 

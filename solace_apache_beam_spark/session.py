@@ -40,6 +40,10 @@ def get_spark(
         # load_table (micros truncation matches DuckDB/Arrow semantics)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # the console progress bar writes \r-interleaved lines that can
+        # corrupt machine-parsed stdout (the driver reads bench.py's one
+        # JSON line); no progress bar in any programmatic session
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
