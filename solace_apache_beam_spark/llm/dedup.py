@@ -149,20 +149,25 @@ def _shingle_hash_udf(shingle_n: int):
 
     @pandas_udf("array<bigint>")
     def sh(words: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        # per-Arrow-batch memo: near-dup corpora repeat shingles heavily
+        # across documents, so most md5 calls are cache hits; the dict is
+        # bounded by the batch's distinct-shingle count and freed with it.
+        # digest()[:4] big-endian == int(hexdigest()[:8], 16) — same value,
+        # no hex round-trip.
+        memo: dict[str, int] = {}
         out = []
         for w in words:
-            grams = {
-                " ".join(w[i : i + shingle_n])
-                for i in range(len(w) - shingle_n + 1)
-            }
-            out.append(
-                sorted(
-                    {
-                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
-                        for g in grams
-                    }
-                )
-            )
+            hs = set()
+            for i in range(len(w) - shingle_n + 1):
+                g = " ".join(w[i : i + shingle_n])
+                h = memo.get(g)
+                if h is None:
+                    h = from_bytes(md5(g.encode("utf-8")).digest()[:4], "big")
+                    memo[g] = h
+                hs.add(h)
+            out.append(sorted(hs))
         return pd.Series(out)
 
     return sh
