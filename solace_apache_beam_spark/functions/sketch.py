@@ -24,8 +24,6 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from solace_apache_beam_spark.functions.hashing import h64
 
 HASH_SPACE = float(1 << 60)  # h64 = 15 hex chars = 60 bits
@@ -60,18 +58,27 @@ def kmv_distinct(
     hashed = df.select(
         F.col(group_by), h64(F.col(col).cast("string")).alias("h")
     ).filter(F.col("h").isNotNull())
-    hashes = hashed.mapInPandas(
-        _bottom_k_prefilter(group_by, k), hashed.schema
-    ).distinct()
-    w = Window.partitionBy(group_by).orderBy("h")
-    ranked = hashes.withColumn("rn", F.row_number().over(w))
-    per_group = ranked.groupBy(group_by).agg(
-        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
-        F.count(F.lit(1)).alias("nd"),
+    # ONE shuffle keyed by the group: the prefilter bounds each group's
+    # contribution to k rows per Arrow batch, so collect_list is bounded;
+    # dedup + sort + bottom-k all happen inside the aggregate. (This
+    # replaces a distinct shuffle on (group, h) plus a row_number window
+    # sort — two extra shuffles for the same answer.)
+    prefiltered = hashed.mapInPandas(_bottom_k_prefilter(group_by, k), hashed.schema)
+    per_group = prefiltered.groupBy(group_by).agg(
+        F.slice(F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k).alias(
+            "bottom"
+        )
     )
     return per_group.select(
         F.col(group_by),
-        F.when(F.col("kth").isNull(), F.col("nd").cast("double"))
-        .otherwise(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth"))
+        F.when(
+            F.size("bottom") < k,
+            # fewer than k distinct values survive the lossless prefilter
+            # only when the group's TRUE distinct count is < k -> exact
+            F.size("bottom").cast("double"),
+        )
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.element_at("bottom", k)
+        )
         .alias("est_distinct"),
     )

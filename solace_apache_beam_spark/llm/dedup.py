@@ -331,26 +331,45 @@ def ngram_jaccard_pairs(
     max_df): per-doc sizes count only retained shingles, so intersection
     and sizes live in the same universe and the ratio is a true Jaccard
     there — not a biased estimate of the uncut value."""
-    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    # sh feeds the inverted index AND the map-side doc sizes — persist so
+    # the Arrow shingle kernel runs once (small: one row per doc)
+    sh = _doc_shingles(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     inv = sh.select(F.col(id_col), F.explode("hs").alias("shingle"))
-    # single groupBy builds the postings lists AND applies the df cutoff
-    # (postings length == document frequency) — the shingle pipeline is
-    # computed once and shuffled once, vs a df-count join + self-join
-    # that recomputes it three times. Postings arrays are bounded by
-    # max_df, so no group row exceeds max_df ids (skew guard). Persisted:
-    # feeds the pair counts AND the retained-universe doc sizes.
-    grouped = (
+    # single groupBy builds the postings lists AND document frequency
+    # (postings length == df) — the shingle pipeline is computed once and
+    # shuffled once, vs a df-count join + self-join that recomputes it
+    # three times. Only multi-occurrence shingles persist: singletons
+    # (the vast majority of a natural corpus) generate no pairs, and the
+    # retained-universe doc sizes are derived map-side from sh below —
+    # so the persisted set shrinks from every-distinct-shingle to just
+    # the collision groups. Postings arrays for pair generation are
+    # bounded by max_df (skew guard).
+    multi = (
         inv.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") <= max_df)
+        .filter(F.size("ids") > 1)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = (
-        grouped.select(F.explode("ids").alias(id_col))
+    # retained size = all distinct shingles (map-side, free from sh)
+    # minus this doc's shingles in over-max_df buckets (a small set by
+    # construction: at most total-shingle-instances / max_df buckets)
+    heavy_counts = (
+        multi.filter(F.size("ids") > max_df)
+        .select(F.explode("ids").alias(id_col))
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.count(F.lit(1)).alias("n_heavy"))
     )
-    postings = grouped.filter(F.size("ids") > 1)
+    sizes = (
+        sh.select(F.col(id_col), F.size("hs").alias("base_sz"))
+        .join(heavy_counts, id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.col("base_sz") - F.coalesce("n_heavy", F.lit(0))).alias("sz"),
+        )
+    )
+    postings = multi.filter(F.size("ids") <= max_df)
     inter = (
         postings.select(_pairs_within_group(F.col("ids")).alias("p"))
         .groupBy("p.doc_a", "p.doc_b")
