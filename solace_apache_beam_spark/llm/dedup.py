@@ -604,6 +604,18 @@ def incremental_dedup(
     return exact_out.union(near_out).union(unique_out)
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage of a ``localCheckpoint()``-ed
+    frame. ``DataFrame.unpersist()`` only removes CacheManager entries,
+    and a checkpointed frame was never registered there — its blocks
+    belong to the checkpointed RDD inside the plan's LogicalRDD leaf.
+    After release the frame cannot be recomputed (lineage was
+    truncated): only call on frames no round will read again."""
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() == "LogicalRDD":
+        plan.rdd().unpersist(False)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -675,10 +687,11 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         # release the superseded round's checkpoint blocks — without
         # this every round's full labels frame stays in the block
-        # manager for the query's lifetime
+        # manager for the query's lifetime (must go through the RDD:
+        # DataFrame.unpersist() is a no-op for checkpointed frames)
         superseded = labels
         labels = new_labels
-        superseded.unpersist()
+        _release_local_checkpoint(superseded)
         if new_sum == prev_sum:
             converged = True
             break

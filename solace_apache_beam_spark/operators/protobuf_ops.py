@@ -34,24 +34,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _encode_one(text: str) -> bytes:
-    payload = text.encode("utf-8")
-    out = bytearray([0x0A])
-    n = len(payload)
-    while True:  # varint
+def _varint_bytes(n: int) -> bytes:
+    out = bytearray()
+    while True:
         b = n & 0x7F
         n >>= 7
         out.append(b | (0x80 if n else 0))
         if not n:
-            break
-    out.extend(payload)
-    return bytes(out)
+            return bytes(out)
 
 
-def _decode_one(raw: bytes) -> str | None:
-    if raw is None or len(raw) < 2 or raw[0] != 0x0A:
+def _encode_one(text: str, field: int = 1) -> bytes:
+    payload = text.encode("utf-8")
+    return (
+        _varint_bytes((field << 3) | 2) + _varint_bytes(len(payload)) + payload
+    )
+
+
+def _decode_one(raw: bytes, field: int = 1) -> str | None:
+    tag = _varint_bytes((field << 3) | 2)
+    if raw is None or not raw.startswith(tag) or len(raw) < len(tag) + 1:
         return None
-    n, shift, i = 0, 0, 1
+    n, shift, i = 0, 0, len(tag)
     while True:
         if i >= len(raw):
             return None
@@ -64,6 +68,32 @@ def _decode_one(raw: bytes) -> str | None:
     if i + n > len(raw):
         return None
     return raw[i : i + n].decode("utf-8")
+
+
+def encode_proto_string_field(col: Column | str, field_number: int = 1) -> Column:
+    """Arrow encoder for a single-string-field message with the given
+    field number (wire type 2)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: None if t is None else _encode_one(t, field_number)
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return enc(c)
+
+
+def decode_proto_string_field(col: Column | str, field_number: int = 1) -> Column:
+    """Arrow wire parser for a single-string-field message with the
+    given field number — the jar-less fallback path."""
+
+    @F.pandas_udf(T.StringType())
+    def dec(raws: pd.Series) -> pd.Series:
+        return raws.map(lambda r: _decode_one(r, field_number))
+
+    c = F.col(col) if isinstance(col, str) else col
+    return dec(c)
 
 
 @F.pandas_udf(T.BinaryType())
@@ -100,16 +130,34 @@ def _vi(field: int, value: int) -> bytes:
     return _varint(field << 3) + _varint(value)
 
 
-def descriptor_set_for_test_message() -> bytes:
-    """``FileDescriptorSet`` for ``message Test { required string test
-    = 1; }`` — hand-encoded from the public descriptor.proto schema
-    (FieldDescriptorProto: name=1, number=3, label=4, type=5;
-    LABEL_REQUIRED=2, TYPE_STRING=9). Byte-equivalent to what
-    ``protoc --descriptor_set_out`` emits for TestProtobuf.proto."""
-    field = _ld(1, b"test") + _vi(3, 1) + _vi(4, 2) + _vi(5, 9)
-    message = _ld(1, b"Test") + _ld(2, field)
-    file_proto = _ld(1, b"TestProtobuf.proto") + _ld(4, message) + _ld(12, b"proto2")
+def descriptor_set_for_string_message(
+    message_name: str,
+    field_name: str,
+    field_number: int = 1,
+    file_name: str | None = None,
+) -> bytes:
+    """``FileDescriptorSet`` for ``message <Name> { required string
+    <field> = <number>; }`` — hand-encoded from the public
+    descriptor.proto schema (FieldDescriptorProto: name=1, number=3,
+    label=4, type=5; LABEL_REQUIRED=2, TYPE_STRING=9). Byte-equivalent
+    to ``protoc --descriptor_set_out`` for the same .proto."""
+    field = (
+        _ld(1, field_name.encode("utf-8"))
+        + _vi(3, field_number)
+        + _vi(4, 2)
+        + _vi(5, 9)
+    )
+    message = _ld(1, message_name.encode("utf-8")) + _ld(2, field)
+    fname = (file_name or f"{message_name}.proto").encode("utf-8")
+    file_proto = _ld(1, fname) + _ld(4, message) + _ld(12, b"proto2")
     return _ld(1, file_proto)
+
+
+def descriptor_set_for_test_message() -> bytes:
+    """The reference's ``Test`` message (examples/TestProtobuf.proto:5-7)."""
+    return descriptor_set_for_string_message(
+        "Test", "test", 1, file_name="TestProtobuf.proto"
+    )
 
 
 def spark_protobuf_available(spark: SparkSession) -> bool:
@@ -123,29 +171,39 @@ def spark_protobuf_available(spark: SparkSession) -> bool:
         return False
 
 
-_DESC_PATH: str | None = None
+_DESC_PATHS: dict[bytes, str] = {}
 
 
-def _descriptor_path() -> str:
-    """The descriptor-set temp file, written once per process (the
-    bytes never change — rewriting per call would leak temp files)."""
-    global _DESC_PATH
-    if _DESC_PATH is None or not os.path.exists(_DESC_PATH):
+def _descriptor_path(desc_bytes: bytes) -> str:
+    """Temp file holding a descriptor set, written once per process per
+    distinct content (rewriting per call would leak temp files)."""
+    path = _DESC_PATHS.get(desc_bytes)
+    if path is None or not os.path.exists(path):
         fd, path = tempfile.mkstemp(suffix=".desc")
         with os.fdopen(fd, "wb") as f:
-            f.write(descriptor_set_for_test_message())
-        _DESC_PATH = path
-    return _DESC_PATH
+            f.write(desc_bytes)
+        _DESC_PATHS[desc_bytes] = path
+    return path
+
+
+def decode_proto_native(
+    col: Column | str, message_name: str, desc_file_path: str
+) -> Column:
+    """JVM-side decode of ANY message type via ``from_protobuf`` and a
+    caller-supplied descriptor-set file (e.g. from ``protoc
+    --descriptor_set_out``) — whole-stage codegen decode, returns the
+    struct column. Requires the spark-protobuf jar."""
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    return from_protobuf(col, message_name, descFilePath=desc_file_path)
 
 
 def decode_proto_test_native(col: Column | str) -> Column:
     """JVM-side decode via from_protobuf + the hand-built descriptor
     set (from_protobuf takes a file path)."""
-    from pyspark.sql.protobuf.functions import from_protobuf
-
-    return from_protobuf(col, "Test", descFilePath=_descriptor_path()).getField(
-        "test"
-    )
+    return decode_proto_native(
+        col, "Test", _descriptor_path(descriptor_set_for_test_message())
+    ).getField("test")
 
 
 def decode_proto_test_auto(spark: SparkSession, col: Column | str) -> Column:
@@ -155,3 +213,24 @@ def decode_proto_test_auto(spark: SparkSession, col: Column | str) -> Column:
         return decode_proto_test_native(col)
     c = F.col(col) if isinstance(col, str) else col
     return decode_proto_test(c)
+
+
+def decode_proto_string_auto(
+    spark: SparkSession,
+    col: Column | str,
+    message_name: str,
+    field_name: str,
+    field_number: int = 1,
+    desc_file_path: str | None = None,
+) -> Column:
+    """Generalized auto decode for single-string-field messages: JVM
+    ``from_protobuf`` when the jar is present (descriptor set supplied
+    by the caller or hand-built here), Arrow wire parser otherwise."""
+    if spark_protobuf_available(spark):
+        path = desc_file_path or _descriptor_path(
+            descriptor_set_for_string_message(
+                message_name, field_name, field_number
+            )
+        )
+        return decode_proto_native(col, message_name, path).getField(field_name)
+    return decode_proto_string_field(col, field_number)

@@ -112,32 +112,75 @@ def write_training_shards(
     )
 
 
+COMPACTED_EPOCH = -1
+"""Sentinel ``_epoch_id`` for compacted data. Stream epochs are
+non-negative, so a replayed microbatch's dynamic partition overwrite
+can never clobber the compacted partition."""
+
+
+def _epoch_dirs(table_path: str) -> dict[str, str]:
+    """name -> full path of the `_epoch_id=N` partition dirs present."""
+    try:
+        names = os.listdir(table_path)
+    except FileNotFoundError:
+        return {}
+    return {
+        n: os.path.join(table_path, n)
+        for n in names
+        if n.startswith("_epoch_id=")
+    }
+
+
 def compact_epochs(spark, table_path: str, partition_by: list[str] | None = None) -> None:
     """Compaction for make_idempotent_appender tables: fold the
-    accumulated `_epoch_id=N` partitions into a single equivalent
-    table (the 'compact downstream' step its docstring promises).
+    accumulated `_epoch_id=N` partitions into one equivalent
+    `_epoch_id=-1` partition (the 'compact downstream' step its
+    docstring promises). The table STAYS `_epoch_id`-partitioned, so a
+    live appender keeps working across compactions and a replayed epoch
+    still replaces only its own partition — readers drop `_epoch_id` if
+    they don't want the provenance column.
+
+    Concurrent-writer safety: only the epoch dirs present at snapshot
+    time are compacted (explicit dir list, not a whole-table read), and
+    after the swap any `_epoch_id=N` dirs that a concurrent appender
+    COMMITTED between the snapshot and the rename are moved from the
+    backup into the new table before the backup is dropped — committed
+    epochs are never lost. An appender mid-commit DURING the rename
+    itself can still strand its in-flight temp files; pause writers
+    around the (brief) swap for full safety.
 
     Swap protocol: write to a temp dir, move the old table aside to
-    `<path>.bak`, move the compacted data in, then drop the backup.
-    Plain-directory rename is NOT transactional — there is a brief
-    window where the published path is absent (a concurrent reader
-    can see not-found and should retry), but a crash at ANY point
-    leaves a complete copy of the data on disk (in .bak or the temp
-    dir) rather than a half-deleted table. True atomic swap needs a
-    table format with a metadata pointer (Delta/Iceberg)."""
+    `<path>.bak`, move the compacted data in, re-append late epochs,
+    then drop the backup. Plain-directory rename is NOT transactional —
+    there is a brief window where the published path is absent (a
+    concurrent reader can see not-found and should retry), but a crash
+    at ANY point leaves a complete copy of the data on disk (in .bak or
+    the temp dir) rather than a half-deleted table. True atomic swap
+    needs a table format with a metadata pointer (Delta/Iceberg)."""
     import shutil
     import tempfile
 
-    df = spark.read.parquet(table_path).drop("_epoch_id")
+    snapshot = _epoch_dirs(table_path)
+    if not snapshot:
+        return
+    df = (
+        spark.read.option("basePath", table_path)
+        .parquet(*snapshot.values())
+        .withColumn("_epoch_id", F.lit(COMPACTED_EPOCH))
+    )
     parent = os.path.dirname(table_path) or "."
     tmp = tempfile.mkdtemp(prefix="compact_", dir=parent)
-    writer = df.repartition(max(1, df.rdd.getNumPartitions() // 4)).write.mode(
-        "overwrite"
+    writer = (
+        df.repartition(max(1, df.rdd.getNumPartitions() // 4))
+        .write.mode("overwrite")
+        .partitionBy(*(["_epoch_id"] + (partition_by or [])))
     )
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
     bak = table_path.rstrip("/") + ".bak"
     os.rename(table_path, bak)
     os.rename(tmp, table_path)
+    # epochs committed after the snapshot: whole-dir moves, no rewrite
+    for name, _ in sorted(_epoch_dirs(bak).items()):
+        if name not in snapshot:
+            os.rename(os.path.join(bak, name), os.path.join(table_path, name))
     shutil.rmtree(bak)

@@ -84,6 +84,10 @@ def publish(
     # message_id/sequence_number values
     with _locked(path):
         start = _count_lines(path)
+        if _idx_len(idx_path) < start:
+            # lost/partial index (pre-index queue dir): rebuild before
+            # appending so the cumulative base is correct
+            _rebuild_bytes_idx_unlocked(path, idx_path)
         cum = _last_cumsum(idx_path, start)
         with open(path, "a") as f, open(idx_path, "a") as ix:
             for i, payload in enumerate(payloads):
@@ -181,17 +185,52 @@ def _last_cumsum(idx_path: str, n: int) -> int:
         return int(f.read(16))
 
 
+def _idx_len(idx_path: str) -> int:
+    try:
+        return os.path.getsize(idx_path) // _IDX_REC
+    except FileNotFoundError:
+        return 0
+
+
+def _rebuild_bytes_idx_unlocked(msg_path: str, idx_path: str) -> None:
+    """(Re)build the cumulative-bytes index from the message log.
+    Caller must hold the queue's publish lock."""
+    tmp = idx_path + ".rebuild"
+    cum = 0
+    with open(msg_path) as f, open(tmp, "w") as ix:
+        for line in f:
+            cum += len((json.loads(line).get("payload") or "").encode("utf-8"))
+            ix.write(f"{cum:016d}\n")
+    os.replace(tmp, idx_path)
+
+
+def _rebuild_bytes_idx(qdir: str, idx_path: str) -> None:
+    """Lazily (re)build the cumulative-bytes index from the message log
+    — covers queue dirs populated before the index existed or with a
+    lost/partial idx file. Runs under the publish lock so a concurrent
+    publisher can't interleave appends mid-rebuild."""
+    msg_path = os.path.join(qdir, "messages.jsonl")
+    with _locked(msg_path):
+        if _idx_len(idx_path) >= _count_lines(msg_path):
+            return  # another process rebuilt while we waited
+        _rebuild_bytes_idx_unlocked(msg_path, idx_path)
+
+
 def backlog_bytes(broker_dir: str, queue: str) -> int:
     """Un-acked backlog in payload bytes — getSplitBacklogBytes twin:
     `show queue ... current-spool-usage-in-bytes`
     (UnboundedSolaceReader.java:305-340, MsgBusSempUtil.java:112-147).
     Two O(1) seeks into the fixed-width cumulative-bytes index written
     at publish — the previous implementation JSON-parsed the whole
-    backlog on every checkpoint commit."""
+    backlog on every checkpoint commit. A missing or short index (queue
+    dir populated before the index existed) is rebuilt lazily from the
+    log instead of silently reporting 0."""
     qdir = queue_dir(broker_dir, queue)
     idx_path = os.path.join(qdir, "bytes.idx")
     total = message_count(broker_dir, queue)
     acked = acked_count(broker_dir, queue)
+    if _idx_len(idx_path) < total:
+        _rebuild_bytes_idx(qdir, idx_path)
     return _last_cumsum(idx_path, total) - _last_cumsum(idx_path, acked)
 
 

@@ -46,20 +46,30 @@ class ProgressCollector(StreamingQueryListener):
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
 
-    def totals(self, name: str) -> dict:
+    def totals(self, name: str, gauges: frozenset | set | tuple = ()) -> dict:
         """Aggregate view for one query: total input rows + observed
-        metrics SUMMED across microbatches where numeric (df.observe
-        aggregates are per-batch — last-wins would undercount a
-        counter whose events span batches); non-numeric values keep
-        the latest."""
+        metrics combined across microbatches by their declared
+        semantics. Numeric metrics are SUMMED by default — the right
+        fold for monotone per-batch counters (df.observe aggregates are
+        per-batch; last-wins would undercount a counter whose events
+        span batches). Metrics named in ``gauges`` — either by bare key
+        (``"backlog"``) or qualified by observation name
+        (``"my_obs.backlog"``) — keep the LAST batch's value instead:
+        summing a current-size / per-run-total gauge across batches
+        silently inflates it. Non-numeric values always keep the
+        latest. Only monotone counters should be observed undeclared."""
+        gauges = set(gauges)
         rows = [b for b in self.batches if b["name"] == name]
         observed: dict = {}
         for b in rows:
             for obs_name, metrics in b["observed"].items():
                 acc = observed.setdefault(obs_name, {})
                 for k, v in metrics.items():
-                    if isinstance(v, (int, float)) and isinstance(
-                        acc.get(k), (int, float)
+                    is_gauge = k in gauges or f"{obs_name}.{k}" in gauges
+                    if (
+                        not is_gauge
+                        and isinstance(v, (int, float))
+                        and isinstance(acc.get(k), (int, float))
                     ):
                         acc[k] = acc[k] + v
                     else:

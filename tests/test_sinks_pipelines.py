@@ -287,6 +287,38 @@ def test_progress_collector_surfaces_observed_metrics(spark, broker, tmp_path):
         spark.streams.removeListener(collector)
 
 
+def test_progress_collector_gauge_vs_counter_semantics():
+    """totals() sums undeclared numeric metrics (counters) but keeps
+    the LAST value for declared gauges — summing a current-size gauge
+    across microbatches would silently inflate it (ADVICE r2). Pure
+    listener-side logic: no Spark session needed."""
+    from solace_apache_beam_spark.streaming.metrics import ProgressCollector
+
+    c = ProgressCollector()
+    for batch_id, (dropped, total) in enumerate([(2, 10), (1, 12)]):
+        c.batches.append(
+            {
+                "name": "q",
+                "batch_id": batch_id,
+                "num_input_rows": 5,
+                "observed": {
+                    "buckets": {
+                        "dropped_buckets": dropped,
+                        "total_buckets": total,
+                    }
+                },
+            }
+        )
+    summed = c.totals("q")["observed"]["buckets"]
+    assert summed == {"dropped_buckets": 3, "total_buckets": 22}
+    # bare-key and observation-qualified gauge declarations
+    gauged = c.totals("q", gauges={"total_buckets"})["observed"]["buckets"]
+    assert gauged == {"dropped_buckets": 3, "total_buckets": 12}
+    gauged_q = c.totals("q", gauges={"buckets.total_buckets"})
+    assert gauged_q["observed"]["buckets"]["total_buckets"] == 12
+    assert gauged_q["num_input_rows"] == 10
+
+
 def test_stream_stream_join_click_views(spark, broker, tmp_path):
     """Watermarked stream-stream join with an event-time horizon: each
     click matches same-sender views at-or-before it within 60 s."""
@@ -412,8 +444,12 @@ def test_write_training_shards_canonical_order(spark, tmp_path):
 
 def test_compact_epochs_preserves_rows(spark, tmp_path):
     """Compaction folds _epoch_id partitions into one equivalent
-    table: same rows, no _epoch_id column, single flat layout."""
+    sentinel partition: same rows, table stays epoch-partitioned so a
+    live appender keeps working after compaction."""
+    import os
+
     from solace_apache_beam_spark.sinks.warehouse import (
+        COMPACTED_EPOCH,
         compact_epochs,
         make_idempotent_appender,
     )
@@ -426,9 +462,55 @@ def test_compact_epochs_preserves_rows(spark, tmp_path):
 
     compact_epochs(spark, table)
     back = spark.read.parquet(table)
-    assert back.columns == ["v"]
+    assert sorted(back.columns) == ["_epoch_id", "v"]
     assert sorted(r.v for r in back.collect()) == list(range(25))
+    assert {r._epoch_id for r in back.collect()} == {COMPACTED_EPOCH}
+    epoch_dirs = [d for d in os.listdir(table) if d.startswith("_epoch_id=")]
+    assert epoch_dirs == [f"_epoch_id={COMPACTED_EPOCH}"]
 
+    # the appender still works against the compacted table, and a
+    # replayed epoch replaces only its own partition
+    appender(spark.range(25, 30).withColumnRenamed("id", "v"), 7)
+    appender(spark.range(25, 30).withColumnRenamed("id", "v"), 7)
+    assert sorted(
+        r.v for r in spark.read.parquet(table).collect()
+    ) == list(range(30))
+
+
+def test_compact_epochs_keeps_epochs_committed_during_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """An _epoch_id partition committed AFTER compaction snapshots the
+    table but BEFORE the directory swap is carried into the compacted
+    table, not destroyed with the backup (ADVICE r2)."""
     import os
 
-    assert not any("_epoch_id=" in d for d in os.listdir(table))
+    from solace_apache_beam_spark.sinks import warehouse
+    from solace_apache_beam_spark.sinks.warehouse import (
+        compact_epochs,
+        make_idempotent_appender,
+    )
+
+    table = str(tmp_path / "tbl")
+    appender = make_idempotent_appender(table)
+    appender(spark.range(10).withColumnRenamed("id", "v"), 0)
+    appender(spark.range(10, 25).withColumnRenamed("id", "v"), 1)
+
+    # interleave: first rename call is the table->bak swap; append a
+    # new epoch just before it happens (after the snapshot was taken)
+    real_rename = os.rename
+    fired = {"done": False}
+
+    def rename_with_race(src, dst):
+        if not fired["done"] and src == table:
+            fired["done"] = True
+            appender(spark.range(25, 40).withColumnRenamed("id", "v"), 2)
+        real_rename(src, dst)
+
+    monkeypatch.setattr(warehouse.os, "rename", rename_with_race)
+    compact_epochs(spark, table)
+
+    assert fired["done"]
+    back = spark.read.parquet(table)
+    assert sorted(r.v for r in back.collect()) == list(range(40))
+    assert not os.path.exists(table + ".bak")

@@ -263,6 +263,31 @@ def test_reader_stats_dump(spark, broker, tmp_path):
     ) + fake_broker.backlog_bytes(broker, "q2")
 
 
+def test_backlog_bytes_rebuilds_missing_index(broker):
+    """A queue dir with a lost (or pre-index) bytes.idx must rebuild it
+    from the message log, not silently report 0 (ADVICE r2)."""
+    import os
+
+    payloads = ["alpha", "beta bytes", ""]
+    fake_broker.publish(broker, "q1", payloads)
+    expected = sum(len(p.encode()) for p in payloads)
+    assert fake_broker.backlog_bytes(broker, "q1") == expected
+
+    idx = os.path.join(fake_broker.queue_dir(broker, "q1"), "bytes.idx")
+    os.remove(idx)
+    assert fake_broker.backlog_bytes(broker, "q1") == expected
+    assert os.path.exists(idx)  # rebuilt, O(1) path restored
+
+    # a SHORT index (partial write) also triggers rebuild
+    with open(idx, "r+") as f:
+        f.truncate(17)
+    fake_broker.publish(broker, "q1", ["gamma"])
+    assert (
+        fake_broker.backlog_bytes(broker, "q1")
+        == expected + len(b"gamma")
+    )
+
+
 def test_streaming_wordcount_matches_batch(spark, broker, tmp_path):
     """The streaming flagship produces exactly the batch result on the
     same data (unified model)."""

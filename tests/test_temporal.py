@@ -148,3 +148,22 @@ def test_connected_components_chain_and_islands(spark):
         r.doc_id: r.cluster_rep for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_releases_superseded_round_blocks(spark):
+    """Each loop round's superseded labels checkpoint must actually
+    leave the block manager (DataFrame.unpersist is a no-op for
+    localCheckpoint-ed frames — the release goes through the RDD), so
+    storage stays O(1) in rounds, not O(rounds)."""
+    from solace_apache_beam_spark.llm.dedup import connected_components
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    # a 32-node chain needs several pointer-jumping rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 32)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(pairs)
+    assert {r.cluster_rep for r in labels.collect()} == {1}
+    # only the final labels checkpoint may remain cached
+    assert len(jsc.getRDDStorageInfo()) <= before + 1
