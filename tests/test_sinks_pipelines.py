@@ -415,6 +415,24 @@ def test_distributed_log_sink_logs_all_rows_without_driver_collect(spark, tmp_pa
     assert all("epoch=7" in f.read_text() for f in files)
 
 
+def test_log_sink_driver_variant_logs_every_row(spark):
+    """Collect-to-driver variant (dev/debug contract): every row lands
+    as a line at the injected driver-side logger."""
+    from solace_apache_beam_spark.sinks.warehouse import make_log_sink
+
+    lines: list[str] = []
+
+    class Logger:
+        def info(self, msg: str) -> None:
+            lines.append(msg)
+
+    sink = make_log_sink(Logger())
+    sink(spark.range(5).withColumnRenamed("id", "v"), 3)
+    assert len(lines) == 5
+    assert all(line.startswith("epoch=3 ") for line in lines)
+    assert {f"epoch=3 {{'v': {i}}}" for i in range(5)} == set(lines)
+
+
 def test_write_training_shards_canonical_order(spark, tmp_path):
     """The shard writer materializes exactly the training_shuffle
     permutation: shard=K directories, rows in pos order, content
