@@ -18,6 +18,12 @@ Methodology:
   With SPARK_GRAFT_BENCH_STRICT=1 the process also exits non-zero —
   the CI/test mode; the default exit stays 0 so the driver's bench
   recording never breaks.
+- Provisional regressions get CONFIRM_RUNS extra isolated samples
+  before being reported: on a shared VM a contention spike can push
+  both initial samples of an untouched query past the gate (observed:
+  a 0.4 s from_json map query measuring 1.7 s twice in a loaded
+  minute, then 0.41 s isolated). Only queries that stay slow across
+  the confirmation runs are real regressions.
 """
 
 from __future__ import annotations
@@ -33,6 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 ANCHOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
 REGRESSION_FACTOR = 2.0
 N_RUNS = 2
+CONFIRM_RUNS = 2
 
 
 def compute_regressions(
@@ -83,26 +90,31 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    def run_once(name: str) -> float:
+        # drop persisted frames from the previous run/query: the
+        # CacheManager substitutes any identical cached subtree, so
+        # without this a repeat run of a persist()-using query reads
+        # run 1's materialized cache and times nothing — hiding
+        # regressions inside exactly the expensive pipelines the
+        # gate exists to watch
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        best = float("inf")
-        for _ in range(N_RUNS):
-            # drop persisted frames from the previous run/query: the
-            # CacheManager substitutes any identical cached subtree, so
-            # without this a repeat run of a persist()-using query reads
-            # run 1's materialized cache and times nothing — hiding
-            # regressions inside exactly the expensive pipelines the
-            # gate exists to watch
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = round(min(run_once(name) for _ in range(N_RUNS)), 3)
 
     anchor: dict[str, float] = {}
     if os.path.exists(ANCHOR_PATH):
         anchor = json.load(open(ANCHOR_PATH)).get("queries", {})
+    # contention-spike filter: re-measure provisional regressions in
+    # isolation; keep the flag only if the query stays slow
+    for name in compute_regressions(timings, anchor):
+        best = min(run_once(name) for _ in range(CONFIRM_RUNS))
+        timings[name] = round(min(timings[name], best), 3)
     regressions = compute_regressions(timings, anchor)
 
     total = round(sum(timings.values()), 3)
