@@ -82,15 +82,25 @@ def _simhash_udf(bits: int):
     def sim(words: pd.Series) -> pd.Series:
         if len(words) == 0:
             return pd.Series([], dtype=np.int64)
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        # per-batch token memo: natural-language token frequency is
+        # Zipfian, so distinct tokens are a small fraction of token
+        # instances — most md5 calls become dict hits. digest()[:4]
+        # big-endian == int(hexdigest()[:8], 16): same hash values.
+        memo: dict[str, int] = {}
+
+        def tok_hash(w: str) -> int:
+            h = memo.get(w)
+            if h is None:
+                h = from_bytes(md5(w.encode("utf-8")).digest()[:4], "big")
+                memo[w] = h
+            return h
+
         hs = pd.Series(
             [
                 np.fromiter(
-                    (
-                        int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16)
-                        for w in ws
-                    ),
-                    dtype=np.int64,
-                    count=len(ws),
+                    (tok_hash(w) for w in ws), dtype=np.int64, count=len(ws)
                 )
                 for ws in words
             ]

@@ -135,11 +135,20 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
     @pandas_udf("bigint")
     def fp(words: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        # per-batch token memo (Zipfian repeats); digest()[:4] big-endian
+        # == int(hexdigest()[:8], 16) — identical hash values, no hex
+        # round-trip
+        memo: dict[str, int] = {}
         out = []
         for ws in words:
             acc = 0
             for w in ws:
-                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16)
+                h = memo.get(w)
+                if h is None:
+                    h = from_bytes(md5(w.encode("utf-8")).digest()[:4], "big")
+                    memo[w] = h
                 acc = (acc * 31 + h) & FINGERPRINT_MASK
             out.append(acc)
         return pd.Series(out, dtype="int64")
