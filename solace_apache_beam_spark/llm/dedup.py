@@ -363,8 +363,12 @@ def ngram_jaccard_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # retained size = all distinct shingles (map-side, free from sh)
-    # minus this doc's shingles in over-max_df buckets (a small set by
-    # construction: at most total-shingle-instances / max_df buckets)
+    # minus this doc's shingles in over-max_df buckets. The heavy BUCKET
+    # count is bounded (total-instances / max_df) but the docs touching
+    # them are not — boilerplate corpora put most docs in some heavy
+    # bucket — so this join must not broadcast either (shuffle-hash
+    # hint: per-partition hash build, no sort, never a driver-side
+    # broadcast build)
     heavy_counts = (
         multi.filter(F.size("ids") > max_df)
         .select(F.explode("ids").alias(id_col))
@@ -373,7 +377,7 @@ def ngram_jaccard_pairs(
     )
     sizes = (
         sh.select(F.col(id_col), F.size("hs").alias("base_sz"))
-        .join(heavy_counts, id_col, "left")
+        .join(heavy_counts.hint("shuffle_hash"), id_col, "left")
         .select(
             F.col(id_col),
             (F.col("base_sz") - F.coalesce("n_heavy", F.lit(0))).alias("sz"),
@@ -387,11 +391,18 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    # sizes is one row per doc — NOT broadcastable at corpus scale; AQE
-    # picks broadcast automatically when the post-shuffle side is small
+    # NEITHER side of these joins is broadcastable at corpus scale:
+    # sizes is one row per doc, and inter is one row per candidate pair
+    # (30-50% near-dup corpora make it enormous). Catalyst's static
+    # estimate for inter (aggregate over a generate over a cached
+    # relation) can come out tiny, planning a broadcast build that OOMs
+    # — observed at 10x sf0.1 with replicated near-dups. The
+    # shuffle-hash hints ban the static broadcast (per-partition hash
+    # build on the bounded-per-key sizes side, no sort on the big
+    # pair-stream side).
     jac = (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
+        inter.join(sz_a.hint("shuffle_hash"), "doc_a")
+        .join(sz_b.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
