@@ -24,9 +24,19 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from solace_apache_beam_spark.functions.hashing import h64
 
 HASH_SPACE = float(1 << 60)  # h64 = 15 hex chars = 60 bits
+
+
+def _batch_bottom_k(pdf: pd.DataFrame, group_by: str, k: int) -> pd.DataFrame:
+    return (
+        pdf.drop_duplicates()
+        .sort_values("h", kind="mergesort")
+        .groupby(group_by, sort=False, dropna=False)
+        .head(k)
+    )
 
 
 def _bottom_k_prefilter(group_by: str, k: int):
@@ -35,14 +45,11 @@ def _bottom_k_prefilter(group_by: str, k: int):
 
     def keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield (
-                pdf.drop_duplicates()
-                .sort_values("h", kind="mergesort")
-                .groupby(group_by, sort=False, dropna=False)
-                .head(k)
-            )
+            yield _batch_bottom_k(pdf, group_by, k)
 
     return keep
+
+
 
 
 def kmv_distinct(
@@ -58,27 +65,29 @@ def kmv_distinct(
     hashed = df.select(
         F.col(group_by), h64(F.col(col).cast("string")).alias("h")
     ).filter(F.col("h").isNotNull())
-    # ONE shuffle keyed by the group: the prefilter bounds each group's
-    # contribution to k rows per Arrow batch, so collect_list is bounded;
-    # dedup + sort + bottom-k all happen inside the aggregate. (This
-    # replaces a distinct shuffle on (group, h) plus a row_number window
-    # sort — two extra shuffles for the same answer.)
-    prefiltered = hashed.mapInPandas(_bottom_k_prefilter(group_by, k), hashed.schema)
-    per_group = prefiltered.groupBy(group_by).agg(
-        F.slice(F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k).alias(
-            "bottom"
-        )
+    # Reduction strategy, deliberately spill-safe (round-3 A/B): the
+    # survivors are k rows per group PER ARROW BATCH — unbounded in
+    # total at 100 TB — so a single groupBy collect_list would buffer a
+    # group's every survivor in one in-memory array (executor OOM), and
+    # a second k-bounding mapInPandas after a group-keyed repartition
+    # pays a full extra Arrow hop (~2x the query cost measured at
+    # sf0.1). distinct + row_number instead keep every operator a
+    # spillable JVM one: hash-agg dedup, then an external per-group
+    # sort, both degrade to disk rather than memory.
+    hashes = hashed.mapInPandas(
+        _bottom_k_prefilter(group_by, k), hashed.schema
+    ).distinct()
+    w = Window.partitionBy(group_by).orderBy("h")
+    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    per_group = ranked.groupBy(group_by).agg(
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+        F.count(F.lit(1)).alias("nd"),
     )
     return per_group.select(
         F.col(group_by),
-        F.when(
-            F.size("bottom") < k,
-            # fewer than k distinct values survive the lossless prefilter
-            # only when the group's TRUE distinct count is < k -> exact
-            F.size("bottom").cast("double"),
-        )
-        .otherwise(
-            F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.element_at("bottom", k)
-        )
+        # kth NULL <=> fewer than k distinct values survive the lossless
+        # prefilter <=> the group's TRUE distinct count is < k -> exact
+        F.when(F.col("kth").isNull(), F.col("nd").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth"))
         .alias("est_distinct"),
     )

@@ -96,14 +96,13 @@ def decode_proto_string_field(col: Column | str, field_number: int = 1) -> Colum
     return dec(c)
 
 
-@F.pandas_udf(T.BinaryType())
-def encode_proto_test(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: None if t is None else _encode_one(t))
+def encode_proto_test(col: Column | str) -> Column:
+    """The reference's ``Test`` message: field 1, wire type 2."""
+    return encode_proto_string_field(col, 1)
 
 
-@F.pandas_udf(T.StringType())
-def decode_proto_test(raws: pd.Series) -> pd.Series:
-    return raws.map(_decode_one)
+def decode_proto_test(col: Column | str) -> Column:
+    return decode_proto_string_field(col, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -131,7 +131,12 @@ def _epoch_dirs(table_path: str) -> dict[str, str]:
     }
 
 
-def compact_epochs(spark, table_path: str, partition_by: list[str] | None = None) -> None:
+def compact_epochs(
+    spark,
+    table_path: str,
+    partition_by: list[str] | None = None,
+    committed_through: int | None = None,
+) -> None:
     """Compaction for make_idempotent_appender tables: fold the
     accumulated `_epoch_id=N` partitions into one equivalent
     `_epoch_id=-1` partition (the 'compact downstream' step its
@@ -140,14 +145,26 @@ def compact_epochs(spark, table_path: str, partition_by: list[str] | None = None
     still replaces only its own partition — readers drop `_epoch_id` if
     they don't want the provenance column.
 
+    Replay safety: an epoch may only be folded once it can no longer be
+    REPLAYED — a microbatch whose sink write landed but whose
+    checkpoint commit didn't will re-run after restart, and a replay of
+    an already-folded epoch would duplicate its rows (the fold removed
+    the partition the dynamic overwrite would have replaced). Pass
+    ``committed_through`` (the stream's last committed batch id, from
+    its checkpoint commit log) to fold exactly the epochs known
+    durable; by default the highest live epoch is left unfolded, which
+    is sufficient for a single sequentially-committing stream (only its
+    latest batch can be uncommitted).
+
     Concurrent-writer safety: only the epoch dirs present at snapshot
     time are compacted (explicit dir list, not a whole-table read), and
     after the swap any `_epoch_id=N` dirs that a concurrent appender
     COMMITTED between the snapshot and the rename are moved from the
     backup into the new table before the backup is dropped — committed
-    epochs are never lost. An appender mid-commit DURING the rename
-    itself can still strand its in-flight temp files; pause writers
-    around the (brief) swap for full safety.
+    NEW epochs are never lost. An appender mid-commit DURING the rename
+    itself can still strand its in-flight temp files, and a rewrite of
+    a snapshot epoch mid-compaction is superseded by the fold; pause
+    writers around the swap for full safety in those cases.
 
     Swap protocol: write to a temp dir, move the old table aside to
     `<path>.bak`, move the compacted data in, re-append late epochs,
@@ -160,12 +177,29 @@ def compact_epochs(spark, table_path: str, partition_by: list[str] | None = None
     import shutil
     import tempfile
 
+    def _epoch_of(name: str) -> int:
+        return int(name.split("=", 1)[1])
+
     snapshot = _epoch_dirs(table_path)
-    if not snapshot:
+    live = [n for n in snapshot if _epoch_of(n) != COMPACTED_EPOCH]
+    if committed_through is not None:
+        foldable = {
+            n: p
+            for n, p in snapshot.items()
+            if _epoch_of(n) <= committed_through
+        }
+    else:
+        # single-stream default: the highest live epoch may still be
+        # uncommitted (replayable) — leave it as its own partition
+        newest = max((_epoch_of(n) for n in live), default=None)
+        foldable = {
+            n: p for n, p in snapshot.items() if _epoch_of(n) != newest
+        }
+    if not foldable:
         return
     df = (
         spark.read.option("basePath", table_path)
-        .parquet(*snapshot.values())
+        .parquet(*foldable.values())
         .withColumn("_epoch_id", F.lit(COMPACTED_EPOCH))
     )
     parent = os.path.dirname(table_path) or "."
@@ -179,8 +213,11 @@ def compact_epochs(spark, table_path: str, partition_by: list[str] | None = None
     bak = table_path.rstrip("/") + ".bak"
     os.rename(table_path, bak)
     os.rename(tmp, table_path)
-    # epochs committed after the snapshot: whole-dir moves, no rewrite
+    # carry over everything that was NOT folded: epochs committed after
+    # the snapshot AND the withheld still-replayable epochs (whose
+    # latest committed content — possibly rewritten mid-compaction —
+    # lives in bak). Whole-dir moves, no rewrite.
     for name, _ in sorted(_epoch_dirs(bak).items()):
-        if name not in snapshot:
+        if name not in foldable:
             os.rename(os.path.join(bak, name), os.path.join(table_path, name))
     shutil.rmtree(bak)

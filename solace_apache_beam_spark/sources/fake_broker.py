@@ -84,9 +84,10 @@ def publish(
     # message_id/sequence_number values
     with _locked(path):
         start = _count_lines(path)
-        if _idx_len(idx_path) < start:
-            # lost/partial index (pre-index queue dir): rebuild before
-            # appending so the cumulative base is correct
+        if _idx_len(idx_path) != start:
+            # lost, partial, or OVER-LONG index (a crash between the
+            # two file closes can flush the idx record but not the
+            # message line): rebuild so record i matches message i
             _rebuild_bytes_idx_unlocked(path, idx_path)
         cum = _last_cumsum(idx_path, start)
         with open(path, "a") as f, open(idx_path, "a") as ix:
@@ -211,7 +212,7 @@ def _rebuild_bytes_idx(qdir: str, idx_path: str) -> None:
     publisher can't interleave appends mid-rebuild."""
     msg_path = os.path.join(qdir, "messages.jsonl")
     with _locked(msg_path):
-        if _idx_len(idx_path) >= _count_lines(msg_path):
+        if _idx_len(idx_path) == _count_lines(msg_path):
             return  # another process rebuilt while we waited
         _rebuild_bytes_idx_unlocked(msg_path, idx_path)
 
@@ -229,7 +230,7 @@ def backlog_bytes(broker_dir: str, queue: str) -> int:
     idx_path = os.path.join(qdir, "bytes.idx")
     total = message_count(broker_dir, queue)
     acked = acked_count(broker_dir, queue)
-    if _idx_len(idx_path) < total:
+    if _idx_len(idx_path) != total:
         _rebuild_bytes_idx(qdir, idx_path)
     return _last_cumsum(idx_path, total) - _last_cumsum(idx_path, acked)
 
@@ -252,8 +253,13 @@ def admissible_end(
     """Largest end offset in [start, limit) whose cumulative payload
     bytes stay within max_bytes — always admits at least one message
     when any is available (progress guarantee). The real-broker
-    equivalent is a SEMP spool metadata query."""
-    idx_path = os.path.join(queue_dir(broker_dir, queue), "bytes.idx")
+    equivalent is a SEMP spool metadata query. A lost/stale index is
+    rebuilt first — otherwise every cumsum reads 0 and the byte
+    backpressure guard silently admits the whole backlog."""
+    qdir = queue_dir(broker_dir, queue)
+    idx_path = os.path.join(qdir, "bytes.idx")
+    if _idx_len(idx_path) != message_count(broker_dir, queue):
+        _rebuild_bytes_idx(qdir, idx_path)
     base = _last_cumsum(idx_path, start)
     end = start
     while end < limit:

@@ -478,7 +478,8 @@ def test_compact_epochs_preserves_rows(spark, tmp_path):
     appender(spark.range(10, 25).withColumnRenamed("id", "v"), 1)
     assert spark.read.parquet(table).count() == 25
 
-    compact_epochs(spark, table)
+    # committed_through=1: both epochs are known durable -> all folded
+    compact_epochs(spark, table, committed_through=1)
     back = spark.read.parquet(table)
     assert sorted(back.columns) == ["_epoch_id", "v"]
     assert sorted(r.v for r in back.collect()) == list(range(25))
@@ -490,6 +491,46 @@ def test_compact_epochs_preserves_rows(spark, tmp_path):
     # replayed epoch replaces only its own partition
     appender(spark.range(25, 30).withColumnRenamed("id", "v"), 7)
     appender(spark.range(25, 30).withColumnRenamed("id", "v"), 7)
+    assert sorted(
+        r.v for r in spark.read.parquet(table).collect()
+    ) == list(range(30))
+
+
+def test_compact_epochs_withholds_replayable_epoch(spark, tmp_path):
+    """Without committed_through, the highest live epoch — the only one
+    a sequentially-committing stream can still replay — stays its own
+    partition, so a post-compaction replay REPLACES it instead of
+    duplicating rows already folded into the sentinel."""
+    import os
+
+    from solace_apache_beam_spark.sinks.warehouse import (
+        COMPACTED_EPOCH,
+        compact_epochs,
+        make_idempotent_appender,
+    )
+
+    table = str(tmp_path / "tbl")
+    appender = make_idempotent_appender(table)
+    appender(spark.range(10).withColumnRenamed("id", "v"), 0)
+    appender(spark.range(10, 25).withColumnRenamed("id", "v"), 1)
+
+    compact_epochs(spark, table)
+    dirs = sorted(d for d in os.listdir(table) if d.startswith("_epoch_id="))
+    assert dirs == [f"_epoch_id={COMPACTED_EPOCH}", "_epoch_id=1"]
+
+    # epoch 1 replays (sink write survived, commit log didn't): the
+    # overwrite replaces its partition — no duplicates
+    appender(spark.range(10, 25).withColumnRenamed("id", "v"), 1)
+    assert sorted(
+        r.v for r in spark.read.parquet(table).collect()
+    ) == list(range(25))
+
+    # a second compaction folds the now-superseded epoch 1 once a newer
+    # epoch exists
+    appender(spark.range(25, 30).withColumnRenamed("id", "v"), 2)
+    compact_epochs(spark, table)
+    dirs = sorted(d for d in os.listdir(table) if d.startswith("_epoch_id="))
+    assert dirs == [f"_epoch_id={COMPACTED_EPOCH}", "_epoch_id=2"]
     assert sorted(
         r.v for r in spark.read.parquet(table).collect()
     ) == list(range(30))
