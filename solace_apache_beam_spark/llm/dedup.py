@@ -262,9 +262,12 @@ def minhash_lsh_pairs(
     expansion in one task); pass a ``pyspark.sql.Observation`` as
     ``observation`` to get the dropped-bucket count. Verification is a
     plain shuffle join keyed by doc id on both sides — candidates can be
-    billions of rows at web scale (30-50 % near-dup corpora), so nothing
-    forces a broadcast; AQE promotes the join to broadcast at runtime
-    whenever the candidate set really is small."""
+    billions of rows at web scale (30-50 % near-dup corpora), so the
+    joins are PINNED as sort-merge (fully spillable on both sides):
+    Catalyst's static estimate for the candidate frame (a distinct over
+    a generate over a cached relation) can come out tiny and plan a
+    broadcast build that OOMs at scale — the failure mode observed live
+    on ngram-Jaccard's analogous join at a 10x stress run."""
     # the shingle-hash set feeds the signature pipeline AND both
     # verification sides — persist it (spills to disk at scale) so the
     # Arrow shingling kernel runs once, not three times
@@ -296,9 +299,9 @@ def minhash_lsh_pairs(
     )
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("sh_b"))
-    half = sa.join(cand, "doc_a")
+    half = sa.join(cand.hint("merge"), "doc_a")
     verified = (
-        sb.join(half, "doc_b")
+        sb.join(half.hint("merge"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -529,7 +532,14 @@ def incremental_dedup(
     Output: (doc_id, status, match_id, jaccard) — one row per new doc;
     match_id/jaccard are NULL for 'unique', jaccard NULL for
     'exact_dup'. Shuffles: hash join + band join + verify join, each
-    keyed and AQE-promotable; zero driver collects."""
+    keyed and AQE-promotable; zero driver collects.
+
+    Boundedness contract: the planner may broadcast BATCH-derived
+    frames (hashes, bands, candidates) — an increment is bounded by the
+    ingestion batch size by design. The corpus side must never build a
+    broadcast; if a pathological batch matches a large fraction of the
+    corpus, the candidate set grows toward batch x matches and the same
+    merge-hint treatment as minhash_lsh_pairs applies."""
     new_ids = new_df.select(F.col(id_col))
     new_hash = new_df.select(
         F.col(id_col).alias("new_id"), F.md5(F.col(text_col)).alias("h")

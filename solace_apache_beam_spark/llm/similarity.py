@@ -292,9 +292,13 @@ def _bucketed_all_pairs_topk(
                     }
                 yield pd.DataFrame(out)
 
+    # both sides are packed corpus blocks — unbounded; the equi-key
+    # (bucket) sort-merge join spills, where a misestimated broadcast
+    # build of the packed matrices would OOM (see ngram-Jaccard 10x)
     scored = (
         a.join(
-            bb, (F.col("abucket") == F.col("bbucket")) & (F.col("ablk") <= F.col("bblk"))
+            bb.hint("merge"),
+            (F.col("abucket") == F.col("bbucket")) & (F.col("ablk") <= F.col("bblk")),
         )
         .mapInPandas(score, "query_id long, neighbor_id long, cos_raw double")
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
@@ -403,6 +407,10 @@ def neardup_pairs(
                     {"id_a": ia[ii], "id_b": ib[jj], "cos_raw": cos[ii, jj]}
                 )
 
+    # pure non-equi block pairing: only nested-loop shapes exist, and
+    # one side WILL be broadcast — acceptable only because this is the
+    # documented exact O(B^2) baseline for bounded batches; at corpus
+    # scale route through lsh_bucket (equi-join, spillable) instead
     raw = a.join(b, F.col("ablk") <= F.col("bblk")).mapInPandas(
         score, "id_a long, id_b long, cos_raw double"
     )

@@ -344,7 +344,9 @@ def text_repetition(
         .groupBy(id_col)
         .agg(F.max("c").alias("top_c"))
     )
-    return grams.join(top, id_col).select(
+    # top is one row per doc — unbounded, and post-aggregation
+    # estimates misplan broadcasts (see bm25 note): pin sort-merge
+    return grams.join(top.hint("merge"), id_col).select(
         F.col(id_col),
         "n_words",
         (F.col("top_c") / F.col("n_words")).alias("top_word_fraction"),
@@ -495,9 +497,13 @@ def bm25_components(
     Scale: one explode + (doc, term) agg feeds EVERYTHING — document
     length is sum(tf) per doc and document frequency is a count per
     term, both derived from the tf frame (the token stream is read
-    once); joins are keyed equi-joins (term, then doc), and the only
-    broadcast is the single-row corpus count. Output: (doc_id, term,
-    tf, df, doc_len, n_docs_total)."""
+    once); joins are keyed equi-joins (term, then doc) PINNED as
+    sort-merge — df is one row per vocabulary term and doc_len one row
+    per doc, both unbounded at corpus scale, and their static
+    estimates (aggregates over a persisted frame) can read tiny enough
+    to misplan a broadcast build. The only broadcast is the single-row
+    corpus count. Output: (doc_id, term, tf, df, doc_len,
+    n_docs_total)."""
     tokens = df.select(
         F.col(id_col), F.explode(words_expr(text_col)).alias("term")
     )
@@ -512,8 +518,8 @@ def bm25_components(
     doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
     n_total = df.select(F.countDistinct(F.col(id_col)).alias("n_docs_total"))
     return (
-        tf.join(dfreq, "term")
-        .join(doc_len, id_col)
+        tf.join(dfreq.hint("merge"), "term")
+        .join(doc_len.hint("merge"), id_col)
         .crossJoin(F.broadcast(n_total))
         .select(id_col, "term", "tf", "df", "doc_len", "n_docs_total")
     )

@@ -189,8 +189,12 @@ def funnel_counts(
             prev = frontier.select(
                 F.col(user_col), F.col("t").alias("_pt"), F.col("i").alias("_pi")
             )
+            # prev is one row per SURVIVING USER — unbounded at event
+            # scale, and its static estimate (an aggregate over a
+            # persisted frame) can read tiny: pin a spillable sort-merge
+            # join rather than risk a misplanned broadcast build
             qual = (
-                e.join(prev, user_col)
+                e.join(prev.hint("merge"), user_col)
                 .filter(
                     (F.col(ts_col) > F.col("_pt"))
                     | ((F.col(ts_col) == F.col("_pt")) & (F.col(id_col) > F.col("_pi")))
@@ -208,7 +212,7 @@ def funnel_counts(
         # (pipeline duplication compounds per stage)
         frontier = (
             qual.join(
-                first_ts,
+                first_ts.hint("merge"),
                 (F.col(user_col) == F.col("_u")) & (F.col(ts_col) == F.col("t")),
             )
             .groupBy(user_col, "t")
