@@ -30,26 +30,20 @@ from solace_apache_beam_spark.functions.hashing import h64
 HASH_SPACE = float(1 << 60)  # h64 = 15 hex chars = 60 bits
 
 
-def _batch_bottom_k(pdf: pd.DataFrame, group_by: str, k: int) -> pd.DataFrame:
-    return (
-        pdf.drop_duplicates()
-        .sort_values("h", kind="mergesort")
-        .groupby(group_by, sort=False, dropna=False)
-        .head(k)
-    )
-
-
 def _bottom_k_prefilter(group_by: str, k: int):
     """Map-side kernel: per Arrow batch, each group's k smallest
     distinct hashes. Bounded output, no shuffle."""
 
     def keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _batch_bottom_k(pdf, group_by, k)
+            yield (
+                pdf.drop_duplicates()
+                .sort_values("h", kind="mergesort")
+                .groupby(group_by, sort=False, dropna=False)
+                .head(k)
+            )
 
     return keep
-
-
 
 
 def kmv_distinct(

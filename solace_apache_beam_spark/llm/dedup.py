@@ -536,10 +536,14 @@ def incremental_dedup(
 
     Boundedness contract: the planner may broadcast BATCH-derived
     frames (hashes, bands, candidates) — an increment is bounded by the
-    ingestion batch size by design. The corpus side must never build a
-    broadcast; if a pathological batch matches a large fraction of the
-    corpus, the candidate set grows toward batch x matches and the same
-    merge-hint treatment as minhash_lsh_pairs applies."""
+    ingestion batch size by design. Corpus-derived frames must never
+    build a broadcast: the band-index, bucket-filter, and shingle-set
+    joins are pinned sort-merge (their estimates come from aggregates /
+    unmaterialized Arrow lineage — the misestimate class that OOM'd
+    ngram-Jaccard at a 10x stress run). The exact-hash join stays
+    statistics-driven: corp_hash is a projection of the corpus scan
+    with a realistic scan-proportional estimate, and the batch side is
+    the legitimate broadcast candidate."""
     new_ids = new_df.select(F.col(id_col))
     new_hash = new_df.select(
         F.col(id_col).alias("new_id"), F.md5(F.col(text_col)).alias("h")
@@ -578,8 +582,8 @@ def incremental_dedup(
         .select("band", "band_hash")
     )
     cand = (
-        bands_new.join(ok_buckets, ["band", "band_hash"])
-        .join(bands_corp, ["band", "band_hash"])
+        bands_new.join(ok_buckets.hint("merge"), ["band", "band_hash"])
+        .join(bands_corp.hint("merge"), ["band", "band_hash"])
         .select("new_id", "corp_id")
         .distinct()
     )
@@ -589,7 +593,9 @@ def incremental_dedup(
             "new_id",
         )
         .join(
-            sh_corp.select(F.col(id_col).alias("corp_id"), F.col("hs").alias("sh_c")),
+            sh_corp.select(
+                F.col(id_col).alias("corp_id"), F.col("hs").alias("sh_c")
+            ).hint("merge"),
             "corp_id",
         )
         .select(

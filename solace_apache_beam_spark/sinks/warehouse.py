@@ -195,7 +195,10 @@ def compact_epochs(
         foldable = {
             n: p for n, p in snapshot.items() if _epoch_of(n) != newest
         }
-    if not foldable:
+    if not any(_epoch_of(n) != COMPACTED_EPOCH for n in foldable):
+        # nothing but the sentinel would fold: a rewrite would re-copy
+        # the whole historical table (and expose the rename window)
+        # for zero effect
         return
     df = (
         spark.read.option("basePath", table_path)

@@ -83,6 +83,7 @@ def publish(
     # would otherwise read the same start and mint duplicate
     # message_id/sequence_number values
     with _locked(path):
+        _seal_torn_tail(path)
         start = _count_lines(path)
         if _idx_len(idx_path) != start:
             # lost, partial, or OVER-LONG index (a crash between the
@@ -117,6 +118,23 @@ def publish(
                 )
                 cum += len((payload or "").encode("utf-8"))
                 ix.write(f"{cum:016d}\n")
+
+
+def _seal_torn_tail(path: str) -> None:
+    """A crash mid-append can leave a partial line without a trailing
+    newline; appending after it would merge two records into one
+    garbage line. Seal the torn tail as its own (poison) record before
+    appending. Caller must hold the publish lock."""
+    try:
+        with open(path, "rb+") as f:
+            f.seek(0, os.SEEK_END)
+            if f.tell() == 0:
+                return
+            f.seek(-1, os.SEEK_END)
+            if f.read(1) != b"\n":
+                f.write(b"\n")
+    except FileNotFoundError:
+        pass
 
 
 def _count_lines(path: str) -> int:
@@ -195,12 +213,19 @@ def _idx_len(idx_path: str) -> int:
 
 def _rebuild_bytes_idx_unlocked(msg_path: str, idx_path: str) -> None:
     """(Re)build the cumulative-bytes index from the message log.
-    Caller must hold the queue's publish lock."""
+    Caller must hold the queue's publish lock. A torn line (a crash
+    mid-append can flush a partial JSON line) counts as a zero-byte
+    payload rather than wedging the queue — _count_lines counts it as
+    a line, so index record i must still align with line i."""
     tmp = idx_path + ".rebuild"
     cum = 0
     with open(msg_path) as f, open(tmp, "w") as ix:
         for line in f:
-            cum += len((json.loads(line).get("payload") or "").encode("utf-8"))
+            try:
+                payload = json.loads(line).get("payload") or ""
+            except json.JSONDecodeError:
+                payload = ""
+            cum += len(payload.encode("utf-8"))
             ix.write(f"{cum:016d}\n")
     os.replace(tmp, idx_path)
 
@@ -243,7 +268,27 @@ def read_messages(broker_dir: str, queue: str, start: int, end: int) -> list[dic
             if idx >= end:
                 break
             if idx >= start:
-                out.append(json.loads(line))
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    # a sealed torn record (crash mid-append): surface
+                    # it as a poison message rather than crashing the
+                    # source — offset alignment must hold (record i =
+                    # line i)
+                    out.append(
+                        {
+                            "message_id": idx,
+                            "payload": None,
+                            "properties": {"corrupt": "true"},
+                            "priority": 0,
+                            "reply_to": None,
+                            "sender_id": "",
+                            "sender_timestamp_us": 0,
+                            "sequence_number": idx,
+                            "expiration": 0,
+                            "ttl": 0,
+                        }
+                    )
     return out
 
 
@@ -253,12 +298,15 @@ def admissible_end(
     """Largest end offset in [start, limit) whose cumulative payload
     bytes stay within max_bytes — always admits at least one message
     when any is available (progress guarantee). The real-broker
-    equivalent is a SEMP spool metadata query. A lost/stale index is
+    equivalent is a SEMP spool metadata query. A lost/short index is
     rebuilt first — otherwise every cumsum reads 0 and the byte
-    backpressure guard silently admits the whole backlog."""
+    backpressure guard silently admits the whole backlog. The check is
+    O(1) (index length vs ``limit``, not a log line-count — this runs
+    on every micro-batch poll); a misaligned over-long index is
+    repaired by the next publish, which does the full comparison."""
     qdir = queue_dir(broker_dir, queue)
     idx_path = os.path.join(qdir, "bytes.idx")
-    if _idx_len(idx_path) != message_count(broker_dir, queue):
+    if _idx_len(idx_path) < limit:
         _rebuild_bytes_idx(qdir, idx_path)
     base = _last_cumsum(idx_path, start)
     end = start

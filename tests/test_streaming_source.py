@@ -288,6 +288,31 @@ def test_backlog_bytes_rebuilds_missing_index(broker):
     )
 
 
+def test_index_rebuild_survives_torn_log_line(broker):
+    """A crash mid-append can leave a partial JSON line at the log
+    tail; the rebuild must treat it as a zero-byte payload (keeping
+    record/line alignment) instead of wedging every subsequent publish
+    with a JSONDecodeError."""
+    import os
+
+    fake_broker.publish(broker, "q1", ["alpha", "beta"])
+    qdir = fake_broker.queue_dir(broker, "q1")
+    with open(os.path.join(qdir, "messages.jsonl"), "a") as f:
+        f.write('{"message_id": 2, "payl')  # torn line, no newline
+    os.remove(os.path.join(qdir, "bytes.idx"))
+
+    # rebuild runs (missing idx), tolerates the torn line
+    assert fake_broker.backlog_bytes(broker, "q1") == len(b"alphabeta")
+    # publish seals the torn tail (no record merging) and keeps working
+    fake_broker.publish(broker, "q1", ["gamma"])
+    assert fake_broker.backlog_bytes(broker, "q1") == len(b"alphabeta") + len(
+        b"gamma"
+    )
+    msgs = fake_broker.read_messages(broker, "q1", 0, 4)
+    assert [m["payload"] for m in msgs] == ["alpha", "beta", None, "gamma"]
+    assert msgs[2]["properties"].get("corrupt") == "true"
+
+
 def test_streaming_wordcount_matches_batch(spark, broker, tmp_path):
     """The streaming flagship produces exactly the batch result on the
     same data (unified model)."""
