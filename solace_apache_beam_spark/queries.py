@@ -427,7 +427,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group (§2.8 ranking): aggregate then row_number ≤ k —
     one shuffle on the group key, no global sort. Deterministic tiebreak
-    on c_custkey."""
+    on c_custkey. The customer join carries NO broadcast hint: customer
+    scales linearly with SF (billions of rows at the 100 TB point) and
+    a static F.broadcast() would be honored regardless of size; AQE
+    still promotes to broadcast at runtime when the side is genuinely
+    small (it is at sf0.1)."""
     from solace_apache_beam_spark.operators.relational import (
         dec_sum,
         top_k_per_group,
@@ -439,7 +443,7 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(F.col("o_totalprice"), "decimal(18,4)").cast("double").alias("total_spent")
     )
     joined = totals.join(
-        F.broadcast(cust), totals.o_custkey == cust.c_custkey
+        cust, totals.o_custkey == cust.c_custkey
     ).select("c_mktsegment", "c_custkey", "c_name", "total_spent")
     return top_k_per_group(
         joined, ["c_mktsegment"], "total_spent", 5, tiebreak_cols=["c_custkey"]
@@ -651,8 +655,11 @@ def suppliers_with_large_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
-    Filters reach the scans (pushdown); the customer side broadcasts;
-    the top-10 is a TakeOrderedAndProject, not a full sort."""
+    Filters reach the scans (pushdown); the top-10 is a
+    TakeOrderedAndProject, not a full sort. The customer side is NOT
+    statically broadcast — it scales with SF (a fifth of billions of
+    rows at 100 TB) and a forced hint would override AQE; at small SF
+    AQE promotes the join to broadcast on its own."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -664,7 +671,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(

@@ -28,10 +28,24 @@ def test_q1_pushdown_and_pruning(spark, sf_dir, queries):
     assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
 
 
-def test_q3_broadcast_and_topk(spark, sf_dir, queries):
-    plan = _plan(spark, queries["tpch_q3_shipping_priority"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
+def test_q3_no_forced_broadcast_and_topk(spark, sf_dir, queries):
+    """customer scales with SF, so no broadcast may be FORCED at
+    analysis time (a static hint overrides AQE and OOMs at 100 TB);
+    statistics/AQE-driven broadcast at small SF remains legitimate.
+    The top-10 must stay a TakeOrderedAndProject, never a full sort."""
+    df = queries["tpch_q3_shipping_priority"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # no forced join strategy
+    plan = _plan(spark, df)
     assert "TakeOrderedAndProject" in plan  # top-10, never a full sort
+
+
+def test_top_customers_no_forced_broadcast(spark, sf_dir, queries):
+    """Same contract for the other customer join: hint-free at analysis
+    time, AQE owns the strategy choice."""
+    df = queries["top_customers_per_segment"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
 
 
 def test_wordcount_single_shuffle(spark, sf_dir, queries):
