@@ -95,7 +95,11 @@ def interval_point_join(
     end, as an equi-join on fixed-width time buckets. Intervals explode
     to the buckets they cover; a point lives in exactly one bucket, so
     each qualifying pair meets exactly once (no dedup needed)."""
-    sec = lambda c: F.col(c).cast("long")  # noqa: E731  epoch-seconds floor
+    # epoch-seconds floor; the intermediate cast("timestamp") makes the
+    # expression type-robust — TIMESTAMP_NTZ (what Spark 4 infers for
+    # tz-less parquet) rejects a direct cast to BIGINT, and under a UTC
+    # session TZ the NTZ->TZ cast is value-preserving
+    sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
     ib = intervals.withColumn(
         "_b",
         F.explode(

@@ -35,9 +35,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # driver-generated parquet stores some timestamps as TIMESTAMP(NANOS),
-        # which vanilla Spark rejects; read them as long and convert in
-        # load_table (micros truncation matches DuckDB/Arrow semantics)
+        # historical driver testdata stored timestamps as TIMESTAMP(NANOS),
+        # which vanilla Spark rejects; keep the shim so either vintage of
+        # the parquet reads (current data is plain micros — see load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         # the console progress bar writes \r-interleaved lines that can
@@ -53,17 +53,30 @@ def get_spark(
     return spark
 
 
-# columns stored as TIMESTAMP(NANOS) in the driver's parquet; surfaced as
-# long (nanos) under nanosAsLong and converted back to TimestampType here
+# columns some vintages of the driver's parquet stored as TIMESTAMP(NANOS);
+# surfaced as long (nanos) under nanosAsLong and converted back here
 _NANOS_TS_COLUMNS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver-generated parquet table (TESTDATA.md)."""
+    """Read one driver-generated parquet table (TESTDATA.md), normalizing
+    timestamp storage so downstream operators see one type regardless of
+    the parquet vintage:
+
+    - TIMESTAMP(NANOS) -> read as long (nanosAsLong) -> TimestampType
+    - plain ``timestamp[us]`` (no timezone, the current testdata) -> Spark
+      reads it as TIMESTAMP_NTZ -> cast to TimestampType. The session TZ
+      is pinned UTC, so wall-clock values are unchanged and the DuckDB
+      oracle comparison is unaffected; without the cast, NTZ columns
+      reject epoch arithmetic (``cannot cast TIMESTAMP_NTZ to BIGINT``).
+    """
     # the driver runs queries under its own SparkSession; the nanos
     # timestamp conf is runtime-settable, so pin it here too
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     for col in _NANOS_TS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
             # integer div — a double division would lose precision at
