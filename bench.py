@@ -1,7 +1,17 @@
 """Per-round benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "regressions": {name: ratio}}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (the driver captures the stdout TAIL, ~2,000 chars):
+- the FINAL stdout line is one compact JSON object under 1,900 chars:
+  {"metric","value","unit","sf","n_queries","n_errors","slowest",
+   "regressions","errors"} — always parseable even with 71 queries;
+- the full per-query timing dict goes on a PRECEDING stdout line and is
+  also written to BENCH_SELF.json next to this file (committed per
+  round, so history survives the driver's tail truncation);
+- a query that raises is recorded in "errors" as {name: message} and the
+  bench KEEPS GOING — one broken query must never zero a round's
+  telemetry again (round 4 lost all timings to a single
+  AnalysisException because run_once had no isolation).
 
 Methodology:
 
@@ -23,7 +33,11 @@ Methodology:
   both initial samples of an untouched query past the gate (observed:
   a 0.4 s from_json map query measuring 1.7 s twice in a loaded
   minute, then 0.41 s isolated). Only queries that stay slow across
-  the confirmation runs are real regressions.
+  the confirmation runs are real regressions. The confirm pass also
+  covers sub-second queries at >CONFIRM_FACTOR x anchor even though
+  the gate's min_delta exempts them from flagging — VM noise on a
+  0.4 s query otherwise masquerades as drift in the recorded timing
+  (observed: json_payload_parse at 1.78x anchor on unchanged code).
 """
 
 from __future__ import annotations
@@ -38,8 +52,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ANCHOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
 REGRESSION_FACTOR = 2.0
+CONFIRM_FACTOR = 1.5  # isolated re-measure threshold (no flag implied)
 N_RUNS = 2
 CONFIRM_RUNS = 2
+MAX_HEADLINE_CHARS = 1900  # driver tail capture is ~2,000 chars
 
 
 def compute_regressions(
@@ -61,6 +77,42 @@ def compute_regressions(
         if base and t > factor * base and (t - base) > min_delta:
             out[name] = round(t / base, 2)
     return out
+
+
+def compact_headline(full: dict, cap: int = MAX_HEADLINE_CHARS) -> str:
+    """The driver-facing final stdout line: compact, always under
+    ``cap`` chars (the driver records only the stdout tail, ~2,000
+    chars, so the full 71-query dict cannot be the last line). Carries
+    total + counts + slowest-10 + regressions + truncated errors;
+    degrades through a finite fallback ladder if even that is long."""
+    timings = full["queries"]
+    headline = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "sf": full["sf"],
+        "n_queries": len(timings),
+        "n_errors": len(full["errors"]),
+        "slowest": dict(
+            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+        ),
+        "regressions": full["regressions"],
+        "errors": {k: v[:80] for k, v in full["errors"].items()},
+    }
+    fallbacks = [
+        lambda h: h.update(errors={k: v[:20] for k, v in list(h["errors"].items())[:5]}),
+        lambda h: h.update(regressions=dict(list(h["regressions"].items())[:5])),
+        lambda h: h.update(slowest=dict(list(h["slowest"].items())[:3])),
+        lambda h: (h.pop("errors", None), h.pop("slowest", None)),
+        lambda h: h.pop("regressions", None),
+    ]
+    line = json.dumps(headline)
+    for fb in fallbacks:
+        if len(line) <= cap:
+            break
+        fb(headline)
+        line = json.dumps(headline)
+    return line
 
 
 def main() -> None:
@@ -104,40 +156,56 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(queries):
-        timings[name] = round(min(run_once(name) for _ in range(N_RUNS)), 3)
+        # per-query isolation: one broken query records an error and the
+        # bench keeps going (a crash here zeroed ALL round-4 telemetry)
+        try:
+            timings[name] = round(min(run_once(name) for _ in range(N_RUNS)), 3)
+        except Exception as ex:  # noqa: BLE001 — record anything, keep going
+            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+            print(f"[bench] ERROR {name}: {errors[name]}", file=sys.stderr)
 
     anchor: dict[str, float] = {}
     if os.path.exists(ANCHOR_PATH):
         anchor = json.load(open(ANCHOR_PATH)).get("queries", {})
-    # contention-spike filter: re-measure provisional regressions in
-    # isolation; keep the flag only if the query stays slow
-    for name in compute_regressions(timings, anchor):
-        best = min(run_once(name) for _ in range(CONFIRM_RUNS))
-        timings[name] = round(min(timings[name], best), 3)
+    # contention-spike filter: re-measure in isolation every query past
+    # CONFIRM_FACTOR x anchor — including sub-second ones the gate's
+    # min_delta would never flag — so VM noise can't be recorded as drift
+    for name, t in list(timings.items()):
+        base = anchor.get(name)
+        if base and t > CONFIRM_FACTOR * base:
+            try:
+                best = min(run_once(name) for _ in range(CONFIRM_RUNS))
+                timings[name] = round(min(t, best), 3)
+            except Exception as ex:  # noqa: BLE001
+                errors[name] = f"{type(ex).__name__}: {ex}"[:200]
     regressions = compute_regressions(timings, anchor)
 
     total = round(sum(timings.values()), 3)
-    # the driver parses this single JSON line from stdout: flush stderr
-    # first and lead with a newline so any \r-terminated progress output
-    # can't share the line, then make the JSON the final stdout content
-    sys.stderr.flush()
-    sys.stdout.write(
-        "\n"
-        + json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "regressions": regressions,
-            }
-        )
-        + "\n"
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "regressions": regressions,
+        "errors": errors,
+    }
+    # durable full record (committed per round; survives tail truncation)
+    self_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
     )
+    with open(self_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    # flush stderr first and lead with a newline so any \r-terminated
+    # progress output can't share the line; full timings go on a
+    # PRECEDING line, the compact headline is the final stdout content
+    sys.stderr.flush()
+    sys.stdout.write("\n" + json.dumps(full) + "\n" + compact_headline(full) + "\n")
     sys.stdout.flush()
-    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+    if (regressions or errors) and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
         sys.exit(1)
 
 

@@ -47,35 +47,38 @@ def _load() -> None:
 
 
 # The driver's correctness snapshot records at most ~50 queries per round,
-# enumerated in dict insertion order.  Queries that have never had a full
-# oracle-gated driver row (or whose only row predates their oracle, e.g.
-# sequence_packing's rows-only r01 row) must enumerate first so the gate
-# covers them; next come queries last verified in round 1 only.  Everything
-# else keeps registration order.
+# enumerated in dict insertion order.  Rotation policy: the queries whose
+# newest driver row is OLDEST enumerate first, so every query's gate row
+# stays fresh across rounds.  Round-5 rotation: these 21 queries' last
+# driver verification is round 2 — which predates the driver's testdata
+# regeneration (events.ts nanos -> micros), so their rows describe data
+# that no longer exists in that form.  They must lead the round-5
+# snapshot.  Everything else (green in r04) keeps registration order.
 _PRIORITY: tuple[str, ...] = (
-    # never driver-verified through round 2
-    "asof_click_view",
+    # last driver row: round 2 (pre-regeneration) — verify first
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "incremental_dedup",
+    "minhash_band_hashes",
+    "knn_brute_cosine",
+    "ann_lsh_cosine",
+    "embedding_neardup",
+    "embedding_coverage",
+    "ivf_kmeans_assign",
+    "decontamination_report",
+    "text_language_id",
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_repetition",
+    "source_quality_gate",
+    "multimodal_metadata",
+    "multimodal_features",
+    "training_shuffle_manifest",
+    # round-4 hard failure, now fixed — re-verify within the r5 window
     "range_join_error_clicks",
-    "hypertable_rollup_events",
-    "dedup_clusters",
-    "dedup_rate_report",
-    "chunk_documents",
-    "kmv_distinct_parts",
-    "sequence_packing",
-    "funnel_view_click_purchase",
-    "percentiles_event_value",
-    "expectation_report_lineitem",
-    # green in round 1 only (rotated out of the round-2 snapshot)
-    "multimodal_frame_sample",
-    "text_normalize",
-    "text_pii_redact",
-    "ann_ivf_cosine",
-    "dedup_simhash_pairs",
-    "sample_documents_10pct",
-    "split_train_val_test",
-    "corpus_stats",
-    "stratified_sample_lineitem",
-    "training_shard_stats",
 )
 
 

@@ -223,8 +223,20 @@ def click_view_stream_join(
     )
 
 
-def enrich_with_static(stream: DataFrame, dim: DataFrame, key: str = "destination") -> DataFrame:
-    """Stream-static join: per-microbatch broadcast enrichment of the
-    envelope with a dimension table (queue metadata, tenant config...).
-    The static side is re-resolved every batch — no stream state."""
-    return stream.join(F.broadcast(dim), key, "left")
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "destination",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static join: per-microbatch enrichment of the envelope
+    with a dimension table (queue metadata, tenant config...). The
+    static side is re-resolved every batch — no stream state.
+
+    ``broadcast=True`` (default) forces a broadcast build of the
+    dimension — right for the typical queue/tenant-metadata dim that is
+    small at every scale. Pass ``broadcast=False`` for a dimension that
+    grows with the deployment (e.g. a per-user table): the join then
+    stays planner-owned and can pick a shuffled strategy instead of
+    OOMing every executor on an oversized broadcast (PLANS.md)."""
+    return stream.join(F.broadcast(dim) if broadcast else dim, key, "left")

@@ -19,6 +19,47 @@ def test_compute_regressions_flags_only_true_regressions():
     assert bench.compute_regressions({"q4": 2.2}, anchor, factor=2.0) == {"q4": 11.0}
 
 
+def test_compact_headline_stays_under_driver_tail_cap():
+    """The driver records only the stdout tail (~2,000 chars); the final
+    line must parse even with 71 queries, errors, and regressions."""
+    full = {
+        "metric": "headline_queries_total",
+        "value": 53.7,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {f"query_with_a_long_name_{i:03d}": i / 7.0 for i in range(71)},
+        "regressions": {f"query_with_a_long_name_{i:03d}": 2.5 for i in range(20)},
+        "errors": {
+            f"query_with_a_long_name_{i:03d}": "AnalysisException: " + "x" * 180
+            for i in range(30)
+        },
+    }
+    line = bench.compact_headline(full)
+    assert len(line) <= bench.MAX_HEADLINE_CHARS
+    parsed = json.loads(line)
+    assert parsed["value"] == 53.7
+    assert parsed["n_queries"] == 71
+    assert parsed["n_errors"] == 30
+    # pathological cap: the ladder must bottom out, not loop
+    tiny = bench.compact_headline(full, cap=200)
+    assert len(json.loads(tiny)) >= 4  # metric/value/unit/sf survive
+
+
+def test_compact_headline_happy_path_keeps_slowest_and_empty_maps():
+    full = {
+        "metric": "headline_queries_total",
+        "value": 10.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {"a": 6.0, "b": 4.0},
+        "regressions": {},
+        "errors": {},
+    }
+    parsed = json.loads(bench.compact_headline(full))
+    assert parsed["slowest"] == {"a": 6.0, "b": 4.0}
+    assert parsed["regressions"] == {} and parsed["errors"] == {}
+
+
 def test_anchor_file_is_committed_and_covers_registered_queries():
     from solace_apache_beam_spark.registry import all_queries
 
@@ -28,6 +69,34 @@ def test_anchor_file_is_committed_and_covers_registered_queries():
     # would silently lose its gate
     missing = set(anchor["queries"]) - set(all_queries())
     assert not missing, f"anchored queries no longer registered: {missing}"
+
+
+def test_bench_main_isolates_broken_queries(tmp_path, spark, monkeypatch, capsys):
+    """A query that raises must be recorded under "errors" while every
+    other query still gets timed — round 4 lost ALL telemetry because
+    one AnalysisException aborted the whole bench."""
+    from pyspark.sql import functions as F
+
+    def good(spark, sf_dir):
+        return spark.range(10).agg(F.count(F.lit(1)).alias("n"))
+
+    def broken(spark, sf_dir):
+        raise RuntimeError("synthetic breakage")
+
+    import solace_apache_beam_spark.registry as registry
+
+    monkeypatch.setattr(registry, "all_queries", lambda: {"good": good, "broken": broken})
+    out = tmp_path / "BENCH_SELF.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", str(out))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_STRICT", raising=False)
+    bench.main()
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(last)
+    assert parsed["n_queries"] == 1 and parsed["n_errors"] == 1
+    assert "broken" in parsed["errors"] and "synthetic breakage" in parsed["errors"]["broken"]
+    full = json.loads(out.read_text())
+    assert "good" in full["queries"] and "broken" not in full["queries"]
 
 
 def test_cli_lists_and_runs(tmp_path, spark):

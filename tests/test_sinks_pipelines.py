@@ -391,6 +391,35 @@ def test_stream_static_enrichment(spark, broker, tmp_path):
     assert {(r.payload, r.tenant) for r in rows} == {("a", "tenant-x"), ("b", "tenant-y")}
 
 
+def test_enrich_with_static_broadcast_escape_hatch(spark):
+    """broadcast=False must leave the dimension join planner-owned — no
+    ResolvedHint in the analyzed plan — so a deployment-scale dimension
+    (per-user config, say) can take a shuffled join instead of an
+    executor-OOMing broadcast. Default stays hinted (queue-metadata dims
+    are small at every scale). Checked on static frames: the join
+    construction is identical for a streaming left side."""
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.streaming.pipelines import enrich_with_static
+
+    stream = spark.range(100).select(
+        F.concat(F.lit("q"), (F.col("id") % 3).cast("string")).alias("destination"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.createDataFrame(
+        [("q0", "t0"), ("q1", "t1")], "destination string, tenant string"
+    )
+    hinted = enrich_with_static(stream, dim)
+    unhinted = enrich_with_static(stream, dim, broadcast=False)
+    plan = lambda df: df._jdf.queryExecution().analyzed().toString()  # noqa: E731
+    assert "ResolvedHint" in plan(hinted)
+    assert "ResolvedHint" not in plan(unhinted)
+    # identical results either way (left join keeps unmatched q2 rows)
+    a = sorted((r.destination, r.payload, r.tenant) for r in hinted.collect())
+    b = sorted((r.destination, r.payload, r.tenant) for r in unhinted.collect())
+    assert a == b and len(a) == 100
+
+
 def test_distributed_log_sink_logs_all_rows_without_driver_collect(spark, tmp_path):
     """foreachPartition variant: every row becomes a line on the
     EXECUTOR side (here: one file per line via the injected logger) —
