@@ -71,6 +71,19 @@ def test_anchor_file_is_committed_and_covers_registered_queries():
     assert not missing, f"anchored queries no longer registered: {missing}"
 
 
+def test_priority_rotation_names_are_registered_and_lead_enumeration():
+    """_ordered() silently skips unknown names, so a typo in a rotation
+    would quietly drop a query from the driver's ~50-query snapshot
+    window; every priority name must resolve, and the priority block
+    must actually enumerate first."""
+    from solace_apache_beam_spark.registry import _PRIORITY, all_queries
+
+    qs = all_queries()
+    missing = [n for n in _PRIORITY if n not in qs]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    assert list(qs)[: len(_PRIORITY)] == list(_PRIORITY)
+
+
 def test_bench_main_isolates_broken_queries(tmp_path, spark, monkeypatch, capsys):
     """A query that raises must be recorded under "errors" while every
     other query still gets timed — round 4 lost ALL telemetry because
