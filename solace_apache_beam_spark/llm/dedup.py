@@ -575,15 +575,18 @@ def incremental_dedup(
     bands_corp = _band_hashes_from_shingles(sh_corp, id_col, n_perm, n_bands).select(
         F.col(id_col).alias("corp_id"), "band", "band_hash"
     )
-    ok_buckets = (
-        bands_corp.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # bucket-size guard via a window count over the SAME (band,
+    # band_hash) exchange the candidate join needs — one shuffle of the
+    # corpus band index total, vs the former groupBy-count + double join
+    # that shuffled bands_corp twice and sorted ok_buckets separately
+    bucket_w = Window.partitionBy("band", "band_hash")
+    bc_ok = (
+        bands_corp.withColumn("n", F.count(F.lit(1)).over(bucket_w))
         .filter(F.col("n") <= max_bucket)
-        .select("band", "band_hash")
+        .drop("n")
     )
     cand = (
-        bands_new.join(ok_buckets.hint("merge"), ["band", "band_hash"])
-        .join(bands_corp.hint("merge"), ["band", "band_hash"])
+        bands_new.join(bc_ok.hint("merge"), ["band", "band_hash"])
         .select("new_id", "corp_id")
         .distinct()
     )
