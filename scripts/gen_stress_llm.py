@@ -1,0 +1,149 @@
+"""Generate the 100x LLM-family stress set (documents + embeddings).
+
+Same generator discipline as the round-3 10x run (PLANS.md "10x stress
+run"): each cluster seed gets near-duplicate variants produced by light
+word-level edits, so the pair-generating operators face a realistic
+30-50%-near-dup corpus rather than independent random text (which would
+produce almost no true pairs and understate the shuffle).
+
+Shape at 100x (vs sf0.1's 5,000 docs / 2,000 embeddings):
+
+- documents: 50,000 cluster seeds x 10 variants = 500,000 rows.
+  Seeds come from the 5,000 sf0.1 originals via HEAVY mutation (~35% of
+  words replaced) so seeds are NOT near-dups of each other; variants
+  via LIGHT mutation (1-2 word edits) so each cluster is a genuine
+  near-dup clique. True-pair count = 50,000 x C(10,2) = 2.25M -- 10x
+  the 10x run's pair load, 100x its row load.
+- embeddings: 20,000 jittered seeds x 10 variants = 200,000 rows.
+  Variants get small Gaussian noise (sigma=0.01 on unit-ish vectors) so
+  within-cluster cosine stays ~0.999; seed jitter (sigma=0.5) keeps
+  clusters apart.
+
+Other tables are hard-linked from sf0.1 so registry queries that join
+against them still load. Deterministic (fixed numpy seed). Usage:
+
+    python scripts/gen_stress_llm.py /tmp/stress100x_llm
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+SEED_FACTOR = 10     # heavy-mutation offshoots per original document
+VARIANTS = 10        # light-mutation near-dups per cluster seed
+EMB_SEED_FACTOR = 10
+EMB_VARIANTS = 10
+
+WORDS = None  # vocabulary pool for replacements, built from the corpus
+
+
+def _mutate(rng: np.random.Generator, words: list[str], n_edits: int) -> list[str]:
+    out = list(words)
+    for _ in range(n_edits):
+        if not out:
+            break
+        op = rng.integers(0, 3)
+        i = int(rng.integers(0, len(out)))
+        if op == 0:
+            out[i] = WORDS[int(rng.integers(0, len(WORDS)))]
+        elif op == 1 and len(out) > 3:
+            del out[i]
+        else:
+            out.insert(i, WORDS[int(rng.integers(0, len(WORDS)))])
+    return out
+
+
+def gen_documents(out_dir: str, rng: np.random.Generator) -> None:
+    global WORDS
+    t = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    sources = t["source"].to_pylist()
+    vocab: set[str] = set()
+    for s in texts[:1000]:
+        vocab.update(s.split())
+    WORDS = sorted(vocab)
+
+    ids, out_texts, out_langs, out_sources, out_n = [], [], [], [], []
+    next_id = 0
+    for i, text in enumerate(texts):
+        base = text.split()
+        for _s in range(SEED_FACTOR):
+            # heavy mutation: ~35% of words replaced -> distinct seed
+            seed_words = _mutate(rng, base, max(3, int(len(base) * 0.35)))
+            for _v in range(VARIANTS):
+                var = _mutate(rng, seed_words, int(rng.integers(1, 3)))
+                s = " ".join(var)
+                ids.append(next_id)
+                out_texts.append(s)
+                out_langs.append(langs[i])
+                out_sources.append(sources[i])
+                out_n.append(len(s))
+                next_id += 1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+            "source": pa.array(out_sources, pa.string()),
+            "n_chars": pa.array(out_n, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"),
+                   row_group_size=50_000)
+    print(f"documents: {tbl.num_rows} rows")
+
+
+def gen_embeddings(out_dir: str, rng: np.random.Generator) -> None:
+    t = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    base = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    labels = np.asarray(t["label"].to_pylist(), dtype=np.int32)
+    n, dim = base.shape
+    vecs, labs = [], []
+    for i in range(n):
+        for _s in range(EMB_SEED_FACTOR):
+            seed = base[i] + rng.normal(0, 0.5, dim).astype(np.float32)
+            for _v in range(EMB_VARIANTS):
+                vecs.append(seed + rng.normal(0, 0.01, dim).astype(np.float32))
+                labs.append(labels[i])
+    arr = np.stack(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(arr.shape[0]), pa.int64()),
+            "embedding": pa.array([v for v in arr.tolist()],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labs, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"),
+                   row_group_size=50_000)
+    print(f"embeddings: {tbl.num_rows} rows")
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress100x_llm"
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(100)
+    gen_documents(out_dir, rng)
+    gen_embeddings(out_dir, rng)
+    for name in os.listdir(SRC):
+        if name.endswith(".parquet") and name not in (
+            "documents.parquet", "embeddings.parquet"
+        ):
+            dst = os.path.join(out_dir, name)
+            if not os.path.exists(dst):
+                try:
+                    os.link(os.path.join(SRC, name), dst)
+                except OSError:
+                    shutil.copy2(os.path.join(SRC, name), dst)
+    print(f"stress set ready at {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

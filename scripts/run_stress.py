@@ -1,0 +1,72 @@
+"""Run registry queries one-at-a-time against a stress dataset.
+
+Same execution discipline as bench.py (noop sink, cache cleared per
+query) but single cold run per query — stress runs measure scaling
+shape, not steady-state minima. One broken query records an error and
+the run keeps going.
+
+    python scripts/run_stress.py /tmp/stress100x_llm dedup_exact dedup_minhash_lsh ...
+    python scripts/run_stress.py /tmp/stress100x_llm @llm   # the LLM family preset
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PRESETS = {
+    "@llm-linear": [
+        "dedup_exact", "dedup_simhash", "minhash_band_hashes",
+        "text_language_id", "text_quality", "text_token_counts",
+        "text_fingerprint", "text_repetition", "text_normalize",
+        "text_pii_redact", "chunk_documents", "sequence_packing",
+        "bm25_components", "vocab_top_words", "corpus_stats",
+        "dedup_rate_report", "source_quality_gate",
+        "sample_documents_10pct", "split_train_val_test",
+        "training_shard_stats", "training_shuffle_manifest",
+        "multimodal_metadata", "multimodal_features",
+        "multimodal_frame_sample", "multimodal_resize",
+    ],
+    "@llm-pairs": [
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_pairs",
+        "incremental_dedup", "dedup_clusters", "decontamination_report",
+        "training_data_pipeline",
+    ],
+    "@embeddings": [
+        "knn_brute_cosine", "ann_lsh_cosine", "ann_ivf_cosine",
+        "ivf_kmeans_assign", "embedding_neardup", "embedding_coverage",
+    ],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    names: list[str] = []
+    for a in sys.argv[2:]:
+        names.extend(PRESETS.get(a, [a]))
+
+    from solace_apache_beam_spark.registry import all_queries
+    from solace_apache_beam_spark.session import get_spark
+
+    spark = get_spark("stress")
+    queries = all_queries()
+    out: dict[str, float | str] = {}
+    for name in names:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        try:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.perf_counter() - t0, 2)
+        except Exception as ex:  # noqa: BLE001
+            out[name] = f"ERR {type(ex).__name__}: {ex}"[:200]
+        print(f"[stress] {name}: {out[name]}", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
