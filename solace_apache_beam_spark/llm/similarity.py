@@ -45,6 +45,43 @@ QUANT = 1 << QUANT_BITS
 
 _PACKED_SCHEMA = "blk long, ids array<long>, mat array<array<double>>"
 
+# Per-yield row cap for pair-scoring kernels. A pandas frame yielded
+# from mapInPandas becomes ONE Arrow record batch on the Python->JVM
+# stream — the JVM must allocate the whole batch in direct memory at
+# once. An unsliced block-pair emission is up to block_size^2 rows
+# (~400 MB); at 32 concurrent tasks that exhausted the direct-buffer
+# pool and killed the executor at the 200k-vector stress point. 256k
+# rows x 3 numeric cols ~= 6 MB per batch.
+_EMIT_ROWS = 1 << 18
+
+
+def _emit_sliced(frame: pd.DataFrame, cap: int | None = None):
+    """Yield ``frame`` in slices of at most ``cap`` rows (module default
+    ``_EMIT_ROWS``) so no single Arrow output batch is unbounded."""
+    cap = cap or _EMIT_ROWS
+    if len(frame) <= cap:
+        yield frame
+        return
+    for s in range(0, len(frame), cap):
+        yield frame.iloc[s : s + cap]
+
+
+def _rowwise_topk_mask(scores: np.ndarray, valid: np.ndarray, k: int) -> np.ndarray:
+    """Mask keeping, per row, every VALID entry that ties-or-beats the
+    row's k-th largest valid score — the exact candidate set a global
+    ``row_number() <= k`` window (ordering by the same score, ties
+    broken elsewhere) can ever select from this block. Callers must
+    pass scores at the SAME granularity the final window orders by
+    (the 6-decimal round), otherwise a raw-value cut could drop a row
+    that ties at window granularity but loses at raw granularity —
+    changing which id wins the deterministic tie-break."""
+    n_rows, n_cols = scores.shape
+    if n_cols <= k:
+        return valid
+    masked = np.where(valid, scores, -np.inf)
+    kth = -np.partition(-masked, k - 1, axis=1)[:, k - 1]
+    return valid & (masked >= kth[:, None])
+
 
 def _quantize(mat: np.ndarray) -> np.ndarray:
     """round-half-away-from-zero(x * 2^20) as exact integers in float64.
@@ -118,19 +155,26 @@ def brute_force_topk(
     ).select(F.col("ids").alias("qids"), F.col("mat").alias("qmat"))
 
     def score(batches):
+        # per-query partial top-k within each corpus block (on the
+        # rounded cosine — window-granularity ties survive the cut) so
+        # the emission is |Q| x ~k rows instead of |Q| x block_size;
+        # see _bucketed_all_pairs_topk for the Arrow-batch rationale
         for pdf in batches:
             for r in pdf.itertuples(index=False):
                 qids = np.asarray(r.qids, dtype=np.int64)
                 cids = np.asarray(r.ids, dtype=np.int64)
                 cos = _block_scores(_unpack(r.qmat), _unpack(r.mat))
-                mask = np.isfinite(cos) & (qids[:, None] != cids[None, :])
+                valid = np.isfinite(cos) & (qids[:, None] != cids[None, :])
+                mask = _rowwise_topk_mask(np.round(cos, 6), valid, k)
                 ii, jj = np.nonzero(mask)
-                yield pd.DataFrame(
-                    {
-                        "query_id": qids[ii],
-                        "neighbor_id": cids[jj],
-                        "cos_raw": cos[ii, jj],
-                    }
+                yield from _emit_sliced(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[ii],
+                            "neighbor_id": cids[jj],
+                            "cos_raw": cos[ii, jj],
+                        }
+                    )
                 )
 
     scored = (
@@ -230,9 +274,12 @@ def _bucketed_all_pairs_topk(
     vectors costs (M/block_size)^2 small tasks instead of one task
     holding an M x d matrix and an M x M cosine matrix — per-task memory
     is <= 2 * block_size * d + block_size^2 doubles no matter how
-    degenerate the bucket. Output is identical to a whole-bucket matmul:
-    the same pairs are scored with the same integer-exact arithmetic and
-    the same top-k window applies."""
+    degenerate the bucket. Emissions are likewise bounded: each task
+    ships only per-query in-block top-k candidates in capped Arrow
+    batches (see ``score``), never the raw block_size^2 pair matrix.
+    Output is identical to a whole-bucket matmul: the same pairs are
+    scored with the same integer-exact arithmetic and the same top-k
+    window applies."""
     w = Window.partitionBy(bucket_col).orderBy(F.col(id_col))
     blocked = b.withColumn(
         "_blk", ((F.row_number().over(w) - F.lit(1)) / F.lit(block_size)).cast("long")
@@ -270,27 +317,44 @@ def _bucketed_all_pairs_topk(
     )
 
     def score(batches):
+        # Emissions are pruned to each query's in-block top-k BEFORE
+        # they leave Python: the global window only ever selects from
+        # per-block-pair winners (top-k of a union = top-k over the
+        # union of per-part top-k sets), so shipping the losing
+        # block_size^2-k pairs is pure Arrow/shuffle/sort waste — and a
+        # single unsliced all-pairs frame (~400 MB as one Arrow batch)
+        # exhausted the JVM direct-buffer pool at the 200k-vector
+        # stress point. Selection runs on the ROUNDED cosine so the
+        # boundary keeps every window-granularity tie; the id
+        # tie-break stays with the window. With dedup_pairs, neighbor
+        # ids within one block are distinct, so the per-direction
+        # top-k set still contains every post-distinct winner.
         for pdf in batches:
             for r in pdf.itertuples(index=False):
                 ia = np.asarray(r.aids, dtype=np.int64)
                 ib = np.asarray(r.bids, dtype=np.int64)
                 cos = _block_scores(_unpack(r.amat), _unpack(r.bmat))
-                mask = np.isfinite(cos) & (ia[:, None] != ib[None, :])
-                ii, jj = np.nonzero(mask)
-                out = {
-                    "query_id": ia[ii],
-                    "neighbor_id": ib[jj],
-                    "cos_raw": cos[ii, jj],
-                }
+                cos_r = np.round(cos, 6)
+                valid = np.isfinite(cos) & (ia[:, None] != ib[None, :])
+                fwd = _rowwise_topk_mask(cos_r, valid, k)
+                ii, jj = np.nonzero(fwd)
+                parts = [
+                    {"query_id": ia[ii], "neighbor_id": ib[jj], "cos_raw": cos[ii, jj]}
+                ]
                 if r.ablk != r.bblk:
                     # distinct blocks are joined once (ablk < bblk) —
-                    # emit the reverse direction from the transpose
-                    out = {
-                        "query_id": np.concatenate([out["query_id"], ib[jj]]),
-                        "neighbor_id": np.concatenate([out["neighbor_id"], ia[ii]]),
-                        "cos_raw": np.concatenate([out["cos_raw"], cos[ii, jj]]),
-                    }
-                yield pd.DataFrame(out)
+                    # the reverse direction scores from the transpose
+                    rev = _rowwise_topk_mask(cos_r.T, valid.T, k)
+                    ri, rj = np.nonzero(rev)
+                    parts.append(
+                        {
+                            "query_id": ib[ri],
+                            "neighbor_id": ia[rj],
+                            "cos_raw": cos.T[ri, rj],
+                        }
+                    )
+                for p in parts:
+                    yield from _emit_sliced(pd.DataFrame(p))
 
     # both sides are packed corpus blocks — unbounded; the equi-key
     # (bucket) sort-merge join spills, where a misestimated broadcast
@@ -403,8 +467,14 @@ def neardup_pairs(
                 if r.ablk == r.bblk:
                     mask &= ia[:, None] < ib[None, :]
                 ii, jj = np.nonzero(mask)
-                yield pd.DataFrame(
-                    {"id_a": ia[ii], "id_b": ib[jj], "cos_raw": cos[ii, jj]}
+                # threshold prunes most of the block pair, but a
+                # near-dup-dense diagonal block can still match
+                # millions of pairs — slice so no emission becomes an
+                # unbounded Arrow batch
+                yield from _emit_sliced(
+                    pd.DataFrame(
+                        {"id_a": ia[ii], "id_b": ib[jj], "cos_raw": cos[ii, jj]}
+                    )
                 )
 
     # pure non-equi block pairing: only nested-loop shapes exist, and

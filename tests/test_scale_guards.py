@@ -158,3 +158,134 @@ def test_minhash_lsh_no_broadcast_of_verification_sides(spark, sf_dir):
     # and no broadcast FORCING either (merge hints are the only hints)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "broadcast" not in analyzed.lower()
+
+
+def test_rowwise_topk_mask_keeps_rounded_ties():
+    """Unit contract of the kernel-side partial top-k: per row, every
+    VALID entry tying-or-beating the k-th largest valid score survives;
+    invalid entries never do, even on rows with < k valid entries."""
+    import numpy as np
+
+    from solace_apache_beam_spark.llm.similarity import _rowwise_topk_mask
+
+    scores = np.array(
+        [
+            [0.9, 0.8, 0.8, 0.7],   # k=2 boundary tie: keep all three >= 0.8
+            [0.5, 0.4, 0.3, 0.2],   # plain top-2
+            [0.9, 0.1, 0.1, 0.1],   # only one valid entry (< k)
+        ]
+    )
+    valid = np.array(
+        [
+            [True, True, True, True],
+            [True, True, True, True],
+            [True, False, False, False],
+        ]
+    )
+    mask = _rowwise_topk_mask(scores, valid, 2)
+    assert mask.tolist() == [
+        [True, True, True, False],
+        [True, True, False, False],
+        [True, False, False, False],
+    ]
+    # k >= n_cols degenerates to the validity mask
+    assert _rowwise_topk_mask(scores, valid, 4).tolist() == valid.tolist()
+
+
+def test_emit_sliced_bounds_every_batch():
+    import pandas as pd
+
+    from solace_apache_beam_spark.llm.similarity import _emit_sliced
+
+    frame = pd.DataFrame({"x": range(10)})
+    parts = list(_emit_sliced(frame, cap=4))
+    assert [len(p) for p in parts] == [4, 4, 2]
+    assert pd.concat(parts)["x"].tolist() == list(range(10))
+    # under-cap frames pass through unsliced
+    assert len(list(_emit_sliced(frame, cap=100))) == 1
+
+
+def test_topk_partial_prune_keeps_window_granularity_ties(spark):
+    """The kernel prunes on the ROUNDED cosine — the granularity the
+    final window orders by. Two neighbors whose raw cosines differ but
+    round to the same 6-decimal value are a window tie resolved by
+    ascending neighbor id; a raw-value prune at k=1 would ship only the
+    raw-best (larger-id) neighbor and silently change the winner.
+
+    Construction (quantization-exact: components are n/2^20 so the
+    kernel's integer dots see exactly n): query [2^20, 0];
+    id 10 -> [2^20, 1414]: cos = 1/sqrt(1+1999396/2^40) ~ 0.99999900
+    id  5 -> [2^20, 1415]: cos ~ 0.99999900 (differs in the 9th place)
+    both round to 0.999999 -> tie -> id 5 must win rank 1."""
+    from solace_apache_beam_spark.llm.similarity import brute_force_topk
+
+    q = 1 << 20
+
+    def vec(a, b):
+        return [a / q, b / q]
+
+    corpus = spark.createDataFrame(
+        [
+            (10, vec(q, 1414)),   # raw-higher cosine, larger id
+            (5, vec(q, 1415)),    # raw-lower cosine, smaller id
+            (99, vec(1, 1)),      # clearly worse (cos ~ 0.707)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, vec(q, 0))], "vec_id long, embedding array<double>"
+    )
+    rows = brute_force_topk(corpus, queries, k=1).collect()
+    assert len(rows) == 1
+    assert rows[0].neighbor_id == 5
+    assert rows[0].cos_sim == 0.999999
+
+
+def test_ann_lsh_topk_matches_unpruned_bucket_reference(spark):
+    """End-to-end parity of the pruned-emission path: ann_lsh_topk on a
+    random clustered corpus must equal a numpy reference that scores
+    each LSH bucket in FULL (no partial top-k, no slicing) and applies
+    the same rounded-cosine / ascending-id window."""
+    import numpy as np
+
+    from solace_apache_beam_spark.llm.similarity import (
+        _block_scores,
+        _quantize,
+        ann_lsh_topk,
+        lsh_bucket,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, (8, 6))
+    vecs = np.concatenate(
+        [base[i] + rng.normal(0, 0.05, (10, 6)) for i in range(8)]
+    )
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    k = 3
+    out = ann_lsh_topk(df, n_planes=3, k=k, block_size=16)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim) for r in out.collect()
+    }
+
+    buckets = {}
+    for r in lsh_bucket(df, n_planes=3).collect():
+        buckets.setdefault(r.bucket, []).append(int(r.vec_id))
+    expect = {}
+    qm = _quantize(vecs.astype(np.float64))
+    for members in buckets.values():
+        ids = np.array(sorted(members))
+        cos = np.round(_block_scores(qm[ids], qm[ids]), 6)
+        for qi, qid in enumerate(ids):
+            order = sorted(
+                (
+                    (-cos[qi, ni], nid)
+                    for ni, nid in enumerate(ids)
+                    if nid != qid and np.isfinite(cos[qi, ni])
+                ),
+            )[:k]
+            for rank, (negc, nid) in enumerate(order, start=1):
+                expect[(qid, rank)] = (nid, -negc)
+    assert got == expect
