@@ -43,10 +43,35 @@ PRESETS = {
 
 
 def main() -> None:
-    sf_dir = sys.argv[1]
+    args = [a for a in sys.argv[1:] if a != "--isolate"]
+    isolate = "--isolate" in sys.argv
+    sf_dir = args[0]
     names: list[str] = []
-    for a in sys.argv[2:]:
+    for a in args[1:]:
         names.extend(PRESETS.get(a, [a]))
+
+    if isolate:
+        # one subprocess per query: a heap-death or stopped SparkContext
+        # in one query cannot zero out the rest of the run (observed:
+        # the 100x ngram-Jaccard GC death took six queries' rows with
+        # it). Costs one JVM startup per query — irrelevant for stress.
+        import subprocess
+
+        out: dict[str, float | str] = {}
+        for name in names:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf_dir, name],
+                capture_output=True,
+                text=True,
+            )
+            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            got = json.loads(lines[-1]) if lines else {
+                name: f"ERR subprocess rc={r.returncode}: {r.stderr[-160:]}"
+            }
+            out.update(got)
+            print(f"[stress] {name}: {out[name]}", flush=True)
+        print(json.dumps(out))
+        return
 
     from solace_apache_beam_spark.registry import all_queries
     from solace_apache_beam_spark.session import get_spark

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
@@ -114,20 +114,29 @@ def _simhash_udf(bits: int):
     return sim
 
 
-def _pairs_within_group(ids: Column) -> Column:
-    """All ordered pairs (a < b) from a sorted id array — the bucket
-    collision groups. Replaces a self-join: the upstream pipeline is
-    computed once and shuffled once (groupBy) instead of twice."""
-    return F.explode(
-        F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + 2, F.size(ids)),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        )
+def _explode_sorted_pairs(buckets: DataFrame, ids_col: str) -> DataFrame:
+    """All ordered pairs (``_a`` before ``_b``) from each row's SORTED
+    array — the bucket collision groups. Replaces a self-join (the
+    upstream pipeline is computed once and shuffled once via groupBy),
+    and generates through TWO chained generators: posexplode picks the
+    left element, a per-row tail slice supplies the right candidates.
+
+    The former single-expression form — explode(flatten(transform(...)))
+    — materialized the ENTIRE C(|ids|,2) pair array per row before the
+    explode: ~500k structs (tens of MB in one Tungsten allocation) for
+    a df-cap-sized bucket of 1,000. Those humongous per-row allocations
+    GC-locker-thrashed the JVM to death at the 100x (500k-doc) stress
+    point. Chained generators emit the same pairs while each intermediate
+    row holds at most one |ids|-element slice — KBs, GC-friendly, at
+    identical total volume (pair volume is the operator's output, not
+    an artifact)."""
+    return buckets.select(
+        F.col(ids_col), F.posexplode(ids_col).alias("_i", "_a")
+    ).select(
+        "_a",
+        F.explode(
+            F.slice(F.col(ids_col), F.col("_i") + F.lit(2), F.size(ids_col))
+        ).alias("_b"),
     )
 
 
@@ -293,8 +302,8 @@ def minhash_lsh_pairs(
         (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
     )
     cand = (
-        buckets.select(_pairs_within_group(F.col("ids")).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        _explode_sorted_pairs(buckets, "ids")
+        .select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"))
         .distinct()
     )
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("sh_a"))
@@ -388,8 +397,9 @@ def ngram_jaccard_pairs(
     )
     postings = multi.filter(F.size("ids") <= max_df)
     inter = (
-        postings.select(_pairs_within_group(F.col("ids")).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b")
+        _explode_sorted_pairs(postings, "ids")
+        .select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
@@ -473,24 +483,16 @@ def simhash_hamming_pairs(
     buckets = buckets.filter(
         (F.size("members") > 1) & (F.size("members") <= max_bucket)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "members",
-                    lambda x, i: F.transform(
-                        F.slice("members", i + 2, F.size("members")),
-                        lambda y: F.struct(
-                            x["id"].alias("doc_a"),
-                            y["id"].alias("doc_b"),
-                            x["s"].alias("sa"),
-                            y["s"].alias("sb"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b", "p.sa", "p.sb").distinct()
+    pairs = (
+        _explode_sorted_pairs(buckets, "members")
+        .select(
+            F.col("_a.id").alias("doc_a"),
+            F.col("_b.id").alias("doc_b"),
+            F.col("_a.s").alias("sa"),
+            F.col("_b.s").alias("sb"),
+        )
+        .distinct()
+    )
     return pairs.select(
         "doc_a",
         "doc_b",
