@@ -58,14 +58,20 @@ def test_wordcount_single_shuffle(spark, sf_dir, queries):
 
 def test_minhash_lsh_no_self_join_recompute(spark, sf_dir, queries):
     """The pair generation must stay bucket-collect (one signature
-    pipeline, pairs expanded INSIDE the group row via flatten/transform)
-    — not a self-join of two signature pipelines. The verification
-    joins above it are pinned sort-merge (see the no-broadcast guard in
-    test_scale_guards), so join operators are allowed in the plan; the
-    bucket-collect shape is what this test protects."""
+    pipeline, pairs streamed out of the group row via chained
+    generators) — not a self-join of two signature pipelines. The
+    verification joins above it are pinned sort-merge (see the
+    no-broadcast guard in test_scale_guards), so join operators are
+    allowed in the plan; the bucket-collect shape is what this test
+    protects. The chained posexplode+slice generator replaced the old
+    flatten(transform(...)) per-row C(n,2) array (GC-killer at 100x)."""
     plan = _plan(spark, queries["dedup_minhash_lsh"](spark, sf_dir))
     assert "collect_list" in plan
-    assert "flatten(transform" in plan  # in-group pair expansion
+    # in-group pair expansion: left element via posexplode, right
+    # candidates via a per-row tail slice — no materialized pair array
+    assert "posexplode" in plan
+    assert "slice" in plan
+    assert "flatten(transform" not in plan  # the GC-killer shape is gone
 
 
 def test_salted_join_spreads_key(spark, sf_dir, queries):
