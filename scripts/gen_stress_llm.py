@@ -9,11 +9,26 @@ produce almost no true pairs and understate the shuffle).
 Shape at 100x (vs sf0.1's 5,000 docs / 2,000 embeddings):
 
 - documents: 50,000 cluster seeds x 10 variants = 500,000 rows.
-  Seeds come from the 5,000 sf0.1 originals via HEAVY mutation (~35% of
-  words replaced) so seeds are NOT near-dups of each other; variants
-  via LIGHT mutation (1-2 word edits) so each cluster is a genuine
-  near-dup clique. True-pair count = 50,000 x C(10,2) = 2.25M -- 10x
-  the 10x run's pair load, 100x its row load.
+  Each seed is a FRESH Zipf-sampled word sequence over a 50,000-word
+  synthetic vocabulary (doc lengths follow the sf0.1 originals);
+  variants come from LIGHT mutation (1-2 word edits), so each cluster
+  is a genuine near-dup clique. True-pair count = 50,000 x C(10,2) =
+  2.25M -- 10x the 10x run's pair load, 100x its row load.
+
+  Why synthetic vocabulary and not mutations of the sf0.1 originals:
+  the driver's documents table draws from a 31-WORD vocabulary, so its
+  trigram space saturates at ~30k distinct shingles. Deriving 500k
+  docs from it yields avg shingle df ~900 and ~2.5 BILLION document
+  pairs that genuinely share shingles -- for ANY complete exact-Jaccard
+  method the candidate set IS that size (measured: 6.75B pair
+  instances in the df<=1000 band; prefix filtering still left 5.0B).
+  That measures vocabulary degeneracy, not operator scaling. Real web
+  corpora are singleton-dominated (most shingles appear once); the
+  Zipf vocab reproduces that regime: clique shingles have df ~10 and
+  cross-clique sharing is incidental, so the pair stream tracks the
+  2.25M true near-dup pairs. Degenerate-bucket GUARDS (caps dropping
+  over-populated buckets) are exercised separately by
+  tests/test_scale_guards.py on purpose-built skew fixtures.
 - embeddings: 20,000 jittered seeds x 10 variants = 200,000 rows.
   Variants get small Gaussian noise (sigma=0.01 on unit-ish vectors) so
   within-cluster cosine stays ~0.999; seed jitter (sigma=0.5) keeps
@@ -59,33 +74,46 @@ def _mutate(rng: np.random.Generator, words: list[str], n_edits: int) -> list[st
     return out
 
 
+VOCAB_SIZE = 50_000
+
+
 def gen_documents(out_dir: str, rng: np.random.Generator) -> None:
     global WORDS
     t = pq.read_table(os.path.join(SRC, "documents.parquet"))
     texts = t["text"].to_pylist()
     langs = t["lang"].to_pylist()
     sources = t["source"].to_pylist()
-    vocab: set[str] = set()
-    for s in texts[:1000]:
-        vocab.update(s.split())
-    WORDS = sorted(vocab)
+    lengths = [max(5, len(s.split())) for s in texts]
+
+    # Zipf-ish synthetic vocabulary: p(rank) ~ 1/(rank+10)^0.9 — common
+    # words repeat across docs (realistic df head) while the long tail
+    # keeps most shingles near-singleton (realistic df tail)
+    WORDS = [f"w{i:05d}" for i in range(VOCAB_SIZE)]
+    p = 1.0 / np.power(np.arange(VOCAB_SIZE, dtype=np.float64) + 10.0, 0.9)
+    p /= p.sum()
+
+    n_seeds = len(texts) * SEED_FACTOR
+    seed_lengths = [lengths[i % len(lengths)] for i in range(n_seeds)]
+    # one vectorized draw for every seed word
+    flat = rng.choice(VOCAB_SIZE, size=int(sum(seed_lengths)), p=p)
 
     ids, out_texts, out_langs, out_sources, out_n = [], [], [], [], []
     next_id = 0
-    for i, text in enumerate(texts):
-        base = text.split()
-        for _s in range(SEED_FACTOR):
-            # heavy mutation: ~35% of words replaced -> distinct seed
-            seed_words = _mutate(rng, base, max(3, int(len(base) * 0.35)))
-            for _v in range(VARIANTS):
-                var = _mutate(rng, seed_words, int(rng.integers(1, 3)))
-                s = " ".join(var)
-                ids.append(next_id)
-                out_texts.append(s)
-                out_langs.append(langs[i])
-                out_sources.append(sources[i])
-                out_n.append(len(s))
-                next_id += 1
+    off = 0
+    for si in range(n_seeds):
+        ln = seed_lengths[si]
+        seed_words = [WORDS[j] for j in flat[off : off + ln]]
+        off += ln
+        orig = si // SEED_FACTOR
+        for _v in range(VARIANTS):
+            var = _mutate(rng, seed_words, int(rng.integers(1, 3)))
+            s = " ".join(var)
+            ids.append(next_id)
+            out_texts.append(s)
+            out_langs.append(langs[orig])
+            out_sources.append(sources[orig])
+            out_n.append(len(s))
+            next_id += 1
     tbl = pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),

@@ -11,9 +11,11 @@ Scale design (100 TB of text):
   final pair verification. No Python, no UDFs.
 - **SimHash**: map-side 32-bit signature; near-dup = signature equality
   (or small hamming ball via band pivots).
-- **n-gram Jaccard**: inverted shingle index self-join with a
-  document-frequency cutoff (`max_df`) — the standard guard that keeps
-  the candidate blow-up O(sum df^2) bounded when shingles are common.
+- **n-gram Jaccard**: prefix-filtered similarity join (AllPairs/PPJoin)
+  — each doc indexes only its |d|-ceil(t|d|)+1 rarest shingles, which
+  is provably candidate-complete for J >= t; exact verification on the
+  full shingle sets. Candidate mass tracks the true near-dup pairs, not
+  O(sum df^2) over the whole shingle distribution.
 
 All hashes are the md5-derived portable hash so the DuckDB oracle can
 replay every step bit-for-bit (functions/hashing.py).
@@ -114,7 +116,9 @@ def _simhash_udf(bits: int):
     return sim
 
 
-def _explode_sorted_pairs(buckets: DataFrame, ids_col: str) -> DataFrame:
+def _explode_sorted_pairs(
+    buckets: DataFrame, ids_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """All ordered pairs (``_a`` before ``_b``) from each row's SORTED
     array — the bucket collision groups. Replaces a self-join (the
     upstream pipeline is computed once and shuffled once via groupBy),
@@ -129,15 +133,61 @@ def _explode_sorted_pairs(buckets: DataFrame, ids_col: str) -> DataFrame:
     point. Chained generators emit the same pairs while each intermediate
     row holds at most one |ids|-element slice — KBs, GC-friendly, at
     identical total volume (pair volume is the operator's output, not
-    an artifact)."""
+    an artifact). ``carry`` columns ride along unchanged (e.g. a
+    multiplicity weight)."""
     return buckets.select(
-        F.col(ids_col), F.posexplode(ids_col).alias("_i", "_a")
+        *carry, F.col(ids_col), F.posexplode(ids_col).alias("_i", "_a")
     ).select(
+        *carry,
         "_a",
         F.explode(
             F.slice(F.col(ids_col), F.col("_i") + F.lit(2), F.size(ids_col))
         ).alias("_b"),
     )
+
+
+def _sized_group_instances(
+    inv: DataFrame,
+    keys: list[str],
+    max_size: int,
+    observation=None,
+) -> DataFrame:
+    """Instances of ``inv`` whose key-group size is in [2, max_size],
+    tagged with that size as ``_gsz`` — the memory-safe front half of
+    every bucket-collect: group sizes come from a count aggregate
+    (constant-memory partial agg, map-side combined) and the cap is
+    applied BEFORE any ``collect_list``, so no aggregation buffer ever
+    grows past ``max_size`` elements.
+
+    The former collect-then-filter shape built the full postings array
+    for every key — including degenerate stop-shingle keys with
+    unbounded document frequency — and only then dropped the over-cap
+    rows; at the 100x (500k-doc) stress point those buffers OOM'd an
+    8g heap outright (GCLocker thrash then Java heap space) inside
+    ngram-Jaccard's inverted index. Cost of the safe shape: one tiny
+    count shuffle plus a merge join of ``inv`` against the retained
+    keys (sort-merge: both sides spillable at any scale; the join's
+    hash partitioning on ``keys`` is reused by the caller's follow-up
+    groupBy, so no extra exchange of the instance stream).
+
+    ``observation`` (a pyspark Observation) reports
+    ``dropped_buckets`` (groups over the cap) and ``total_buckets``
+    (all groups, singletons included) — identical values to the old
+    post-collect observe, since counts has one row per group either
+    way."""
+    counts = inv.groupBy(*keys).agg(F.count(F.lit(1)).alias("_gsz"))
+    if observation is not None:
+        counts = counts.observe(
+            observation,
+            F.count(F.when(F.col("_gsz") > max_size, 1)).alias(
+                "dropped_buckets"
+            ),
+            F.count(F.lit(1)).alias("total_buckets"),
+        )
+    keep = counts.filter(
+        (F.col("_gsz") >= 2) & (F.col("_gsz") <= max_size)
+    )
+    return inv.join(keep.hint("merge"), keys)
 
 
 def exact_dedup_groups(
@@ -285,24 +335,23 @@ def minhash_lsh_pairs(
     )
     bands = _band_hashes_from_shingles(sh, id_col, n_perm, n_bands)
     # bucket-collect pair generation: ONE pass over the signature
-    # pipeline and one groupBy shuffle, vs a self-join that computes the
-    # (expensive) MinHash side twice and shuffles it twice
-    buckets = bands.groupBy("band", "band_hash").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    # pipeline, vs a self-join that computes the (expensive) MinHash
+    # side twice and shuffles it twice. Size-first cap: the bucket
+    # population is counted before any array is collected, so a
+    # degenerate band hash can never build an over-cap aggregation
+    # buffer (see _sized_group_instances).
+    buckets = (
+        _sized_group_instances(bands, ["band", "band_hash"], max_bucket, observation)
+        .groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
     )
-    if observation is not None:
-        buckets = buckets.observe(
-            observation,
-            F.count(F.when(F.size("ids") > max_bucket, 1)).alias(
-                "dropped_buckets"
-            ),
-            F.count(F.lit(1)).alias("total_buckets"),
-        )
-    buckets = buckets.filter(
-        (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
-    )
+    # a clique's bucket is IDENTICAL across all n_bands band hashes —
+    # dedup the member arrays before pair explosion so each clique's
+    # pairs are generated once, not n_bands times (the downstream
+    # .distinct() collapses the same duplicates, but only after paying
+    # an n_bands-x bigger pair-instance shuffle)
     cand = (
-        _explode_sorted_pairs(buckets, "ids")
+        _explode_sorted_pairs(buckets.select("ids").distinct(), "ids")
         .select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"))
         .distinct()
     )
@@ -341,91 +390,96 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_df: int = 1000,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard via an inverted shingle index: explode
-    shingles, drop shingles with document frequency > max_df (candidate
-    blow-up is O(sum df^2) — the cutoff is what keeps this tractable on
-    common shingles at scale), self-join on shingle to count
-    intersections, derive |union| = |A| + |B| - |A∩B|.
+    """All-pairs n-gram Jaccard >= ``threshold`` via PREFIX FILTERING
+    (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07;
+    Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW'08): order every doc's shingles by a global
+    (document-frequency asc, hash asc) order and index only the first
+    ``|d| - ceil(t*|d|) + 1`` of them. Any pair with J >= t shares its
+    globally-smallest common shingle inside BOTH prefixes (if A's
+    prefix missed every shared shingle, the shared set would fit in
+    A's suffix of ceil(t*|A|)-1 < t*|A| <= |A∩B| elements), so the
+    prefix index is a COMPLETE candidate generator; candidates are then
+    verified with the exact intersect/union of the full shingle sets.
 
-    The result is EXACT over the retained shingle universe (df <=
-    max_df): per-doc sizes count only retained shingles, so intersection
-    and sizes live in the same universe and the ratio is a true Jaccard
-    there — not a biased estimate of the uncut value."""
-    # sh feeds the inverted index AND the map-side doc sizes — persist so
-    # the Arrow shingle kernel runs once (small: one row per doc)
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b — the TRUE
+    full-universe Jaccard, no df-cutoff bias. The former
+    inverted-index-count form was exact only over a df<=max_df
+    universe AND paid sum_shingle C(df,2) pair instances — measured
+    6.75 BILLION instances (~160 GB of shuffle) at the 100x stress
+    point, because a family-duplicated corpus concentrates its mass in
+    near-cap shingles. Rarest-first prefixes skip exactly those
+    shingles: the candidate mass collapses to the near-dup pairs
+    themselves plus a small false-candidate tail that verification
+    rejects.
+
+    ``max_bucket`` caps a single prefix-shingle bucket (size-first, see
+    _sized_group_instances — no aggregation buffer exceeds it). A pair
+    is lost only if its globally-SMALLEST shared shingle sits in an
+    over-cap bucket — and the (df asc) order makes prefix buckets the
+    rare end of the distribution, so at the default cap this is a
+    degenerate-corpus guard, same contract as minhash_lsh_pairs."""
+    # sh feeds the prefix ranking AND both verification sides — persist
+    # so the Arrow shingle kernel runs once (small: one row per doc)
     sh = _doc_shingles(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     inv = sh.select(F.col(id_col), F.explode("hs").alias("shingle"))
-    # single groupBy builds the postings lists AND document frequency
-    # (postings length == df) — the shingle pipeline is computed once and
-    # shuffled once, vs a df-count join + self-join that recomputes it
-    # three times. Only multi-occurrence shingles persist: singletons
-    # (the vast majority of a natural corpus) generate no pairs, and the
-    # retained-universe doc sizes are derived map-side from sh below —
-    # so the persisted set shrinks from every-distinct-shingle to just
-    # the collision groups. Postings arrays for pair generation are
-    # bounded by max_df (skew guard).
-    multi = (
-        inv.groupBy("shingle")
+    # global document frequency: constant-memory count agg, map-side
+    # combined, then a merge join back onto the instance stream (both
+    # sides spillable at any scale; counts' estimate comes from an
+    # aggregate over Arrow lineage — the misestimate class that planned
+    # an OOMing broadcast at a 10x stress run, so never broadcast it)
+    counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = inv.join(counts.hint("merge"), "shingle")
+    # per-doc prefix: the |d| - ceil(t*|d|) + 1 globally-smallest
+    # shingles. Window pair over ONE (id) partitioning — the unordered
+    # size count and the ordered row_number share the exchange+sort,
+    # and the window buffer spills (ExternalAppendOnlyUnsafeRowArray),
+    # so memory stays document-scale, never corpus-scale.
+    wp = Window.partitionBy(id_col)
+    wo = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    prefix_len = (
+        F.col("_sz")
+        - F.ceil(F.col("_sz") * F.lit(float(threshold))).cast("int")
+        + F.lit(1)
+    )
+    pre = (
+        ranked.withColumn("_sz", F.count(F.lit(1)).over(wp))
+        .withColumn("_rn", F.row_number().over(wo))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(F.col(id_col), F.col("shingle"))
+    )
+    # candidate buckets over prefix instances only, size-first capped;
+    # identical postings arrays (a clique whose docs share the same
+    # rare shingles) collapse to one row before pair explosion
+    buckets = (
+        _sized_group_instances(pre, ["shingle"], max_bucket)
+        .groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # retained size = all distinct shingles (map-side, free from sh)
-    # minus this doc's shingles in over-max_df buckets. The heavy BUCKET
-    # count is bounded (total-instances / max_df) but the docs touching
-    # them are not — boilerplate corpora put most docs in some heavy
-    # bucket — so this join must not broadcast either (shuffle-hash
-    # hint: per-partition hash build, no sort, never a driver-side
-    # broadcast build)
-    heavy_counts = (
-        multi.filter(F.size("ids") > max_df)
-        .select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_heavy"))
-    )
-    sizes = (
-        sh.select(F.col(id_col), F.size("hs").alias("base_sz"))
-        .join(heavy_counts.hint("shuffle_hash"), id_col, "left")
-        .select(
-            F.col(id_col),
-            (F.col("base_sz") - F.coalesce("n_heavy", F.lit(0))).alias("sz"),
-        )
-    )
-    postings = multi.filter(F.size("ids") <= max_df)
-    inter = (
-        _explode_sorted_pairs(postings, "ids")
+    cand = (
+        _explode_sorted_pairs(buckets.select("ids").distinct(), "ids")
         .select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .distinct()
     )
-    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    # NEITHER side of these joins is broadcastable at corpus scale:
-    # sizes is one row per doc, and inter is one row per candidate pair
-    # (30-50% near-dup corpora make it enormous). Catalyst's static
-    # estimate for inter (aggregate over a generate over a cached
-    # relation) can come out tiny, planning a broadcast build that OOMs
-    # — observed at 10x sf0.1 with replicated near-dups. The
-    # shuffle-hash hints ban the static broadcast (per-partition hash
-    # build on the bounded-per-key sizes side, no sort on the big
-    # pair-stream side).
-    jac = (
-        inter.join(sz_a.hint("shuffle_hash"), "doc_a")
-        .join(sz_b.hint("shuffle_hash"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
+    # exact verification on the full shingle sets — same merge-pinned
+    # shape as minhash_lsh_pairs (candidates can be billions of rows at
+    # web scale; a static broadcast build of either side would OOM)
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("sh_b"))
+    half = sa.join(cand.hint("merge"), "doc_a")
+    verified = sb.join(half.hint("merge"), "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b"))
+        ).alias("jaccard"),
     )
-    return jac.filter(F.col("jaccard") >= threshold)
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def simhash_hamming_pairs(
@@ -467,24 +521,24 @@ def simhash_hamming_pairs(
             )
         ).alias("bv"),
     ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    buckets = bands.groupBy("band", "val").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("s")))
-        ).alias("members")
-    )
-    if observation is not None:
-        buckets = buckets.observe(
-            observation,
-            F.count(F.when(F.size("members") > max_bucket, 1)).alias(
-                "dropped_buckets"
-            ),
-            F.count(F.lit(1)).alias("total_buckets"),
+    # size-first cap (see _sized_group_instances): bucket populations
+    # are counted before any member array is collected, so a degenerate
+    # slice value can never build an over-cap aggregation buffer
+    buckets = (
+        _sized_group_instances(bands, ["band", "val"], max_bucket, observation)
+        .groupBy("band", "val")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("s"))
+                )
+            ).alias("members")
         )
-    buckets = buckets.filter(
-        (F.size("members") > 1) & (F.size("members") <= max_bucket)
     )
     pairs = (
-        _explode_sorted_pairs(buckets, "members")
+        # same cross-band dedup as minhash_lsh_pairs: identical member
+        # arrays recur once per band — collapse before pair explosion
+        _explode_sorted_pairs(buckets.select("members").distinct(), "members")
         .select(
             F.col("_a.id").alias("doc_a"),
             F.col("_b.id").alias("doc_b"),

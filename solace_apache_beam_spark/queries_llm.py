@@ -609,18 +609,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    # the oracle enumerates candidates from ANY shared shingle (a
+    # superset of the prefix-filter candidates, which are provably
+    # complete for J >= t) and computes the same full-universe exact
+    # Jaccard — both engines agree on every pair at/above threshold
     oracle=f"""
     WITH {_DOC_BASE},
-    inv0 AS (SELECT doc_id, unnest(hlist) AS shingle FROM hs),
-    keep AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000),
-    inv AS (SELECT inv0.doc_id, inv0.shingle FROM inv0 JOIN keep USING (shingle)),
+    inv AS (SELECT doc_id, unnest(hlist) AS shingle FROM hs),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
       FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    -- sizes over the RETAINED shingle universe (df <= max_df), matching
-    -- the intersection's universe — the ratio is exact there
     sz AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY 1)
     SELECT doc_a, doc_b,
            n_inter * 1.0 / (sa.sz + sb.sz - n_inter) AS jaccard
@@ -631,10 +631,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard pairs >= 0.5 via inverted shingle index with
-    document-frequency cutoff (the blow-up guard at scale) — exact over
-    the retained (df <= max_df) shingle universe: per-doc sizes count
-    only retained shingles, same universe as the intersection."""
+    """N-gram Jaccard pairs >= 0.5 via a prefix-filtered similarity
+    join (AllPairs/PPJoin): rarest-first prefixes generate a complete
+    candidate set for the threshold; exact intersect/union on the full
+    shingle sets verifies. TRUE full-universe Jaccard — no df-cutoff
+    bias (the former retained-universe form also paid sum C(df,2) pair
+    instances, measured 6.75B at the 100x stress point)."""
     from solace_apache_beam_spark.llm.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))

@@ -28,7 +28,20 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        # shuffle partitions default to cores; SPARK_GRAFT_SHUFFLE_PARTITIONS
+        # raises them for stress-scale runs (smaller sorts per task, fewer
+        # spill files to merge — AQE re-coalesces small stages either way)
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)),
+        )
+        # every spill-file reader allocates a 1 MB buffer (the config
+        # floor) and read-ahead DOUBLES it plus spawns a thread per
+        # file; with 32 concurrent tasks merging many spill files the
+        # buffer pile-up alone OOMs a shared local heap. Read-ahead off
+        # halves the fixed cost; sequential spill merges lose nothing
+        # measurable on page-cached local disk.
+        .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

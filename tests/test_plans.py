@@ -116,22 +116,22 @@ def test_incremental_dedup_no_forced_broadcast(spark, sf_dir, queries):
 
 
 def test_ngram_jaccard_size_joins_never_static_broadcast(spark, sf_dir, queries):
-    """The pair-count / doc-size joins must not plan a STATIC broadcast:
-    inter is one row per candidate pair (enormous on near-dup corpora)
-    and Catalyst's estimate for it (aggregate over a generate over a
-    cached relation) can come out tiny — a statically planned broadcast
+    """No join in the prefix-filtered Jaccard plan may be a STATIC
+    broadcast: the df-count join and the two full-set verification
+    joins all have sides whose Catalyst estimate (aggregate over a
+    generate over Arrow lineage) can come out tiny while the true size
+    is corpus- or candidate-scale — a statically planned broadcast
     build then OOMs (observed at 10x sf0.1 with replicated near-dups).
-    The shuffle-hash hints pin shuffle joins (per-partition hash
-    build, no driver-side broadcast build)."""
+    All three are merge-pinned (fully spillable both sides)."""
     df = queries["dedup_ngram_jaccard"](spark, sf_dir)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
-    # initial (pre-AQE) physical plan: every join in the query —
-    # pair-counts x sizes, and the heavy-shingle size correction —
-    # plans as a shuffle join
     assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
-    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    # the prefix selection runs as window functions over one (doc)
+    # sort, not a join against a sizes table
+    assert "Window" in plan
 
 
 def test_kmeans_assignment_is_map_side(spark, sf_dir):
