@@ -79,6 +79,10 @@ _PRIORITY: tuple[str, ...] = (
     "training_shuffle_manifest",
     # round-4 hard failure, now fixed — re-verify within the r5 window
     "range_join_error_clicks",
+    # pair-generation internals rebuilt in round 5 (size-first caps,
+    # cross-band bucket dedup) — pin their r5 gate rows too
+    "dedup_simhash_pairs",
+    "dedup_clusters",
 )
 
 
