@@ -339,3 +339,45 @@ def test_incremental_dedup_exact_statuses_match_reference(spark, corpus, batch):
             # the five texts share no trigram shingles, so a
             # non-identical batch doc can only be unique
             assert row.status == "unique" and row.match_id is None
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(WORD, min_size=3, max_size=12), min_size=2, max_size=8
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.75, 1.0]),
+)
+def test_ngram_jaccard_prefix_filter_matches_brute_force(spark, docs, threshold):
+    """The prefix-filtered similarity join must return EXACTLY the pairs
+    with full-set Jaccard >= t — the AllPairs prefix lemma implemented
+    with ceil boundaries, tiny docs, duplicate docs, and t=1.0 edge
+    cases all exercised here against an O(n^2) reference."""
+    from solace_apache_beam_spark.llm.dedup import (
+        _doc_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    # brute force over the same shingle-hash sets the operator uses
+    sets = {
+        r["doc_id"]: set(r["hs"])
+        for r in _doc_shingles(df, "text", "doc_id", 3).collect()
+    }
+    expect = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                expect[(a, b)] = inter / union
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-12
