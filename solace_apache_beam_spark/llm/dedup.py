@@ -175,6 +175,12 @@ def _sized_group_instances(
     (all groups, singletons included) — identical values to the old
     post-collect observe, since counts has one row per group either
     way."""
+    # TWO consumers read inv (the count agg and the join), so its
+    # upstream pipeline runs twice. Measured trade (sf0.1 and 100x):
+    # persisting inv here LOSES — cache materialization of the
+    # instance stream costs more than recomputing it, because every
+    # caller's pipeline is map-side work over an already-persisted
+    # parent (sh / sig); ngram regressed 3.2->4.6 s under the persist.
     counts = inv.groupBy(*keys).agg(F.count(F.lit(1)).alias("_gsz"))
     if observation is not None:
         counts = counts.observe(
