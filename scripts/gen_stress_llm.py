@@ -50,7 +50,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-SEED_FACTOR = 10     # heavy-mutation offshoots per original document
+# seeds per sf0.1 original: 10 -> the 100x point (500k docs / 200k
+# vectors); argv[2] overrides (1 -> the 10x point) for scaling curves
+SEED_FACTOR = 10
 VARIANTS = 10        # light-mutation near-dups per cluster seed
 EMB_SEED_FACTOR = 10
 EMB_VARIANTS = 10
@@ -155,7 +157,10 @@ def gen_embeddings(out_dir: str, rng: np.random.Generator) -> None:
 
 
 def main() -> None:
+    global SEED_FACTOR, EMB_SEED_FACTOR
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress100x_llm"
+    if len(sys.argv) > 2:
+        SEED_FACTOR = EMB_SEED_FACTOR = int(sys.argv[2])
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(100)
     gen_documents(out_dir, rng)
