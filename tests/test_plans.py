@@ -170,3 +170,22 @@ def test_single_shuffle_manifest_queries(spark, sf_dir, queries):
         )
         n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
         assert n_shuffles == 1, f"{name}: {n_shuffles} shuffles"
+
+
+def test_pair_bucket_collect_is_size_capped_before_aggregation(spark, sf_dir, queries):
+    """Round-5 discipline: every pair family counts bucket sizes FIRST
+    (constant-memory agg) and joins the retained keys back before any
+    collect_list runs — so no aggregation buffer can exceed the cap.
+    The plan signature is a count aggregate on the bucket key feeding a
+    join that feeds the collect_list aggregate; the former
+    collect-then-filter shape (unbounded buffers, the 100x OOM) put the
+    size filter ABOVE the collect instead."""
+    for name in ("dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_ngram_jaccard"):
+        plan = _plan(spark, queries[name](spark, sf_dir))
+        c_collect = plan.find("collect_list")
+        assert c_collect != -1, name
+        # a count(1) aggregate over the same stream must exist...
+        assert "count(1)" in plan, name
+        # ...and the size filter must apply to the scalar count column,
+        # never to the collected array
+        assert "size(collect_list" not in plan.replace(" ", ""), name
