@@ -161,6 +161,8 @@ def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress100x_llm"
     if len(sys.argv) > 2:
         SEED_FACTOR = EMB_SEED_FACTOR = int(sys.argv[2])
+    if len(sys.argv) > 3:  # decouple: a 1000x doc run keeps 100x vectors
+        EMB_SEED_FACTOR = int(sys.argv[3])
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(100)
     gen_documents(out_dir, rng)
