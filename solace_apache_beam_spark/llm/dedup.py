@@ -505,7 +505,14 @@ def simhash_hamming_pairs(
     MinHash-LSH — the signature pipeline is computed once, shuffled
     once on (band, slice-value). Buckets larger than ``max_bucket``
     (degenerate slice values concentrating O(n^2) pairs in one task) are
-    dropped; an ``Observation`` reports the drop count."""
+    dropped; an ``Observation`` reports the drop count.
+
+    Scale note: band-value space is 2^(bits/n_bands) — 256 buckets per
+    band at the 32-bit/4-band default. Beyond ~max_bucket*256 docs the
+    average bucket exceeds the cap and recall collapses (visibly, via
+    the Observation). Web-scale corpora should run 64-bit signatures
+    with 16-bit bands (65,536 buckets/band) — both are parameters, the
+    math is unchanged."""
     assert bits % n_bands == 0
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
