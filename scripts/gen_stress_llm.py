@@ -89,8 +89,23 @@ def gen_documents(out_dir: str, rng: np.random.Generator) -> None:
 
     # Zipf-ish synthetic vocabulary: p(rank) ~ 1/(rank+10)^0.9 — common
     # words repeat across docs (realistic df head) while the long tail
-    # keeps most shingles near-singleton (realistic df tail)
-    WORDS = [f"w{i:05d}" for i in range(VOCAB_SIZE)]
+    # keeps most shingles near-singleton (realistic df tail).
+    # LETTERS ONLY: the operators tokenize on [^\p{L}]+ (the reference's
+    # word-count split), so a digit-bearing vocab ("w18427") collapses
+    # every token to "w" — one identical shingle per doc, all buckets
+    # over-cap, zero pair volume. Base-26 encoding keeps 50k distinct
+    # letters-only words.
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def _word(i: int) -> str:
+        i += 26 ** 3  # >= 4 letters: distinct from the sf0.1 vocabulary
+        s = ""
+        while i:
+            s += alpha[i % 26]
+            i //= 26
+        return s
+
+    WORDS = [_word(i) for i in range(VOCAB_SIZE)]
     p = 1.0 / np.power(np.arange(VOCAB_SIZE, dtype=np.float64) + 10.0, 0.9)
     p /= p.sum()
 
