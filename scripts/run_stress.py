@@ -43,8 +43,14 @@ PRESETS = {
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--isolate"]
+    args = [a for a in sys.argv[1:] if a not in ("--isolate", "--counts")]
     isolate = "--isolate" in sys.argv
+    # --counts: report result-row counts alongside timings. A stress
+    # timing on a silently EMPTY result is meaningless (observed: a
+    # digit-bearing synthetic vocab collapsed every token under the
+    # letters-only split, so the pair ops "scaled" over zero pairs);
+    # counting forces the volume into the record.
+    counts = "--counts" in sys.argv
     sf_dir = args[0]
     names: list[str] = []
     for a in args[1:]:
@@ -60,7 +66,8 @@ def main() -> None:
         out: dict[str, float | str] = {}
         for name in names:
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), sf_dir, name],
+                [sys.executable, os.path.abspath(__file__), sf_dir, name]
+                + (["--counts"] if counts else []),
                 capture_output=True,
                 text=True,
             )
@@ -83,10 +90,13 @@ def main() -> None:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            out[name] = round(time.perf_counter() - t0, 2)
+            df = queries[name](spark, sf_dir)
+            if counts:
+                n = df.count()
+                out[name] = f"{round(time.perf_counter() - t0, 2)}s rows={n}"
+            else:
+                df.write.format("noop").mode("overwrite").save()
+                out[name] = round(time.perf_counter() - t0, 2)
         except Exception as ex:  # noqa: BLE001
             out[name] = f"ERR {type(ex).__name__}: {ex}"[:200]
         print(f"[stress] {name}: {out[name]}", flush=True)
