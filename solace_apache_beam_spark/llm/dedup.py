@@ -174,7 +174,11 @@ def _sized_group_instances(
     ``dropped_buckets`` (groups over the cap) and ``total_buckets``
     (all groups, singletons included) — identical values to the old
     post-collect observe, since counts has one row per group either
-    way."""
+    way. Caveat: ``Observation.get`` can fail with a row-conversion
+    AssertionError on very large AQE plans (observed at the 500k-doc
+    stress point; fine at test scale). For scale telemetry, derive the
+    same two numbers directly from a count-aggregate over the bucket
+    keys — one cheap extra job, no observe node."""
     # TWO consumers read inv (the count agg and the join), so its
     # upstream pipeline runs twice. Measured trade (sf0.1 and 100x):
     # persisting inv here LOSES — cache materialization of the
