@@ -192,7 +192,44 @@ def main() -> None:
                     os.link(os.path.join(SRC, name), dst)
                 except OSError:
                     shutil.copy2(os.path.join(SRC, name), dst)
+    _verify_corpus_shape(out_dir)
     print(f"stress set ready at {out_dir}")
+
+
+def _verify_corpus_shape(out_dir: str) -> None:
+    """Fail AT GENERATION if the corpus is degenerate — the check that
+    would have caught the digit-vocab token collapse (every word
+    tokenized to "w" under the operators' [^\p{L}]+ split) before any
+    stress run spent an hour timing a zero-pair workload. Asserts the
+    intended near-dup regime: singleton-dominated shingle tail, a
+    clique band, and no heavy-df head."""
+    import duckdb
+
+    con = duckdb.connect()
+    doc = os.path.join(out_dir, "documents.parquet")
+    row = con.execute(f"""
+        WITH words AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'), x -> x <> '') w
+          FROM read_parquet('{doc}')),
+        sh AS (SELECT DISTINCT doc_id, w[g.i]||'|'||w[g.i+1]||'|'||w[g.i+2] s
+          FROM words CROSS JOIN LATERAL
+            (SELECT unnest(range(1, greatest(len(w)-2,0)+1)) i) g),
+        df AS (SELECT s, count(*) df FROM sh GROUP BY s)
+        SELECT count(*) FILTER (df = 1),
+               count(*) FILTER (df BETWEEN 2 AND 50),
+               count(*) FILTER (df > 1000),
+               count(*) FROM df""").fetchone()
+    singles, clique, heavy, total = row
+    assert total > 0, "no shingles at all — tokenizer/vocab mismatch"
+    assert singles / total > 0.2, (
+        f"singleton share {singles}/{total} — vocabulary too small or "
+        "token-collapsed; pair ops would measure a degenerate workload")
+    assert clique > 0, "no clique-band shingles — variants are not near-dups"
+    assert heavy / total < 0.01, (
+        f"{heavy}/{total} shingles with df>1000 — heavy head means "
+        "Omega(sum df^2) candidate mass, not operator scaling")
+    print(f"corpus shape ok: {singles} singleton / {clique} clique-band "
+          f"/ {heavy} heavy of {total} shingles")
 
 
 if __name__ == "__main__":
