@@ -8,39 +8,60 @@ script is the heavier, re-runnable version of the round-3 ad-hoc soak
 recorded in BASELINE.md — 100k messages, 4 queues, one JVM, local[32].
 
     python scripts/run_soak.py [n_messages] [n_queues]
+
+--kill-restart (VERDICT r5 Next #7) combines the soak with the
+restart-from-checkpoint contract at full scale: the drain runs in a
+child process group that is SIGKILL'd (unclean — JVM included) mid-
+drain after a few committed epochs, then a second process resumes from
+the same checkpoint and drains to completion. The sink is the
+idempotent per-epoch appender, so replayed epochs REPLACE their
+partition and broker-replayed unacked messages appear as new-epoch
+duplicates that payload-level dedup removes. Asserted conservation law
+(SolaceIOLifecycleDataflowIT.java:349-350 is the reference contract):
+
+    distinct payloads at sink == published   (zero loss, zero
+                                              dupes-after-dedup)
+    remaining backlog        == 0
+    acked                    == published
+
+    python scripts/run_soak.py 100000 4 --kill-restart
 """
 from __future__ import annotations
 
 import json
 import os
 import shutil
+import signal
+import subprocess
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from solace_apache_beam_spark.session import get_spark
 from solace_apache_beam_spark.sources import fake_broker
-from solace_apache_beam_spark.streaming.pipelines import (
-    open_stream,
-    windowed_word_count,
-)
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    queues = [f"q{i}" for i in range(1, k + 1)]
-    per_q = n // k
-
-    work = tempfile.mkdtemp(prefix="soak_")
-    broker = os.path.join(work, "broker")
+def _publish(broker: str, queues: list[str], per_q: int) -> None:
     for q in queues:
         fake_broker.create_queue(broker, q)
         fake_broker.publish(
             broker, q, [f"tok{i % 97} {q} msg {i}" for i in range(per_q)]
         )
+
+
+def classic_soak(n: int, k: int) -> None:
+    from solace_apache_beam_spark.session import get_spark
+    from solace_apache_beam_spark.streaming.pipelines import (
+        open_stream,
+        windowed_word_count,
+    )
+
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    per_q = n // k
+    work = tempfile.mkdtemp(prefix="soak_")
+    broker = os.path.join(work, "broker")
+    _publish(broker, queues, per_q)
 
     spark = get_spark("soak")
     stream = open_stream(spark, broker, queues)
@@ -69,6 +90,189 @@ def main() -> None:
     }
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
+
+
+def drain_phase(work: str, k: int, max_per_batch: int) -> None:
+    """Child process: drain the broker through the idempotent appender
+    until every message is delivered, then write a DONE marker. May be
+    SIGKILL'd at any point — the checkpoint + per-epoch sink carry the
+    state.
+
+    processAllAvailable alone is NOT a full drain here: after an
+    unclean restart the acked watermark lags the checkpoint's committed
+    offset, and the capped latestOffset can momentarily report no
+    growth — so we loop until the delivered watermark reaches the
+    published count. Acks for epoch N land only when epoch N+1 is
+    planned (deferred client-ack), so after the data drain we publish
+    one uniquely-tagged __flush__ sentinel per queue: planning that
+    final epoch finalizes every real message's ack. The orchestrator
+    excludes __flush__ payloads from the accounting."""
+    import uuid
+
+    from solace_apache_beam_spark.session import get_spark
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.pipelines import open_stream
+
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    broker_dir = os.path.join(work, "broker")
+    spark = get_spark("soak_phase")
+    stream = open_stream(
+        spark, broker_dir, queues, max_records_per_batch=max_per_batch
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            make_idempotent_appender(os.path.join(work, "sink"))
+        )
+        .option("checkpointLocation", os.path.join(work, "cp"))
+        .start()
+    )
+
+    def _undelivered() -> int:
+        return sum(
+            fake_broker.message_count(broker_dir, qq)
+            - fake_broker.delivered_watermark(broker_dir, qq)
+            for qq in queues
+        )
+
+    t0 = time.monotonic()
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    tag = uuid.uuid4().hex[:8]
+    for qq in queues:
+        fake_broker.publish(broker_dir, qq, [f"__flush__ {qq} {tag}"])
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    elapsed = time.monotonic() - t0
+    q.stop()
+    with open(os.path.join(work, "DONE"), "w") as f:
+        f.write(str(round(elapsed, 2)))
+
+
+def kill_restart_soak(n: int, k: int) -> None:
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    per_q = n // k
+    work = tempfile.mkdtemp(prefix="soak_kr_")
+    broker = os.path.join(work, "broker")
+    _publish(broker, queues, per_q)
+    sink = os.path.join(work, "sink")
+    # ~25 epochs total: enough staggering that the kill lands mid-drain
+    max_per_batch = max(1, per_q // 25)
+
+    def _spawn() -> subprocess.Popen:
+        return subprocess.Popen(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--phase",
+                work,
+                str(k),
+                str(max_per_batch),
+            ],
+            start_new_session=True,  # own process group: the SIGKILL
+            # must take the JVM down with the Python driver (a clean
+            # JVM shutdown would be a polite stop, not a crash)
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def _epochs() -> int:
+        try:
+            return len(
+                [d for d in os.listdir(sink) if d.startswith("_epoch_id=")]
+            )
+        except FileNotFoundError:
+            return 0
+
+    t_all = time.monotonic()
+    p1 = _spawn()
+    # kill once a few epochs are committed but the drain is not done
+    deadline = time.monotonic() + 600
+    while time.monotonic() < deadline:
+        if os.path.exists(os.path.join(work, "DONE")):
+            raise SystemExit(
+                "drain finished before the kill — lower max_per_batch"
+            )
+        if _epochs() >= 3:
+            break
+        time.sleep(0.2)
+    epochs_at_kill = _epochs()
+    os.killpg(os.getpgid(p1.pid), signal.SIGKILL)
+    p1.wait()
+
+    p2 = _spawn()
+    rc = p2.wait(timeout=600)
+    assert rc == 0, f"restart phase failed rc={rc}"
+    assert os.path.exists(os.path.join(work, "DONE"))
+    total_s = time.monotonic() - t_all
+
+    # conservation accounting — pure-Python broker state + duckdb sink
+    # read, no Spark in the orchestrator (pyarrow dataset discovery
+    # would skip the `_epoch_id=N` dirs: underscore prefix = metadata)
+    import duckdb
+
+    payloads = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT payload FROM read_parquet('{sink}/*/*.parquet')")
+        .fetchall()
+    ]
+    real = [p for p in payloads if not p.startswith("__flush__")]
+    published = {
+        f"tok{i % 97} {q} msg {i}" for q in queues for i in range(per_q)
+    }
+    distinct = set(real)
+    acked = sum(fake_broker.acked_count(broker, q) for q in queues)
+    delivered = sum(
+        fake_broker.delivered_watermark(broker, q) for q in queues
+    )
+    total_published = sum(
+        fake_broker.message_count(broker, q) for q in queues
+    )  # includes the k flush sentinels
+    out = {
+        "messages": per_q * k,
+        "queues": k,
+        "epochs_at_kill": epochs_at_kill,
+        "rows_at_sink": len(real),
+        "distinct_payloads": len(distinct),
+        "replay_duplicates": len(real) - len(distinct),
+        "acked": acked,
+        "delivered": delivered,
+        "total_s": round(total_s, 2),
+    }
+    # the conservation law (SolaceIOLifecycleDataflowIT.java:349-350):
+    # zero loss, zero invention, zero dupes-after-dedup; every real
+    # message delivered AND acked (only the final flush-sentinel epoch
+    # may still await its deferred ack)
+    assert distinct == published, (
+        f"loss or invention: {len(distinct)} distinct vs "
+        f"{len(published)} published"
+    )
+    assert delivered == total_published, (
+        f"not drained: delivered {delivered} of {total_published}"
+    )
+    for q in queues:
+        a = fake_broker.acked_count(broker, q)
+        assert a >= per_q, f"{q}: only {a}/{per_q} real messages acked"
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+def main() -> None:
+    if "--phase" in sys.argv:
+        i = sys.argv.index("--phase")
+        drain_phase(sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3]))
+        return
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 100_000
+    k = int(args[1]) if len(args) > 1 else 4
+    if "--kill-restart" in sys.argv:
+        kill_restart_soak(n, k)
+    else:
+        classic_soak(n, k)
 
 
 if __name__ == "__main__":

@@ -42,15 +42,36 @@ PRESETS = {
 }
 
 
+FLAGS = ("--isolate", "--counts", "--bucket-stats")
+
+# pair families whose recall guard (max_bucket drops) must be visible
+# at stress scale — reported via the count-aggregate fallback
+# (dedup.pair_bucket_stats), because Observation.get dies with a
+# row-conversion AssertionError on very large AQE plans
+_BUCKET_FAMILY = {
+    "dedup_minhash_lsh": "minhash",
+    "dedup_simhash_pairs": "simhash",
+    "dedup_ngram_jaccard": "ngram",
+}
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--isolate", "--counts")]
+    args = [a for a in sys.argv[1:] if a not in FLAGS]
     isolate = "--isolate" in sys.argv
     # --counts: report result-row counts alongside timings. A stress
     # timing on a silently EMPTY result is meaningless (observed: a
     # digit-bearing synthetic vocab collapsed every token under the
     # letters-only split, so the pair ops "scaled" over zero pairs);
-    # counting forces the volume into the record.
+    # counting forces the volume into the record. The TIMED run is the
+    # noop write in BOTH modes (ADVICE r5: count() plans differ
+    # materially — partial-count aggs, column pruning — so count-mode
+    # timings were not comparable with write-mode ones); the row count
+    # comes from an observe metric on the same write, falling back to a
+    # separate UNTIMED count() if Observation.get fails at scale.
     counts = "--counts" in sys.argv
+    # --bucket-stats: after each pair-family query, report
+    # dropped_buckets/total_buckets at the operator's own defaults
+    bucket_stats = "--bucket-stats" in sys.argv
     sf_dir = args[0]
     names: list[str] = []
     for a in args[1:]:
@@ -64,10 +85,11 @@ def main() -> None:
         import subprocess
 
         out: dict[str, float | str] = {}
+        passthrough = [f for f in ("--counts", "--bucket-stats") if f in sys.argv]
         for name in names:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), sf_dir, name]
-                + (["--counts"] if counts else []),
+                + passthrough,
                 capture_output=True,
                 text=True,
             )
@@ -80,6 +102,9 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from solace_apache_beam_spark.registry import all_queries
     from solace_apache_beam_spark.session import get_spark
 
@@ -91,12 +116,31 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = queries[name](spark, sf_dir)
+            ob = None
             if counts:
-                n = df.count()
-                out[name] = f"{round(time.perf_counter() - t0, 2)}s rows={n}"
+                ob = Observation(f"rows_{name}")
+                df = df.observe(ob, F.count(F.lit(1)).alias("rows"))
+            df.write.format("noop").mode("overwrite").save()
+            t = round(time.perf_counter() - t0, 2)
+            if counts:
+                try:
+                    n = ob.get["rows"]
+                except Exception:  # Observation.get dies on huge AQE plans
+                    n = queries[name](spark, sf_dir).count()  # untimed
+                out[name] = f"{t}s rows={n}"
             else:
-                df.write.format("noop").mode("overwrite").save()
-                out[name] = round(time.perf_counter() - t0, 2)
+                out[name] = t
+            if bucket_stats and name in _BUCKET_FAMILY:
+                from solace_apache_beam_spark.llm.dedup import pair_bucket_stats
+                from solace_apache_beam_spark.session import load_table
+
+                s = pair_bucket_stats(
+                    load_table(spark, sf_dir, "documents"), _BUCKET_FAMILY[name]
+                )
+                out[name] = (
+                    f"{out[name]} dropped={s['dropped_buckets']}"
+                    f"/{s['total_buckets']}"
+                )
         except Exception as ex:  # noqa: BLE001
             out[name] = f"ERR {type(ex).__name__}: {ex}"[:200]
         print(f"[stress] {name}: {out[name]}", flush=True)

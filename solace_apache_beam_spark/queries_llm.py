@@ -586,22 +586,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
+    # 60-bit signature over the 60-bit md5-prefix token hash (round 6,
+    # was 32/32: 8-bit band slices saturate the bucket cap past ~256k
+    # docs). 60 = the widest md5-hex-prefix integer that stays
+    # non-negative in BIGINT on both engines — no sign-bit cases in the
+    # shift/popcount arithmetic.
     oracle=f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
-    h AS (SELECT doc_id, [{_h32("x")} for x in words] AS hlist FROM w WHERE len(words) > 0)
+    h AS (SELECT doc_id, [{_h64("x")} for x in words] AS hlist FROM w WHERE len(words) > 0)
     SELECT doc_id,
            CAST(list_sum([
              CASE WHEN CAST(list_sum([
                     CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
                   for h in hlist]) AS BIGINT) > 0
                   THEN (1::BIGINT << b) ELSE 0 END
-           for b in generate_series(0, 31)]) AS BIGINT) AS simhash
+           for b in generate_series(0, 59)]) AS BIGINT) AS simhash
     FROM h
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signatures (near-dup = equal/近-equal signatures);
-    map-side only."""
+    """60-bit SimHash signatures (near-dup = equal/near-equal
+    signatures); map-side only."""
     from solace_apache_beam_spark.llm.dedup import simhash_signatures
 
     return simhash_signatures(load_table(spark, sf_dir, "documents"))
@@ -1099,9 +1104,13 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash_pairs",
+    # 60-bit signatures, 15-bit band slices (round 6, was 32/8-bit:
+    # 256 buckets/band saturates the skew cap past ~256k docs — the
+    # VERDICT-r5 scale cliff). Oracle replays the widened arithmetic
+    # bit-for-bit; everything stays non-negative BIGINT.
     oracle=f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
-    h AS (SELECT doc_id, [{_h32("x")} for x in words] AS hlist FROM w WHERE len(words) > 0),
+    h AS (SELECT doc_id, [{_h64("x")} for x in words] AS hlist FROM w WHERE len(words) > 0),
     sig AS (
       SELECT doc_id,
              CAST(list_sum([
@@ -1109,11 +1118,11 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
                     for h in hlist]) AS BIGINT) > 0
                     THEN (1::BIGINT << b) ELSE 0 END
-             for b in generate_series(0, 31)]) AS BIGINT) AS simhash
+             for b in generate_series(0, 59)]) AS BIGINT) AS simhash
       FROM h
     ),
     bands AS (
-      SELECT doc_id, b.band, (simhash >> (b.band * 8)) & 255 AS val
+      SELECT doc_id, b.band, (simhash >> (b.band * 15)) & 32767 AS val
       FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
     ),
     ok AS (SELECT band, val FROM bands
@@ -1134,10 +1143,11 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via band-bucket candidates
-    + exact popcount verify. Pigeonhole over 4 bands guarantees the
-    banded candidate set is a superset of every qualifying pair; the
-    oracle replays the banded form INCLUDING the max-bucket skew guard,
-    so a dropped degenerate bucket drops identically on both engines."""
+    + exact popcount verify, at the 60-bit/15-bit-band default (32,768
+    buckets per band). Pigeonhole over 4 bands guarantees the banded
+    candidate set is a superset of every qualifying pair; the oracle
+    replays the banded form INCLUDING the max-bucket skew guard, so a
+    dropped degenerate bucket drops identically on both engines."""
     from solace_apache_beam_spark.llm.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(load_table(spark, sf_dir, "documents"))

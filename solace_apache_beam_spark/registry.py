@@ -49,40 +49,39 @@ def _load() -> None:
 # The driver's correctness snapshot records at most ~50 queries per round,
 # enumerated in dict insertion order.  Rotation policy: the queries whose
 # newest driver row is OLDEST enumerate first, so every query's gate row
-# stays fresh across rounds.  Round-5 rotation: these 21 queries' last
-# driver verification is round 2 — which predates the driver's testdata
-# regeneration (events.ts nanos -> micros), so their rows describe data
-# that no longer exists in that form.  They must lead the round-5
-# snapshot.  Everything else (green in r04) keeps registration order.
+# stays fresh across rounds.  Round-6 rotation (VERDICT r5 Next #3): the
+# 21 queries whose newest driver row is r04 enumerate first, then the
+# queries whose SEMANTICS changed this round (SimHash widened to 60-bit
+# signatures with the oracle updated in lockstep; ngram prefix epsilon
+# guard) so their gate rows are re-pinned on the new definitions.
+# Everything else (green in r05) keeps registration order.
 _PRIORITY: tuple[str, ...] = (
-    # last driver row: round 2 (pre-regeneration) — verify first
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # newest driver row: round 4 — verify first
+    "ann_ivf_cosine",
+    "asof_click_view",
+    "bm25_components",
+    "chunk_documents",
+    "corpus_stats",
+    "dedup_rate_report",
+    "expectation_report_lineitem",
+    "funnel_view_click_purchase",
+    "hypertable_rollup_events",
+    "kmv_distinct_parts",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "percentiles_event_value",
+    "sample_documents_10pct",
+    "sequence_packing",
+    "split_train_val_test",
+    "stratified_sample_lineitem",
+    "text_normalize",
+    "text_pii_redact",
+    "training_shard_stats",
+    "vocab_top_words",
+    # semantics changed in round 6 — re-pin on the new definitions
     "dedup_simhash",
-    "incremental_dedup",
-    "minhash_band_hashes",
-    "knn_brute_cosine",
-    "ann_lsh_cosine",
-    "embedding_neardup",
-    "embedding_coverage",
-    "ivf_kmeans_assign",
-    "decontamination_report",
-    "text_language_id",
-    "text_quality",
-    "text_token_counts",
-    "text_fingerprint",
-    "text_repetition",
-    "source_quality_gate",
-    "multimodal_metadata",
-    "multimodal_features",
-    "training_shuffle_manifest",
-    # round-4 hard failure, now fixed — re-verify within the r5 window
-    "range_join_error_clicks",
-    # pair-generation internals rebuilt in round 5 (size-first caps,
-    # cross-band bucket dedup) — pin their r5 gate rows too
     "dedup_simhash_pairs",
-    "dedup_clusters",
+    "dedup_ngram_jaccard",
 )
 
 

@@ -49,3 +49,52 @@ def test_statuses(result):
     assert result[11].jaccard == 1.0  # same token stream, different bytes
     assert result[12].status == "unique" and result[12].match_id is None
     assert result[13].status == "unique"
+
+
+def test_materialized_corpus_index_matches_recompute(spark, tmp_path):
+    """The production shape the docstring promises (VERDICT r5 Next #6):
+    build_corpus_index -> write the three artifacts to parquet -> rerun
+    incremental_dedup reading them back. Output must be IDENTICAL to the
+    recompute path — the batch side is the only work left per run."""
+    from solace_apache_beam_spark.llm.dedup import (
+        build_corpus_index,
+        incremental_dedup,
+    )
+    from solace_apache_beam_spark.session import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+
+    baseline = sorted(
+        map(tuple, incremental_dedup(new, corpus).collect())
+    )
+
+    idx = build_corpus_index(corpus)
+    paths = {}
+    for name, df in idx.items():
+        paths[name] = str(tmp_path / f"idx_{name}.parquet")
+        df.write.mode("overwrite").parquet(paths[name])
+    spark.catalog.clearCache()
+    stored = {name: spark.read.parquet(p) for name, p in paths.items()}
+
+    got = sorted(
+        map(tuple, incremental_dedup(new, corpus_index=stored).collect())
+    )
+    assert got == baseline
+    assert any(r[1] == "near_dup" for r in got)  # non-trivial corpus hit
+
+
+def test_incremental_dedup_rejects_ambiguous_corpus(spark):
+    import pytest as _pytest
+
+    from solace_apache_beam_spark.llm.dedup import incremental_dedup
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="exactly one"):
+        incremental_dedup(df)
+    with _pytest.raises(ValueError, match="exactly one"):
+        incremental_dedup(df, df, corpus_index={})

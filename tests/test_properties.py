@@ -132,10 +132,11 @@ def test_simhash_matches_reference(spark, docs):
         [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
     )
     got = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    # 60-bit default (round 6): token hash is the 60-bit md5 prefix
     for i, ws in enumerate(docs):
-        hs = [_h32_py(w) for w in ws]
+        hs = [_h64_py(w) for w in ws]
         sim = 0
-        for b in range(32):
+        for b in range(60):
             s = sum(1 if (h >> b) & 1 else -1 for h in hs)
             if s > 0:
                 sim |= 1 << b
@@ -346,7 +347,11 @@ def test_incremental_dedup_exact_statuses_match_reference(spark, corpus, batch):
     docs=st.lists(
         st.lists(WORD, min_size=3, max_size=12), min_size=2, max_size=8
     ),
-    threshold=st.sampled_from([0.3, 0.5, 0.75, 1.0]),
+    # 0.55 exercises the IEEE-ceil-overshoot direction (0.55 * n can
+    # round UP past the exact product, shortening the prefix — the
+    # ADVICE-r5 boundary bug the epsilon guard in _ngram_prefix_instances
+    # fixes); 0.3/0.5/0.75/1.0 never hit that rounding direction.
+    threshold=st.sampled_from([0.3, 0.5, 0.55, 0.75, 1.0]),
 )
 def test_ngram_jaccard_prefix_filter_matches_brute_force(spark, docs, threshold):
     """The prefix-filtered similarity join must return EXACTLY the pairs
@@ -381,3 +386,22 @@ def test_ngram_jaccard_prefix_filter_matches_brute_force(spark, docs, threshold)
     assert set(got) == set(expect)
     for k in got:
         assert abs(got[k] - expect[k]) < 1e-12
+
+
+def test_ngram_jaccard_exact_threshold_boundary(spark):
+    """ADVICE-r5 repro, pinned deterministically: |A|=100 shingles,
+    B ⊂ A with |B|=55, J = 55/100 = 0.55 exactly at threshold 0.55.
+    0.55*100 floats to 55.000000000000007, so an unguarded ceil gives
+    56 — a one-short prefix that drops this boundary pair while the
+    final jaccard >= threshold filter accepts it. The epsilon guard
+    must keep the pair."""
+    from solace_apache_beam_spark.llm.dedup import ngram_jaccard_pairs
+
+    words_a = [f"w{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(102)]
+    df = spark.createDataFrame(
+        [(0, " ".join(words_a)), (1, " ".join(words_a[:57]))],
+        "doc_id long, text string",
+    )
+    got = ngram_jaccard_pairs(df, threshold=0.55).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(0, 1)]
+    assert abs(got[0].jaccard - 0.55) < 1e-12
