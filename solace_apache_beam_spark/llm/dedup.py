@@ -41,18 +41,25 @@ from solace_apache_beam_spark.functions.hashing import (
 
 # MinHash-LSH parameter presets. Candidate probability at Jaccard J is
 # 1 - (1 - J^r)^b with r = n_perm/n_bands rows per band, b = n_bands.
-# DEFAULT (r=4, b=4) is the cheap screening preset — measured 77%
-# recall vs exact-Jaccard>=0.5 truth on the round-5 100x stress corpus.
-# HIGH_RECALL (r=4, b=16) quadruples the band count at the same row
-# width: P(candidate) at J=0.5 rises 0.23 -> 0.64, at J=0.6
-# 0.41 -> 0.89, at J=0.7 0.67 -> 0.99 — measured recall on the same
-# corpus is recorded in PLANS.md (round-6 recall table). Signature cost
-# is 4x the permutation work (still map-side) and 4x the band-index
-# rows; candidate verification cost tracks the true near-dup volume
-# either way because r is unchanged (the low-J false-candidate rate
-# per band is identical).
+# Measured against exact-Jaccard>=0.5 truth (1,989,505 pairs) on the
+# verified 100x stress corpus (500k docs), scripts/measure_recall.py,
+# round 6:
+#
+#   preset          r  b   recall   wall (100x)
+#   16 perm / 4  b  4  4   76.7 %   22.8 s   <- DEFAULT (cheap screen)
+#   32 perm / 8  b  4  8   84.1 %   23.7 s
+#   64 perm / 16 b  4 16   86.3 %   35.0 s
+#   64 perm / 32 b  2 32   95.6 %   45.1 s   <- HIGH_RECALL
+#
+# Widening b at fixed r=4 plateaus in the high-80s: the corpus's miss
+# mass sits just above threshold (J 0.5-0.6) where P(J^4) stays small.
+# Dropping to r=2 is the lever that moves boundary pairs — P(candidate)
+# at J=0.5 goes 0.23 (default) -> 0.9999 — at the cost of more low-J
+# false candidates, which the exact verification join rejects (2x
+# wall-clock total at 100x). Usage:
+#   minhash_lsh_pairs(df, **MINHASH_HIGH_RECALL)
 MINHASH_DEFAULT = {"n_perm": 16, "n_bands": 4}
-MINHASH_HIGH_RECALL = {"n_perm": 64, "n_bands": 16}
+MINHASH_HIGH_RECALL = {"n_perm": 64, "n_bands": 32}
 
 
 def _segment_offsets(arrays: pd.Series) -> tuple[np.ndarray, np.ndarray]:
