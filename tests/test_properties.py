@@ -388,6 +388,42 @@ def test_ngram_jaccard_prefix_filter_matches_brute_force(spark, docs, threshold)
         assert abs(got[k] - expect[k]) < 1e-12
 
 
+@settings(**SETTINGS)
+@given(docs=st.lists(st.lists(WORD, min_size=1, max_size=10), min_size=2, max_size=6))
+def test_simhash_hamming_pairs_match_brute_force(spark, docs):
+    """The banded candidate path must return EXACTLY the pairs within
+    hamming <= 3 (pigeonhole over 4 bands is a completeness guarantee,
+    not probabilistic) — checked against an O(n^2) popcount reference
+    at the 60-bit defaults. Small repetitive word lists produce many
+    identical/near-identical signatures, exercising equality, near-miss
+    and over-distance pairs."""
+    from solace_apache_beam_spark.llm.dedup import simhash_hamming_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(df).collect()
+    }
+    sigs = {}
+    for i, ws in enumerate(docs):
+        hs = [_h64_py(w) for w in ws]
+        sim = 0
+        for b in range(60):
+            if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
+                sim |= 1 << b
+        sigs[i] = sim
+    expect = {}
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = bin(sigs[ids[x]] ^ sigs[ids[y]]).count("1")
+            if h <= 3:
+                expect[(ids[x], ids[y])] = h
+    assert got == expect
+
+
 def test_ngram_jaccard_exact_threshold_boundary(spark):
     """ADVICE-r5 repro, pinned deterministically: |A|=100 shingles,
     B ⊂ A with |B|=55, J = 55/100 = 0.55 exactly at threshold 0.55.

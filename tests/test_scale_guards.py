@@ -60,6 +60,40 @@ def test_simhash_bucket_cap_drops_degenerate(spark, skew_docs):
     assert got["dropped_buckets"] >= 1
 
 
+def test_ngram_prefix_bucket_cap_drops_degenerate(spark, skew_docs):
+    """ADVICE r5: the prefix-filter join's max_bucket cap was the one
+    pair family with no drop telemetry. Same contract as the other two:
+    the 10k-identical clique's prefix shingles (df=10k, over cap) drop
+    wholesale and OBSERVABLY; the rare outlier pair (df=2 shingles)
+    survives with exact jaccard."""
+    from solace_apache_beam_spark.llm.dedup import ngram_jaccard_pairs
+
+    ob = Observation("ngram_prefix_buckets")
+    out = ngram_jaccard_pairs(skew_docs, observation=ob).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(N_DEGENERATE, N_DEGENERATE + 1)]
+    assert out[0].jaccard == 1.0
+    got = ob.get
+    assert got["dropped_buckets"] >= 1
+    assert got["total_buckets"] > got["dropped_buckets"]
+
+
+def test_pair_bucket_stats_fallback_matches_observation(spark, skew_docs):
+    """The count-aggregate telemetry fallback (the production-scale
+    path where Observation.get dies) must report the same counts the
+    Observation does on the same corpus."""
+    from solace_apache_beam_spark.llm.dedup import (
+        minhash_lsh_pairs,
+        pair_bucket_stats,
+    )
+
+    ob = Observation("lsh_buckets_vs_fallback")
+    minhash_lsh_pairs(skew_docs, observation=ob).collect()
+    via_ob = ob.get
+    via_agg = pair_bucket_stats(skew_docs, "minhash")
+    assert via_agg["dropped_buckets"] == via_ob["dropped_buckets"]
+    assert via_agg["total_buckets"] == via_ob["total_buckets"]
+
+
 def test_ann_lsh_single_degenerate_bucket_is_subblocked(spark):
     """300 identical vectors -> every vector in the same LSH bucket.
     With block_size=64 the bucket is scored as 5 sub-blocks (15 block
