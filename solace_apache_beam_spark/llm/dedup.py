@@ -719,9 +719,17 @@ def pair_bucket_stats(
         inv = _simhash_bands(sig, id_col, bits, simhash_bands)
         return bucket_drop_stats(inv, ["band", "val"], max_bucket)
     if family == "ngram":
-        sh = _doc_shingles(df, text_col, id_col, shingle_n)
-        inv = _ngram_prefix_instances(sh, id_col, threshold)
-        return bucket_drop_stats(inv, ["shingle"], max_bucket)
+        # the prefix ranking reads the shingle frame twice (df counts +
+        # instance join) — persist so the Arrow kernel runs once, same
+        # discipline as the operator itself
+        sh = _doc_shingles(df, text_col, id_col, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            inv = _ngram_prefix_instances(sh, id_col, threshold)
+            return bucket_drop_stats(inv, ["shingle"], max_bucket)
+        finally:
+            sh.unpersist()
     raise ValueError(f"unknown pair family: {family!r}")
 
 
