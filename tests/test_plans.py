@@ -115,6 +115,31 @@ def test_incremental_dedup_no_forced_broadcast(spark, sf_dir, queries):
     assert "strategy=merge" in analyzed  # corpus sides pinned
 
 
+def test_incremental_index_path_keeps_boundedness_contract(spark, sf_dir):
+    """The materialized-corpus-index path (round 6) must honor the same
+    boundedness contract as the recompute path: corpus-index-derived
+    joins (band index, bucket filter, shingle sets) stay merge-pinned —
+    an index read from parquet has accurate scan stats, but at
+    production scale those frames are corpus-sized and must never be a
+    broadcast build just because a TEST-sized index fits."""
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.dedup import (
+        build_corpus_index,
+        incremental_dedup,
+    )
+    from solace_apache_beam_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_corpus_index(docs.filter(F.col("doc_id") % 4 != 0))
+    out = incremental_dedup(
+        docs.filter(F.col("doc_id") % 4 == 0), corpus_index=idx
+    )
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()
+    assert "strategy=merge" in analyzed
+
+
 def test_ngram_jaccard_size_joins_never_static_broadcast(spark, sf_dir, queries):
     """No join in the prefix-filtered Jaccard plan may be a STATIC
     broadcast: the df-count join and the two full-set verification
