@@ -388,6 +388,26 @@ def test_ngram_jaccard_prefix_filter_matches_brute_force(spark, docs, threshold)
         assert abs(got[k] - expect[k]) < 1e-12
 
 
+def test_simhash_32bit_param_matches_reference(spark):
+    """The narrow (bits<=32) token-hash path must stay correct after
+    the 60-bit default switch — it is still a supported parameter (and
+    the pre-round-6 signature definition)."""
+    from solace_apache_beam_spark.llm.dedup import simhash_signatures
+
+    docs = [["alpha", "beta", "gamma"], ["beta", "beta", "delta", "x"]]
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in simhash_signatures(df, bits=32).collect()}
+    for i, ws in enumerate(docs):
+        hs = [_h32_py(w) for w in ws]
+        sim = 0
+        for b in range(32):
+            if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
+                sim |= 1 << b
+        assert got[i] == sim, i
+
+
 @settings(**SETTINGS)
 @given(docs=st.lists(st.lists(WORD, min_size=1, max_size=10), min_size=2, max_size=6))
 def test_simhash_hamming_pairs_match_brute_force(spark, docs):
