@@ -467,10 +467,15 @@ def _ngram_prefix_instances(
     exchange+sort, and the window buffer spills
     (ExternalAppendOnlyUnsafeRowArray), so memory stays document-scale,
     never corpus-scale."""
-    inv = sh.select(F.col(id_col), F.explode("hs").alias("shingle"))
+    # _sz (per-doc set size) rides map-side from size(hs) — round 6
+    # removed the unordered count-window that used to compute it, so
+    # the (id) partitioning carries ONE window node (the ordered
+    # row_number), not two passes over the sorted stream
+    inv = sh.select(
+        F.col(id_col), F.size("hs").alias("_sz"), F.explode("hs").alias("shingle")
+    )
     counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = inv.join(counts.hint("merge"), "shingle")
-    wp = Window.partitionBy(id_col)
     wo = Window.partitionBy(id_col).orderBy("_df", "shingle")
     # required overlap = ceil(t * |d|) — computed with a downward
     # epsilon guard: IEEE rounding can overshoot the exact product
@@ -484,8 +489,7 @@ def _ngram_prefix_instances(
         + F.lit(1)
     )
     return (
-        ranked.withColumn("_sz", F.count(F.lit(1)).over(wp))
-        .withColumn("_rn", F.row_number().over(wo))
+        ranked.withColumn("_rn", F.row_number().over(wo))
         .filter(F.col("_rn") <= prefix_len)
         .select(F.col(id_col), F.col("shingle"))
     )
