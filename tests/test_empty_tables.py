@@ -96,3 +96,43 @@ def nullrow_sf_dir(tmp_path_factory, sf_dir):
 def test_query_survives_null_rows(name, spark, nullrow_sf_dir):
     df = all_queries()[name](spark, nullrow_sf_dir)
     assert df.count() >= 0
+
+
+def test_round6_helpers_survive_empty_and_trivial_inputs(spark):
+    """The round-6 non-registry APIs (corpus index, bucket telemetry)
+    get the same empty/degenerate sweep the registry queries get from
+    the fixtures above: empty corpora, unshingleable docs, all three
+    telemetry families."""
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.dedup import (
+        build_corpus_index,
+        incremental_dedup,
+        pair_bucket_stats,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    short = spark.createDataFrame([(1, "hi")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w q")],
+        "doc_id long, text string",
+    )
+
+    for fam in ("minhash", "simhash", "ngram"):
+        s = pair_bucket_stats(empty, fam)
+        assert s == {"dropped_buckets": 0, "total_buckets": 0}, fam
+        s = pair_bucket_stats(short, fam)
+        assert s["dropped_buckets"] == 0, fam
+
+    # empty corpus index: every new doc comes out unique
+    idx = build_corpus_index(empty)
+    out = {r.doc_id: r.status for r in incremental_dedup(docs, corpus_index=idx).collect()}
+    assert out == {1: "unique", 2: "unique", 3: "unique"}
+
+    # empty batch against a real index: zero rows, stable schema
+    idx2 = build_corpus_index(docs)
+    res = incremental_dedup(empty, corpus_index=idx2)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == [
+        "doc_id", "status", "match_id", "jaccard",
+    ]
