@@ -205,22 +205,26 @@ def funnel_counts(
                 )
                 .select(user_col, ts_col, id_col)
             )
-        first_ts = (
-            qual.groupBy(user_col)
-            .agg(F.min(ts_col).alias("t"))
-            .select(F.col(user_col).alias("_u"), "t")
-        )
-        # one row per surviving user; consumed twice (next stage's
-        # qualifier + this stage's count) — persist, or each stage
-        # re-executes every prior stage's joins for both consumers
-        # (pipeline duplication compounds per stage)
+        # earliest qualifying event per user in ONE aggregation:
+        # min(struct(ts, id)) orders lexicographically — earliest ts,
+        # ties to the smallest id — exactly the greedy frontier. (Round
+        # 6 replaced the former min-ts groupBy + join-back + second
+        # groupBy: same deterministic result, one shuffle instead of
+        # two plus a merge join, per stage.) One row per surviving
+        # user; consumed twice (next stage's qualifier + this stage's
+        # count) — persist, or each stage re-executes every prior
+        # stage's joins for both consumers (pipeline duplication
+        # compounds per stage).
         frontier = (
-            qual.join(
-                first_ts.hint("merge"),
-                (F.col(user_col) == F.col("_u")) & (F.col(ts_col) == F.col("t")),
+            qual.groupBy(user_col)
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col(ts_col).alias("t"), F.col(id_col).alias("i")
+                    )
+                ).alias("m")
             )
-            .groupBy(user_col, "t")
-            .agg(F.min(id_col).alias("i"))
+            .select(F.col(user_col), F.col("m.t").alias("t"), F.col("m.i").alias("i"))
             .persist()
         )
         outs.append(
