@@ -6,8 +6,11 @@ Output contract (the driver captures the stdout TAIL, ~2,000 chars):
   {"metric","value","unit","sf","n_queries","n_errors","slowest",
    "regressions","errors"} — always parseable even with 71 queries;
 - the full per-query timing dict goes on a PRECEDING stdout line and is
-  also written to BENCH_SELF.json next to this file (committed per
-  round, so history survives the driver's tail truncation);
+  also written to BENCH_SELF.json next to this file. That file is
+  UNTRACKED (.gitignore) so driver bench runs never dirty the working
+  tree (VERDICT r6 "What's wrong" #4); history survives the driver's
+  tail truncation via an explicit committed snapshot per round
+  (BENCH_SELF_r{N}.json, copied at round close);
 - a query that raises is recorded in "errors" as {name: message} and the
   bench KEEPS GOING — one broken query must never zero a round's
   telemetry again (round 4 lost all timings to a single

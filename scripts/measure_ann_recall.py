@@ -64,14 +64,11 @@ def main() -> None:
             .collect()
         }
         el = round(time.perf_counter() - t0, 1)
+        # degenerate embeddings table -> empty truth set: report null
+        # recall (mirrors measure_recall.py) instead of dividing by 0
+        recall = round(len(got & truth) / len(truth), 4) if truth else None
         print(
-            json.dumps(
-                {
-                    "config": label,
-                    "recall_at_k": round(len(got & truth) / len(truth), 4),
-                    "s": el,
-                }
-            ),
+            json.dumps({"config": label, "recall_at_k": recall, "s": el}),
             flush=True,
         )
 

@@ -141,6 +141,29 @@ def main() -> None:
                     f"{out[name]} dropped={s['dropped_buckets']}"
                     f"/{s['total_buckets']}"
                 )
+                if _BUCKET_FAMILY[name] == "minhash":
+                    # surface the recall/cost trade at the call site
+                    # (VERDICT r6 Next #5): the operator's defaults are
+                    # the cheap SCREEN preset, not a complete pass
+                    from solace_apache_beam_spark.llm.dedup import (
+                        minhash_recall_info,
+                    )
+
+                    ri = minhash_recall_info()
+                    out[name] = (
+                        f"{out[name]} recall_preset={ri['recall_preset']}"
+                        f"({ri['measured_recall']:.3f})"
+                    )
+            if bucket_stats and name == "ann_lsh_cosine":
+                from solace_apache_beam_spark.llm.similarity import (
+                    ann_recall_info,
+                )
+
+                ri = ann_recall_info()
+                out[name] = (
+                    f"{out[name]} recall_preset={ri['recall_preset']}"
+                    f"({ri['measured_recall']:.3f})"
+                )
         except Exception as ex:  # noqa: BLE001
             out[name] = f"ERR {type(ex).__name__}: {ex}"[:200]
         print(f"[stress] {name}: {out[name]}", flush=True)

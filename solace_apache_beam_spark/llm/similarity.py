@@ -380,6 +380,32 @@ def _bucketed_all_pairs_topk(
     )
 
 
+# n_tables -> recall@5 measured against brute-force truth at 200k
+# vectors (scripts/measure_ann_recall.py, round 6) — matches the
+# 1-(1-r)^L OR-construction model with per-table r ~ 0.952. Surfaced
+# via ann_recall_info so the single-table default's ~5 % miss rate is
+# visible at call sites (VERDICT r6 Next #5).
+_ANN_MEASURED_RECALL = {1: 0.952, 2: 0.997, 4: 1.0}
+
+
+def ann_recall_info(n_tables: int = 1) -> dict:
+    """Recall metadata for an ``ann_lsh_topk`` table count: measured
+    recall@k where the round-6 campaign measured it, else the
+    OR-construction model 1-(1-r)^L extrapolated from the measured
+    single-table r. Stamped into stress telemetry alongside the
+    operator's timings."""
+    if n_tables in _ANN_MEASURED_RECALL:
+        return {
+            "recall_preset": f"{n_tables}-table",
+            "measured_recall": _ANN_MEASURED_RECALL[n_tables],
+        }
+    r = _ANN_MEASURED_RECALL[1]
+    return {
+        "recall_preset": f"{n_tables}-table (model)",
+        "model_recall": round(1.0 - (1.0 - r) ** n_tables, 4),
+    }
+
+
 def ann_lsh_topk(
     df: DataFrame,
     vec_col: str = "embedding",

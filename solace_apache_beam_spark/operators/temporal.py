@@ -179,10 +179,20 @@ def funnel_counts(
     intermediate. Timestamps and counts only — no float anywhere, so
     the oracle matches bit-for-bit.
 
-    Output: (stage_idx, stage, n_users) — one row per stage."""
+    Output: (stage_idx, stage, n_users) — one row per stage.
+
+    Null event times are excluded up front (ADVICE r6): min(struct(ts,
+    id)) sorts a NULL ts field FIRST, so without the filter a user
+    whose only qualifying event had a null timestamp would enter the
+    frontier — where the pre-round-6 min(ts)+equality-join form (and
+    any SQL oracle, whose MIN ignores NULLs) silently excluded them.
+    The filter makes the nullable-input behavior explicit instead of
+    relying on sources guaranteeing non-null event time."""
     from functools import reduce
 
-    ev = df.select(user_col, type_col, ts_col, id_col)
+    ev = df.select(user_col, type_col, ts_col, id_col).filter(
+        F.col(ts_col).isNotNull()
+    )
     frontier = None  # (user, t, i): earliest qualifying event per user
     outs = []
     for idx, stage in enumerate(stages):

@@ -49,39 +49,34 @@ def _load() -> None:
 # The driver's correctness snapshot records at most ~50 queries per round,
 # enumerated in dict insertion order.  Rotation policy: the queries whose
 # newest driver row is OLDEST enumerate first, so every query's gate row
-# stays fresh across rounds.  Round-6 rotation (VERDICT r5 Next #3): the
-# 21 queries whose newest driver row is r04 enumerate first, then the
-# queries whose SEMANTICS changed this round (SimHash widened to 60-bit
-# signatures with the oracle updated in lockstep; ngram prefix epsilon
-# guard) so their gate rows are re-pinned on the new definitions.
-# Everything else (green in r05) keeps registration order.
+# stays fresh across rounds.  Round-7 rotation (VERDICT r6 Next #4): the
+# 21 queries whose newest driver row is r05 enumerate first.  No query
+# semantics changed this round (the round-7 work is telemetry, composed
+# operators, and scale validation), so no re-pin entries follow.
 _PRIORITY: tuple[str, ...] = (
-    # newest driver row: round 4 — verify first
-    "ann_ivf_cosine",
-    "asof_click_view",
-    "bm25_components",
-    "chunk_documents",
-    "corpus_stats",
-    "dedup_rate_report",
-    "expectation_report_lineitem",
-    "funnel_view_click_purchase",
-    "hypertable_rollup_events",
-    "kmv_distinct_parts",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "percentiles_event_value",
-    "sample_documents_10pct",
-    "sequence_packing",
-    "split_train_val_test",
-    "stratified_sample_lineitem",
-    "text_normalize",
-    "text_pii_redact",
-    "training_shard_stats",
-    "vocab_top_words",
-    # semantics changed in round 6 — re-pin on the new definitions
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
+    # newest driver row: round 5 — verify first
+    "analytic_user_running",
+    "ann_lsh_cosine",
+    "decontamination_report",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_coverage",
+    "embedding_neardup",
+    "incremental_dedup",
+    "ivf_kmeans_assign",
+    "knn_brute_cosine",
+    "minhash_band_hashes",
+    "multimodal_features",
+    "multimodal_metadata",
+    "range_join_error_clicks",
+    "source_quality_gate",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality",
+    "text_repetition",
+    "text_token_counts",
+    "training_shuffle_manifest",
 )
 
 

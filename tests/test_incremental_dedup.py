@@ -78,7 +78,11 @@ def test_materialized_corpus_index_matches_recompute(spark, tmp_path):
     for name, df in idx.items():
         paths[name] = str(tmp_path / f"idx_{name}.parquet")
         df.write.mode("overwrite").parquet(paths[name])
-    spark.catalog.clearCache()
+    # the build persisted the shingle frame; the returned handle must
+    # actually release it once the artifacts are on disk (ADVICE r6)
+    assert idx.is_cached
+    idx.unpersist()
+    assert not idx.is_cached
     stored = {name: spark.read.parquet(p) for name, p in paths.items()}
 
     got = sorted(

@@ -323,3 +323,85 @@ def test_ann_lsh_topk_matches_unpruned_bucket_reference(spark):
             for rank, (negc, nid) in enumerate(order, start=1):
                 expect[(qid, rank)] = (nid, -negc)
     assert got == expect
+
+
+def test_simhash_auto_bands_thresholds():
+    """The executable saturation-escape rule (VERDICT r6 Next #1):
+    preferred 4 bands (15-bit) while mean occupancy keeps 4x headroom
+    under the cap, then 3 (20-bit), then 2 (30-bit) — switch points
+    are exact integer arithmetic, so pin them exactly."""
+    from solace_apache_beam_spark.llm.dedup import simhash_auto_bands
+
+    b15 = (1 << 15) * 1000 // 4   # 8_192_000: last corpus size at 4 bands
+    b20 = (1 << 20) * 1000 // 4   # 262_144_000: last at 3 bands
+    assert simhash_auto_bands(1_000) == 4
+    assert simhash_auto_bands(5_000_000) == 4      # the measured 1000x point
+    assert simhash_auto_bands(b15) == 4
+    assert simhash_auto_bands(b15 + 1) == 3        # the ~33M-horizon escape
+    assert simhash_auto_bands(b20) == 3
+    assert simhash_auto_bands(b20 + 1) == 2
+    assert simhash_auto_bands(10**12) == 2         # floor: shard instead
+    # non-default geometry: 12-bit sigs, cap 50 (the saturation test's)
+    assert simhash_auto_bands(600, bits=12, max_bucket=50) == 2
+
+
+def test_simhash_band_saturation_escape_restores_capped_pairs(spark):
+    """The saturation REGIME itself, scaled down so a pytest can hold
+    it: 12-bit signatures band into 8 buckets/band at the preferred 4
+    bands, so ~600 random docs push every bucket far over a cap of 50
+    and the cap drops nearly all true pairs. The auto-derived escape
+    (2 bands -> 64 buckets, mean occupancy ~9) must restore the FULL
+    brute-force truth set: with max_hamming=1 the 2-band pigeonhole is
+    still complete (a 1-bit difference leaves one band identical), so
+    any miss could only come from a capped bucket — asserting equality
+    proves zero capped-pair loss exactly where the default measurably
+    loses. Same mechanism as the 15-bit/20-bit move at 33M docs; the
+    bit-width is scaled so the test runs in seconds."""
+    from solace_apache_beam_spark.llm.dedup import (
+        simhash_auto_bands,
+        simhash_hamming_pairs,
+        simhash_signatures,
+    )
+
+    rng = __import__("random").Random(7)
+    # letters only: the tokenizer splits on [^\p{L}]+, so digit-bearing
+    # vocab like "w123" would collapse to the single token "w".  NINE
+    # (odd) tokens per doc: an even count lets the per-bit +/-1 sum hit
+    # exactly 0, biasing every bit toward unset and skewing band values
+    # onto a few hot buckets; an odd count makes each bit a fair coin,
+    # so bucket occupancy matches the uniform math the escape rule uses.
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    vocab = [
+        "".join(rng.choice(letters) for _ in range(6)) for _ in range(4000)
+    ]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(9))) for i in range(600)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sigs = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures(df, bits=12).collect()
+    }
+    ids = sorted(sigs)
+    truth = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 1
+    }
+    assert len(truth) > 100  # dense enough to mean something
+
+    def found(n_bands):
+        out = simhash_hamming_pairs(
+            df, bits=12, n_bands=n_bands, max_hamming=1, max_bucket=50
+        ).collect()
+        return {(r.doc_a, r.doc_b) for r in out}
+
+    capped = found(4)
+    assert capped <= truth
+    assert len(capped) < len(truth) * 0.5  # the default measurably drops
+
+    nb = simhash_auto_bands(df.count(), bits=12, max_bucket=50)
+    assert nb == 2
+    assert found("auto") == truth  # the escape restores every pair

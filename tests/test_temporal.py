@@ -167,3 +167,32 @@ def test_connected_components_releases_superseded_round_blocks(spark):
     assert {r.cluster_rep for r in labels.collect()} == {1}
     # only the final labels checkpoint may remain cached
     assert len(jsc.getRDDStorageInfo()) <= before + 1
+
+
+def test_funnel_excludes_null_timestamps(spark):
+    """min(struct(ts, id)) sorts a NULL ts field FIRST, so without the
+    explicit not-null filter a user whose only qualifying event has a
+    null timestamp would enter the frontier — where the original
+    min(ts)+equality-join form (and any SQL oracle, whose MIN ignores
+    NULLs) excluded them (ADVICE r6). Pin the exclusion."""
+    from solace_apache_beam_spark.operators.temporal import funnel_counts
+
+    rows = [
+        # user 1: full funnel, all timestamps present
+        (1, "2024-01-01 00:00:01", 1, "view"),
+        (2, "2024-01-01 00:00:02", 1, "click"),
+        # user 2: only a NULL-ts view — must not count anywhere
+        (3, None, 2, "view"),
+        # user 3: NULL-ts view plus a real click: the click cannot
+        # qualify (no stage-1 frontier), so user 3 counts nowhere
+        (4, None, 3, "view"),
+        (5, "2024-01-01 00:00:03", 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.stage: r.n_users
+        for r in funnel_counts(df, stages=("view", "click")).collect()
+    }
+    assert got == {"view": 1, "click": 1}
