@@ -404,6 +404,14 @@ def minhash_lsh_pairs(
     candidates; candidates are verified with exact shingle-set Jaccard.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
 
+    RECALL IS A PARAMETER, NOT A GIVEN: the defaults are the cheap
+    SCREEN preset — 76.7 % measured recall against exact truth (a
+    one-in-four miss rate on boundary pairs; the full measured curve
+    is the preset table at the top of this module, queryable at call
+    sites via :func:`minhash_recall_info`). When completeness matters,
+    pass ``**MINHASH_HIGH_RECALL`` (95.6 %) or compose the two with
+    :func:`minhash_lsh_pairs_rescue`.
+
     The self-join shuffles only (band, band_hash) buckets. Buckets larger
     than ``max_bucket`` are dropped entirely (a degenerate band hash —
     boilerplate/empty docs — would otherwise concentrate O(n^2) pair

@@ -421,8 +421,10 @@ def ann_lsh_topk(
     recall for cost, and ``n_tables`` is the recall lever: L
     independent hyperplane tables (OR-construction) each bucket the
     corpus, candidates are unioned and deduped — recall rises
-    1-(1-r)^L for per-table recall r, at L x the scoring cost. Two
-    scale guards:
+    1-(1-r)^L for per-table recall r, at L x the scoring cost
+    (measured: 95.2 / 99.7 / 100 % recall@5 at L=1/2/4; the default
+    single table misses ~5 % — :func:`ann_recall_info` surfaces the
+    trade at call sites). Two scale guards:
 
     - ``n_planes=None`` (the default) derives the plane count from the
       corpus size so the MEAN bucket holds ~``target_bucket`` vectors —

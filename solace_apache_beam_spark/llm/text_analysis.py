@@ -494,32 +494,40 @@ def bm25_components(
     count). Terms below ``min_df`` docs are dropped (the long tail that
     dominates index size at corpus scale).
 
-    Scale: one explode + (doc, term) agg feeds EVERYTHING — document
-    length is sum(tf) per doc and document frequency is a count per
-    term, both derived from the tf frame (the token stream is read
-    once); joins are keyed equi-joins (term, then doc) PINNED as
-    sort-merge — df is one row per vocabulary term and doc_len one row
-    per doc, both unbounded at corpus scale, and their static
-    estimates (aggregates over a persisted frame) can read tiny enough
-    to misplan a broadcast build. The only broadcast is the single-row
-    corpus count. Output: (doc_id, term, tf, df, doc_len,
-    n_docs_total)."""
-    tokens = df.select(
-        F.col(id_col), F.explode(words_expr(text_col)).alias("term")
+    Scale: one explode + (doc, term) agg feeds everything else —
+    document LENGTH rides MAP-SIDE as size(words) before the explode
+    (it equals sum(tf) per doc, but deriving it that way cost a second
+    aggregation over the tf frame plus a doc-keyed merge join — the
+    same count-window class the ngram prefix ranking shed in round 6;
+    round 7 removed it after bm25_components drifted to 1.45x its
+    anchor), and document frequency is a count per term over the tf
+    frame (the token stream is read once). The remaining term join is
+    PINNED sort-merge — dfreq is one row per vocabulary term, unbounded
+    at corpus scale, and its static estimate (an aggregate over a
+    persisted frame) can read tiny enough to misplan a broadcast
+    build. The only broadcast is the single-row corpus count. Output:
+    (doc_id, term, tf, df, doc_len, n_docs_total)."""
+    # two-step projection: CollapseProject keeps the tokenizer single-
+    # evaluation because the outer select references `words` twice
+    w = df.select(F.col(id_col), words_expr(text_col).alias("words"))
+    tokens = w.select(
+        F.col(id_col),
+        F.size("words").cast("long").alias("doc_len"),
+        F.explode("words").alias("term"),
     )
-    tf = tokens.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    ).persist()
+    tf = (
+        tokens.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("doc_len").alias("doc_len"))
+        .persist()
+    )
     dfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
     n_total = df.select(F.countDistinct(F.col(id_col)).alias("n_docs_total"))
     return (
         tf.join(dfreq.hint("merge"), "term")
-        .join(doc_len.hint("merge"), id_col)
         .crossJoin(F.broadcast(n_total))
         .select(id_col, "term", "tf", "df", "doc_len", "n_docs_total")
     )
