@@ -136,3 +136,36 @@ def test_round6_helpers_survive_empty_and_trivial_inputs(spark):
     assert [f.name for f in res.schema.fields] == [
         "doc_id", "status", "match_id", "jaccard",
     ]
+
+
+def test_round7_helpers_survive_empty_and_trivial_inputs(spark):
+    """Round-7 non-registry APIs get the same degenerate sweep: the
+    rescue composition and the auto-banded simhash path must come back
+    empty with stable schemas on empty/unshingleable corpora, never
+    raise."""
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.dedup import (
+        minhash_lsh_pairs_rescue,
+        simhash_auto_bands,
+        simhash_hamming_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    short = spark.createDataFrame([(1, "hi")], "doc_id long, text string")
+    part = F.col("doc_id") % 2 == 0
+
+    for df in (empty, short):
+        out = minhash_lsh_pairs_rescue(df, part)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "doc_a", "doc_b", "jaccard", "source",
+        ]
+        auto = simhash_hamming_pairs(df, n_bands="auto")
+        assert auto.count() == 0
+        assert [f.name for f in auto.schema.fields] == [
+            "doc_a", "doc_b", "hamming",
+        ]
+
+    # n_docs=0 keeps the preferred band count
+    assert simhash_auto_bands(0) == 4
