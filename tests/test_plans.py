@@ -214,3 +214,23 @@ def test_pair_bucket_collect_is_size_capped_before_aggregation(spark, sf_dir, qu
         # ...and the size filter must apply to the scalar count column,
         # never to the collected array
         assert "size(collect_list" not in plan.replace(" ", ""), name
+
+
+def test_rescue_composition_joins_never_static_broadcast(spark, sf_dir):
+    """The screen-then-rescue plan inherits every pin of its two
+    minhash_lsh_pairs passes AND adds the screen-vs-rescue anti-join —
+    whose sides are both pair frames (unbounded at web scale, static
+    estimates from distinct-over-generate lineage that can read tiny).
+    Nothing in the composed physical plan may be a static broadcast."""
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.dedup import minhash_lsh_pairs_rescue
+    from solace_apache_beam_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs_rescue(docs, F.col("doc_id") % 2 == 0)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
