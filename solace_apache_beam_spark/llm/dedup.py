@@ -591,12 +591,15 @@ def _ngram_prefix_instances(
     # (0.55 * 100 -> 55.000000000000007 -> ceil 56), which SHORTENS the
     # prefix and silently drops pairs whose Jaccard equals the
     # threshold exactly (ADVICE r5). The guard is RELATIVE (ADVICE r6):
-    # IEEE overshoot scales as ~product * 2^-53, so an absolute 1e-9
-    # stops covering docs beyond ~1e7 distinct shingles; scaling the
-    # product by (1 - 1e-12) covers the rounding error at any document
-    # size while never lowering an exactly-integer product below its
-    # integer. Errs toward a LONGER prefix: completeness-safe, cost at
-    # most one extra indexed shingle.
+    # IEEE rounding error scales as ~product * 2^-53, so an absolute
+    # 1e-9 margin becomes vanishingly small relative to ulp beyond ~1e7
+    # distinct shingles; scaling the product by (1 - 1e-12) keeps the
+    # margin proportional at any document size while never lowering an
+    # exactly-integer product below its integer. Errs toward a LONGER
+    # prefix: completeness-safe, cost at most one extra indexed
+    # shingle. Property-proven against exact rational arithmetic up to
+    # sz=1e12 (tests/test_properties.py::
+    # test_ngram_prefix_guard_exact_at_any_size).
     prefix_len = (
         F.col("_sz")
         - F.ceil(

@@ -461,3 +461,30 @@ def test_ngram_jaccard_exact_threshold_boundary(spark):
     got = ngram_jaccard_pairs(df, threshold=0.55).collect()
     assert [(r.doc_a, r.doc_b) for r in got] == [(0, 1)]
     assert abs(got[0].jaccard - 0.55) < 1e-12
+
+
+@settings(**SETTINGS)
+@given(
+    sz=st.integers(1, 10**12),
+    thr=st.floats(0.05, 0.99, allow_nan=False, allow_infinity=False),
+)
+def test_ngram_prefix_guard_exact_at_any_size(sz, thr):
+    """The relative epsilon guard (ADVICE r6) replayed in the same
+    float arithmetic Spark executes, checked against EXACT rational
+    arithmetic: the guarded ceil of t*|d| must never exceed the true
+    required overlap ceil(t*|d|) (completeness: a higher value
+    shortens the prefix and can drop threshold-boundary pairs), and
+    must lose at most 1 (cost: at most one extra indexed shingle).
+    The relative form keeps the safety margin proportional to the
+    product, so both bounds hold at any document size (an absolute
+    1e-9 margin becomes vanishingly small relative to ulp once the
+    product passes ~1e7 — round-to-nearest cannot cross a representable
+    integer from below, but the proportional margin makes the bound
+    robust without relying on that representability argument)."""
+    import math
+    from fractions import Fraction
+
+    true_m = math.ceil(Fraction(thr) * sz)  # exact value of the float thr
+    guarded = math.ceil(sz * thr * (1.0 - 1e-12))
+    assert guarded <= true_m, (sz, thr)
+    assert guarded >= true_m - 1, (sz, thr)
