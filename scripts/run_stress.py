@@ -144,7 +144,11 @@ def main() -> None:
                 if _BUCKET_FAMILY[name] == "minhash":
                     # surface the recall/cost trade at the call site
                     # (VERDICT r6 Next #5): the operator's defaults are
-                    # the cheap SCREEN preset, not a complete pass
+                    # the cheap SCREEN preset, not a complete pass.
+                    # NOTE: the stamp describes the registry queries'
+                    # parameterization (library defaults); if a gate
+                    # query is ever re-registered with a non-default
+                    # preset, update this stamp in the same commit
                     from solace_apache_beam_spark.llm.dedup import (
                         minhash_recall_info,
                     )

@@ -87,13 +87,20 @@ def minhash_recall_info(
 ) -> dict:
     """Recall metadata for a MinHash-LSH parameter choice: the preset
     label and MEASURED recall when (n_perm, n_bands) matches a preset
-    from the table above, else the s-curve candidate probability
-    1 - (1 - J^r)^b at J=threshold (the analytic upper bound on recall
-    for unmeasured parameters). Stamped into stress telemetry
+    from the table above AND the threshold is the 0.5 the recall
+    campaign measured against (a preset's measured number describes
+    J>=0.5 truth only — stamping it onto a different-threshold run
+    would be authoritative-looking telemetry about a run that never
+    happened). Otherwise the s-curve candidate probability
+    1 - (1 - J^r)^b at J=threshold — the analytic LOWER bound on
+    recall: every qualifying pair has J >= threshold, so its candidate
+    probability is at least this value (for the DEFAULT preset the
+    bound is 0.23 while measured recall is 0.767 — the gap is the
+    above-threshold J mass). Stamped into stress telemetry
     (scripts/run_stress.py --bucket-stats) so the recall/cost trade is
     visible at the point of use."""
     label_rec = _MINHASH_MEASURED_RECALL.get((n_perm, n_bands))
-    if label_rec is not None:
+    if label_rec is not None and abs(threshold - 0.5) < 1e-12:
         return {"recall_preset": label_rec[0], "measured_recall": label_rec[1]}
     r = n_perm // n_bands
     p = 1.0 - (1.0 - float(threshold) ** r) ** n_bands
@@ -399,10 +406,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     observation=None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: band-bucket self-join produces
     candidates; candidates are verified with exact shingle-set Jaccard.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+
+    ``shingles`` (advanced): a precomputed, already-persisted
+    (id_col, hs) frame covering EXACTLY the docs to pair — lets a
+    caller running several passes over overlapping doc sets (e.g.
+    :func:`minhash_lsh_pairs_rescue`) run the Arrow shingling kernel
+    once instead of once per pass. When omitted the operator computes
+    and persists its own.
 
     RECALL IS A PARAMETER, NOT A GIVEN: the defaults are the cheap
     SCREEN preset — 76.7 % measured recall against exact truth (a
@@ -427,8 +442,12 @@ def minhash_lsh_pairs(
     # the shingle-hash set feeds the signature pipeline AND both
     # verification sides — persist it (spills to disk at scale) so the
     # Arrow shingling kernel runs once, not three times
-    sh = _doc_shingles(df, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = (
+        shingles
+        if shingles is not None
+        else _doc_shingles(df, text_col, id_col, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     bands = _band_hashes_from_shingles(sh, id_col, n_perm, n_bands)
     # bucket-collect pair generation: ONE pass over the signature
@@ -507,11 +526,18 @@ def minhash_lsh_pairs_rescue(
     admits low-J candidate mass that outgrows true pairs) is paid on
     the partition fraction, not the corpus.
 
-    The anti-join discarding rescue pairs the screen already found is
-    merge-pinned: both sides are pair frames — unbounded at web scale,
-    and their static estimates (distinct over generate over cached
-    lineage) can read tiny and misplan a broadcast build (the ngram
-    10x OOM class)."""
+    Plan shape: the corpus is shingled ONCE (the rescue pass reuses
+    the screen's persisted shingle frame through a semi-join on the
+    partition ids instead of re-running the Arrow kernel; the shared
+    cache follows the same session lifecycle as minhash_lsh_pairs'
+    internal one — clearCache between unrelated jobs). The
+    screen/rescue union is resolved by ONE (doc_a, doc_b) aggregation
+    taking the screen row on overlap — pair frames are unbounded at
+    web scale and their static estimates (distinct over generate over
+    cached lineage) can read tiny, so an anti-join formulation would
+    need a broadcast pin AND a persist of the screen side to avoid
+    double execution; the aggregation needs neither (each pass is
+    consumed exactly once, no persisted pair frame lingers)."""
     screen_params = dict(MINHASH_DEFAULT if screen is None else screen)
     rescue_params = dict(MINHASH_HIGH_RECALL if rescue is None else rescue)
     common = dict(
@@ -521,19 +547,41 @@ def minhash_lsh_pairs_rescue(
         threshold=threshold,
         max_bucket=max_bucket,
     )
-    screened = minhash_lsh_pairs(df, **common, **screen_params).persist(
+    sh = _doc_shingles(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    part_ids = df.filter(partition_filter).select(F.col(id_col))
+    sh_part = sh.join(part_ids, id_col, "semi")
+    screened = minhash_lsh_pairs(df, **common, **screen_params, shingles=sh)
     rescued = minhash_lsh_pairs(
-        df.filter(partition_filter), **common, **rescue_params
+        df.filter(partition_filter), **common, **rescue_params, shingles=sh_part
     )
-    fresh = rescued.join(
-        screened.select("doc_a", "doc_b").hint("merge"),
-        ["doc_a", "doc_b"],
-        "left_anti",
+    tagged = screened.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(0).alias("_prio"),
+        F.lit("screen").alias("source"),
+    ).unionByName(
+        rescued.select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.lit(1).alias("_prio"),
+            F.lit("rescue").alias("source"),
+        )
     )
-    return screened.withColumn("source", F.lit("screen")).unionByName(
-        fresh.withColumn("source", F.lit("rescue"))
+    # screen wins on overlap (_prio orders the struct; jaccard is the
+    # same exact value in both passes, so the choice only sets `source`)
+    return (
+        tagged.groupBy("doc_a", "doc_b")
+        .agg(F.min(F.struct("_prio", "jaccard", "source")).alias("m"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("m.jaccard").alias("jaccard"),
+            F.col("m.source").alias("source"),
+        )
     )
 
 
@@ -732,37 +780,63 @@ def simhash_auto_bands(
     bits: int = 60,
     max_bucket: int = 1000,
     preferred: int = 4,
+    max_hamming: int = 3,
 ) -> int:
     """Derive the band count for ``simhash_hamming_pairs`` from corpus
     size — the EXECUTABLE form of the band-saturation escape the
     round-6 scale notes documented in prose (VERDICT r6 Next #1).
 
-    The band-value space is 2^(bits/n_bands); once the mean bucket
-    occupancy n_docs / 2^(bits/n_bands) approaches ``max_bucket``, the
-    skew cap starts dropping RANDOM-collision buckets, not just
-    degenerate ones, and recall decays (measured at 1000x: the 15-bit
-    default drops 0.23% of pairs at 5M docs; at the documented ~33M
-    horizon the loss becomes structural). The rule keeps the PREFERRED
-    band count (stronger pigeonhole guarantee: hamming < n_bands is
-    complete) while mean occupancy stays <= max_bucket/4 — a 4x
-    headroom under the cap so only genuinely degenerate content
-    clusters engage it (Poisson mass above the cap at lambda <= B/4 is
-    negligible; content skew is what the cap is FOR) — and otherwise
-    widens bands (fewer, larger slices -> exponentially more buckets)
-    down to a floor of 2.
+    Two regimes, because two different losses compete:
 
-    At bits=60, max_bucket=1000: preferred 4 (15-bit bands) holds to
-    8.19M docs; 3 (20-bit, 1.05M buckets) to 262M; 2 (30-bit, 1.07B
-    buckets) beyond — each step trades the complete-hamming radius
-    (n_bands-1) for unsaturated buckets. Callers who need the full
-    radius at extreme scale should shard by a content prefix instead.
-    """
-    for nb in range(preferred, 1, -1):
-        if bits % nb:
-            continue
+    - Widening bands ABOVE the completeness floor ``max_hamming + 1``
+      is free (the pigeonhole guarantee — any pair with hamming <
+      n_bands shares a band — still covers the full radius), so among
+      floor-respecting divisors of ``bits`` the rule takes the largest
+      band count whose mean bucket occupancy n_docs / 2^(bits/n_bands)
+      keeps 4x headroom under ``max_bucket`` (Poisson mass above the
+      cap at lambda <= B/4 is negligible; content skew is what the cap
+      is FOR).
+    - Widening BELOW the floor trades completeness for capacity: at
+      n_bands = max_hamming the pigeonhole covers only hamming <
+      n_bands, and e.g. 3 bands of 20 bits miss ~23 % of EXACTLY-
+      hamming-3 pairs (20^3 / C(60,3) placements put one differing bit
+      in each band). That trade only pays near wholesale bucket
+      collapse, so the rule holds the floor until the floor config's
+      MEAN occupancy exceeds the cap itself (lambda > max_bucket — the
+      regime where most pairs die in dropped buckets and a bounded
+      per-radius loss is strictly better), then again takes the
+      largest divisor with 4x headroom.
+
+    At bits=60, max_bucket=1000, max_hamming=3 (floor 4): 4 bands
+    (15-bit) to 32.77M docs (cap loss measured 0.23 % at 5M stays the
+    better trade through moderate saturation), then 3 (20-bit, 1.05M
+    buckets) to 1.05B docs, then 2 (30-bit). At max_hamming <= 2 the
+    floor drops and widening starts at the 4x-headroom point instead
+    (8.19M docs for 3 bands) because no radius is given up. Every
+    returned value divides ``bits``; ValueError only if no divisor of
+    bits in [2, preferred] exists. Beyond the widest band's own
+    saturation point, shard by a content prefix."""
+    floor = min(preferred, max_hamming + 1)
+    divisors = [nb for nb in range(preferred, 1, -1) if bits % nb == 0]
+    if not divisors:
+        raise ValueError(f"no band count in [2, {preferred}] divides bits={bits}")
+    # free regime: respect the completeness floor, take the largest
+    # band count whose mean occupancy keeps 4x headroom under the cap
+    for nb in divisors:
+        if nb < floor:
+            break
         if n_docs <= (1 << (bits // nb)) * max_bucket // 4:
             return nb
-    return 2
+    # floor saturated: radius-greedy — hold each band count until its
+    # MEAN occupancy exceeds the cap itself (the wholesale-collapse
+    # regime where a bounded per-radius pigeonhole loss is strictly
+    # better), then widen one step
+    for nb in divisors:
+        if n_docs <= (1 << (bits // nb)) * max_bucket:
+            return nb
+    # even the widest band saturates: the corpus needs sharding, but
+    # the widest divisor is still the least-loss configuration
+    return divisors[-1]
 
 
 def simhash_hamming_pairs(
@@ -804,7 +878,7 @@ def simhash_hamming_pairs(
     registry/gate queries run the unchanged literal default."""
     if n_bands == "auto":
         n_bands = simhash_auto_bands(
-            df.count(), bits=bits, max_bucket=max_bucket
+            df.count(), bits=bits, max_bucket=max_bucket, max_hamming=max_hamming
         )
     sig = simhash_signatures(df, text_col, id_col, bits).persist()
     bands = _simhash_bands(sig, id_col, bits, n_bands)

@@ -50,7 +50,7 @@ def _load() -> None:
 # enumerated in dict insertion order.  Rotation policy: the queries whose
 # newest driver row is OLDEST enumerate first, so every query's gate row
 # stays fresh across rounds.  Round-7 rotation (VERDICT r6 Next #4): the
-# 21 queries whose newest driver row is r05 enumerate first.  No query
+# 22 queries whose newest driver row is r05 enumerate first.  No query
 # semantics changed this round (the round-7 work is telemetry, composed
 # operators, and scale validation), so no re-pin entries follow.
 _PRIORITY: tuple[str, ...] = (

@@ -218,10 +218,16 @@ def test_pair_bucket_collect_is_size_capped_before_aggregation(spark, sf_dir, qu
 
 def test_rescue_composition_joins_never_static_broadcast(spark, sf_dir):
     """The screen-then-rescue plan inherits every pin of its two
-    minhash_lsh_pairs passes AND adds the screen-vs-rescue anti-join —
-    whose sides are both pair frames (unbounded at web scale, static
-    estimates from distinct-over-generate lineage that can read tiny).
-    Nothing in the composed physical plan may be a static broadcast."""
+    minhash_lsh_pairs passes; the screen/rescue overlap is resolved by
+    a (doc_a, doc_b) aggregation, NOT a pair-frame join — pair frames
+    are unbounded at web scale with static estimates (distinct over
+    generate over cached lineage) that can read tiny and misplan a
+    broadcast build. The ONLY broadcast allowed is the partition-id
+    semi-join that filters the shared shingle cache: its build side is
+    a filter+project of the documents scan, whose estimate tracks the
+    scan (the trustworthy, statistics-driven class — same rationale as
+    incremental_dedup's exact-hash join), so at real scale the planner
+    sizes it honestly and falls back to sort-merge on its own."""
     from pyspark.sql import functions as F
 
     from solace_apache_beam_spark.llm.dedup import minhash_lsh_pairs_rescue
@@ -232,5 +238,7 @@ def test_rescue_composition_joins_never_static_broadcast(spark, sf_dir):
     plan = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
-    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "LeftSemi" in line, line
     assert "SortMergeJoin" in plan

@@ -326,23 +326,40 @@ def test_ann_lsh_topk_matches_unpruned_bucket_reference(spark):
 
 
 def test_simhash_auto_bands_thresholds():
-    """The executable saturation-escape rule (VERDICT r6 Next #1):
-    preferred 4 bands (15-bit) while mean occupancy keeps 4x headroom
-    under the cap, then 3 (20-bit), then 2 (30-bit) — switch points
-    are exact integer arithmetic, so pin them exactly."""
+    """The executable saturation-escape rule (VERDICT r6 Next #1),
+    two-tier so 'auto' can never silently shrink the complete hamming
+    radius while the cap loss is still small: ABOVE the completeness
+    floor max_hamming+1, widen freely at 4x occupancy headroom; AT the
+    floor, hold until mean occupancy exceeds the cap itself (wholesale
+    bucket collapse — where 3 bands' ~23% exactly-hamming-3 pigeonhole
+    loss becomes strictly better than losing every radius class in
+    dropped buckets), then widen radius-greedily. Switch points are
+    exact integer arithmetic, so pin them exactly."""
     from solace_apache_beam_spark.llm.dedup import simhash_auto_bands
 
-    b15 = (1 << 15) * 1000 // 4   # 8_192_000: last corpus size at 4 bands
-    b20 = (1 << 20) * 1000 // 4   # 262_144_000: last at 3 bands
+    import pytest as _pytest
+
+    hold4 = (1 << 15) * 1000      # 32_768_000: floor-hold limit, 4 bands
+    hold3 = (1 << 20) * 1000      # 1_048_576_000: radius-greedy, 3 bands
     assert simhash_auto_bands(1_000) == 4
     assert simhash_auto_bands(5_000_000) == 4      # the measured 1000x point
-    assert simhash_auto_bands(b15) == 4
-    assert simhash_auto_bands(b15 + 1) == 3        # the ~33M-horizon escape
-    assert simhash_auto_bands(b20) == 3
-    assert simhash_auto_bands(b20 + 1) == 2
-    assert simhash_auto_bands(10**12) == 2         # floor: shard instead
+    assert simhash_auto_bands(8_192_000) == 4      # 4x-headroom edge
+    assert simhash_auto_bands(8_192_001) == 4      # floor holds: radius first
+    assert simhash_auto_bands(hold4) == 4
+    assert simhash_auto_bands(hold4 + 1) == 3      # collapse regime: escape
+    assert simhash_auto_bands(hold3) == 3
+    assert simhash_auto_bands(hold3 + 1) == 2
+    assert simhash_auto_bands(10**12) == 2         # widest divisor: shard
+    # max_hamming<=2 drops the floor: widening is free (no radius given
+    # up), so it starts at the 4x-headroom point instead of the cap
+    assert simhash_auto_bands(8_192_001, max_hamming=2) == 3
+    assert simhash_auto_bands(8_192_001, max_hamming=1) == 3
+    # every return divides bits, even on the shard-regime fallthrough
+    assert simhash_auto_bands(10**12, bits=45) == 3
+    with _pytest.raises(ValueError):
+        simhash_auto_bands(1_000, bits=7)          # no divisor in [2, 4]
     # non-default geometry: 12-bit sigs, cap 50 (the saturation test's)
-    assert simhash_auto_bands(600, bits=12, max_bucket=50) == 2
+    assert simhash_auto_bands(600, bits=12, max_bucket=50, max_hamming=1) == 2
 
 
 def test_simhash_band_saturation_escape_restores_capped_pairs(spark):
@@ -402,6 +419,6 @@ def test_simhash_band_saturation_escape_restores_capped_pairs(spark):
     assert capped <= truth
     assert len(capped) < len(truth) * 0.5  # the default measurably drops
 
-    nb = simhash_auto_bands(df.count(), bits=12, max_bucket=50)
+    nb = simhash_auto_bands(df.count(), bits=12, max_bucket=50, max_hamming=1)
     assert nb == 2
     assert found("auto") == truth  # the escape restores every pair
