@@ -130,3 +130,23 @@ def test_recall_info_tables():
         "measured_recall": 0.952,
     }
     assert ann_recall_info(3)["model_recall"] == round(1 - 0.048**3, 4)
+
+
+def test_rescue_empty_partition_degrades_to_screen(spark):
+    """A partition_filter matching ZERO rows must degrade to exactly
+    the screen pass (all rows source='screen'), exercising the empty
+    side of the shared-shingle semi-join and an empty rescue pass."""
+    from solace_apache_beam_spark.llm.dedup import (
+        MINHASH_DEFAULT,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_rescue,
+    )
+
+    docs = _docs(spark)
+    out = minhash_lsh_pairs_rescue(docs, F.lit(False)).collect()
+    assert out and all(r.source == "screen" for r in out)
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, **MINHASH_DEFAULT).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in out} == base
