@@ -538,8 +538,6 @@ def minhash_lsh_pairs_rescue(
     need a broadcast pin AND a persist of the screen side to avoid
     double execution; the aggregation needs neither (each pass is
     consumed exactly once, no persisted pair frame lingers)."""
-    screen_params = dict(MINHASH_DEFAULT if screen is None else screen)
-    rescue_params = dict(MINHASH_HIGH_RECALL if rescue is None else rescue)
     common = dict(
         text_col=text_col,
         id_col=id_col,
@@ -547,14 +545,39 @@ def minhash_lsh_pairs_rescue(
         threshold=threshold,
         max_bucket=max_bucket,
     )
+
+    # the per-pass dicts may override tuning knobs (n_perm / n_bands /
+    # threshold / max_bucket) but NOT the structural columns or
+    # shingle_n — the shared shingle frame below is built once with the
+    # operator-level values, so a per-pass structural override would
+    # silently disagree with it
+    def _pass_params(params):
+        clean = {
+            k: v
+            for k, v in params.items()
+            if k not in ("text_col", "id_col", "shingle_n", "shingles")
+        }
+        return {**common, **clean}
+
+    screen_params = _pass_params(MINHASH_DEFAULT if screen is None else screen)
+    rescue_params = _pass_params(
+        MINHASH_HIGH_RECALL if rescue is None else rescue
+    )
     sh = _doc_shingles(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     part_ids = df.filter(partition_filter).select(F.col(id_col))
-    sh_part = sh.join(part_ids, id_col, "semi")
-    screened = minhash_lsh_pairs(df, **common, **screen_params, shingles=sh)
+    # persisted: the rescue pass consumes its shingle frame three times
+    # (band pipeline + both verification sides) and Spark does not dedup
+    # common subplans — without the persist the semi-join (a shuffle of
+    # the cached corpus shingles plus a source scan for part_ids) would
+    # re-execute per consumer. Bounded by the partition fraction.
+    sh_part = sh.join(part_ids, id_col, "semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    screened = minhash_lsh_pairs(df, **screen_params, shingles=sh)
     rescued = minhash_lsh_pairs(
-        df.filter(partition_filter), **common, **rescue_params, shingles=sh_part
+        df.filter(partition_filter), **rescue_params, shingles=sh_part
     )
     tagged = screened.select(
         "doc_a",
@@ -804,8 +827,9 @@ def simhash_auto_bands(
       collapse, so the rule holds the floor until the floor config's
       MEAN occupancy exceeds the cap itself (lambda > max_bucket — the
       regime where most pairs die in dropped buckets and a bounded
-      per-radius loss is strictly better), then again takes the
-      largest divisor with 4x headroom.
+      per-radius loss is strictly better), then proceeds
+      radius-greedily: each successive band count is held until ITS
+      mean occupancy exceeds the cap.
 
     At bits=60, max_bucket=1000, max_hamming=3 (floor 4): 4 bands
     (15-bit) to 32.77M docs (cap loss measured 0.23 % at 5M stays the
@@ -870,17 +894,24 @@ def simhash_hamming_pairs(
     15-hex-digit prefix is the widest portable hash that never touches
     the BIGINT sign bit on either engine.
 
-    ``n_bands="auto"`` derives the band count from an exact corpus
-    count via ``simhash_auto_bands`` (one count job over the input —
-    metadata-cheap on a parquet scan): the preferred 4 bands while
-    mean bucket occupancy keeps 4x headroom under ``max_bucket``,
-    widening to 3 then 2 at the measured saturation horizons. The
-    registry/gate queries run the unchanged literal default."""
-    if n_bands == "auto":
-        n_bands = simhash_auto_bands(
-            df.count(), bits=bits, max_bucket=max_bucket, max_hamming=max_hamming
-        )
+    ``n_bands="auto"`` derives the band count from the SIGNATURE
+    population via ``simhash_auto_bands`` (one count over the persisted
+    signature frame, which the main job reuses): the preferred 4 bands
+    while the completeness floor and occupancy rules allow (see the
+    helper's docstring for the two-tier schedule). The registry/gate
+    queries run the unchanged literal default."""
     sig = simhash_signatures(df, text_col, id_col, bits).persist()
+    if n_bands == "auto":
+        # count the SIGNATURE population, not df: rows that tokenize to
+        # nothing produce no signature (and no bucket entry), so a
+        # boilerplate-heavy corpus counted via df would overestimate
+        # occupancy and widen bands — giving up pigeonhole radius —
+        # earlier than the math warrants. The count also materializes
+        # the persisted sig frame the main job reuses, so the extra job
+        # does the work the pipeline pays anyway.
+        n_bands = simhash_auto_bands(
+            sig.count(), bits=bits, max_bucket=max_bucket, max_hamming=max_hamming
+        )
     bands = _simhash_bands(sig, id_col, bits, n_bands)
     # size-first cap (see _sized_group_instances): bucket populations
     # are counted before any member array is collected, so a degenerate

@@ -492,7 +492,11 @@ def bm25_components(
     not guaranteed bit-identical across engines, so the engine-exact
     contract stops at the integer components (everything here is a
     count). Terms below ``min_df`` docs are dropped (the long tail that
-    dominates index size at corpus scale).
+    dominates index size at corpus scale). PRECONDITION: ``id_col`` is
+    unique (one row per document — the invariant every operator in this
+    engine's documents model assumes); doc_len rides map-side as
+    size(words) per row, which equals the per-doc token total only when
+    a doc is exactly one row.
 
     Scale: one explode + (doc, term) agg feeds everything else —
     document LENGTH rides MAP-SIDE as size(words) before the explode

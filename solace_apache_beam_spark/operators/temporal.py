@@ -186,12 +186,19 @@ def funnel_counts(
     whose only qualifying event had a null timestamp would enter the
     frontier — where the pre-round-6 min(ts)+equality-join form (and
     any SQL oracle, whose MIN ignores NULLs) silently excluded them.
-    The filter makes the nullable-input behavior explicit instead of
-    relying on sources guaranteeing non-null event time."""
+    NULL user ids and event ids are excluded for the same
+    SQL-alignment reason: groupBy keeps a NULL-user group where the
+    oracle's stage-to-stage equi-join drops it (stage-1 overcount),
+    and a NULL event_id inside min(struct) would win the tie-break the
+    oracle's MIN ignores. The filters make the nullable-input behavior
+    explicit instead of relying on sources guaranteeing non-null
+    columns."""
     from functools import reduce
 
     ev = df.select(user_col, type_col, ts_col, id_col).filter(
         F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
+        & F.col(id_col).isNotNull()
     )
     frontier = None  # (user, t, i): earliest qualifying event per user
     outs = []

@@ -88,6 +88,12 @@ def _ordered(mapping: dict) -> dict:
 
 def all_queries() -> dict[str, QueryFn]:
     _load()
+    # a _PRIORITY typo (or a renamed query) must fail LOUDLY: _ordered
+    # would otherwise silently drop the name, the query would fall to
+    # tail enumeration order, and its driver gate row would silently go
+    # stale past the ~50-query snapshot cutoff
+    missing = [n for n in _PRIORITY if n not in _QUERIES]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
     return _ordered(_QUERIES)
 
 

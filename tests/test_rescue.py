@@ -150,3 +150,35 @@ def test_rescue_empty_partition_degrades_to_screen(spark):
         for r in minhash_lsh_pairs(docs, **MINHASH_DEFAULT).collect()
     }
     assert {(r.doc_a, r.doc_b) for r in out} == base
+
+
+def test_rescue_accepts_full_preset_dicts(spark):
+    """Round-7 self-review fix: the screen/rescue dicts merge with
+    explicit precedence — tuning knobs (threshold, max_bucket, n_perm,
+    n_bands) may override, structural keys (text_col, id_col,
+    shingle_n, shingles) are stripped because the shared shingle frame
+    is built once with the operator-level values. A dict that repeats
+    an operator-level kwarg must NOT raise TypeError, and redundant
+    defaults must not change the output."""
+    from solace_apache_beam_spark.llm.dedup import (
+        MINHASH_DEFAULT,
+        MINHASH_HIGH_RECALL,
+        minhash_lsh_pairs_rescue,
+    )
+
+    docs = _docs(spark)
+    part = F.col("doc_id") % 2 == 0
+    base = sorted(map(tuple, minhash_lsh_pairs_rescue(docs, part).collect()))
+    # same presets spelled with overlapping/structural keys: identical
+    got = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs_rescue(
+                docs,
+                part,
+                screen={**MINHASH_DEFAULT, "threshold": 0.5, "text_col": "bogus"},
+                rescue={**MINHASH_HIGH_RECALL, "shingle_n": 99, "id_col": "nope"},
+            ).collect(),
+        )
+    )
+    assert got == base and len(base) > 0

@@ -422,3 +422,26 @@ def test_simhash_band_saturation_escape_restores_capped_pairs(spark):
     nb = simhash_auto_bands(df.count(), bits=12, max_bucket=50, max_hamming=1)
     assert nb == 2
     assert found("auto") == truth  # the escape restores every pair
+
+
+def test_simhash_auto_counts_signature_population(spark, monkeypatch):
+    """Round-7 self-review fix: n_bands="auto" must size bands from the
+    SIGNATURE population, not df.count() — rows that tokenize to
+    nothing produce no signature and no bucket entry, so counting them
+    would overestimate occupancy and give up pigeonhole radius earlier
+    than the math warrants."""
+    from solace_apache_beam_spark.llm import dedup
+
+    seen = {}
+    real = dedup.simhash_auto_bands
+
+    def spy(n_docs, **kw):
+        seen["n_docs"] = n_docs
+        return real(n_docs, **kw)
+
+    monkeypatch.setattr(dedup, "simhash_auto_bands", spy)
+    rows = [(i, "real words here to hash") for i in range(5)]
+    rows += [(100 + i, "") for i in range(7)]  # tokenize to nothing
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dedup.simhash_hamming_pairs(df, n_bands="auto").collect()
+    assert seen["n_docs"] == 5

@@ -196,3 +196,32 @@ def test_funnel_excludes_null_timestamps(spark):
         for r in funnel_counts(df, stages=("view", "click")).collect()
     }
     assert got == {"view": 1, "click": 1}
+
+
+def test_funnel_excludes_null_user_and_event_ids(spark):
+    """Round-7 self-review fix: groupBy would keep a NULL-user group
+    where the SQL oracle's stage-to-stage equi-join drops it (stage-1
+    overcount), and a NULL event_id inside min(struct) would win the
+    tie-break the oracle's MIN ignores. Pin both exclusions."""
+    from solace_apache_beam_spark.operators.temporal import funnel_counts
+
+    rows = [
+        # user 1: full funnel — the only rows that may count
+        (1, "2024-01-01 00:00:01", 1, "view"),
+        (2, "2024-01-01 00:00:02", 1, "click"),
+        # NULL user with otherwise-valid events: must count nowhere
+        (3, "2024-01-01 00:00:01", None, "view"),
+        (4, "2024-01-01 00:00:02", None, "click"),
+        # user 5's only view has a NULL event_id: excluded, so the
+        # later click has no stage-1 frontier and counts nowhere
+        (None, "2024-01-01 00:00:01", 5, "view"),
+        (6, "2024-01-01 00:00:03", 5, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.stage: r.n_users
+        for r in funnel_counts(df, stages=("view", "click")).collect()
+    }
+    assert got == {"view": 1, "click": 1}
