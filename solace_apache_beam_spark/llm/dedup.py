@@ -99,6 +99,14 @@ def minhash_recall_info(
     above-threshold J mass). Stamped into stress telemetry
     (scripts/run_stress.py --bucket-stats) so the recall/cost trade is
     visible at the point of use."""
+    # reject geometry the pairs operator itself cannot run — telemetry
+    # for a run that could never happen is worse than an error (and
+    # n_bands=0 would divide by zero; n_bands>n_perm would model r=0 as
+    # candidate probability 1.0)
+    if n_bands < 1 or n_perm % n_bands != 0:
+        raise ValueError(
+            f"n_perm={n_perm} must be a positive multiple of n_bands={n_bands}"
+        )
     label_rec = _MINHASH_MEASURED_RECALL.get((n_perm, n_bands))
     if label_rec is not None and abs(threshold - 0.5) < 1e-12:
         return {"recall_preset": label_rec[0], "measured_recall": label_rec[1]}
@@ -416,8 +424,11 @@ def minhash_lsh_pairs(
     (id_col, hs) frame covering EXACTLY the docs to pair — lets a
     caller running several passes over overlapping doc sets (e.g.
     :func:`minhash_lsh_pairs_rescue`) run the Arrow shingling kernel
-    once instead of once per pass. When omitted the operator computes
-    and persists its own.
+    once instead of once per pass. When given, ``df`` is IGNORED
+    entirely (the shingle frame alone defines the doc set — pairing a
+    different set than df describes is the caller's responsibility,
+    there is no cheap consistency check). When omitted the operator
+    computes and persists its own from ``df``.
 
     RECALL IS A PARAMETER, NOT A GIVEN: the defaults are the cheap
     SCREEN preset — 76.7 % measured recall against exact truth (a

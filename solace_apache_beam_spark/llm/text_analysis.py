@@ -496,7 +496,11 @@ def bm25_components(
     unique (one row per document — the invariant every operator in this
     engine's documents model assumes); doc_len rides map-side as
     size(words) per row, which equals the per-doc token total only when
-    a doc is exactly one row.
+    a doc is exactly one row. The precondition is ENFORCED in-plan:
+    the corpus-count aggregation (which the operator pays anyway)
+    also counts raw rows, and an ``assert_true`` fails the job loudly
+    when they differ — silent tf/doc_len inconsistency is not a mode
+    this operator has.
 
     Scale: one explode + (doc, term) agg feeds everything else —
     document LENGTH rides MAP-SIDE as size(words) before the explode
@@ -529,7 +533,28 @@ def bm25_components(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    n_total = df.select(F.countDistinct(F.col(id_col)).alias("n_docs_total"))
+    # the single-row corpus aggregation doubles as the uniqueness
+    # guard: count(*) rides the same agg (no extra job/shuffle), and
+    # the filter keeps the assert_true in the plan (a projected-away
+    # column would be pruned). assert_true is NULL on success, so
+    # isNull() passes the one row through.
+    n_total = (
+        df.agg(
+            F.countDistinct(F.col(id_col)).alias("n_docs_total"),
+            F.count(F.lit(1)).alias("_rows"),
+        )
+        .filter(
+            F.assert_true(
+                F.col("_rows") == F.col("n_docs_total"),
+                F.lit(
+                    "bm25_components: id_col must be unique "
+                    "(one row per document) — duplicate ids would make "
+                    "tf sum across rows while doc_len stays per-row"
+                ),
+            ).isNull()
+        )
+        .select("n_docs_total")
+    )
     return (
         tf.join(dfreq.hint("merge"), "term")
         .crossJoin(F.broadcast(n_total))

@@ -186,19 +186,23 @@ def funnel_counts(
     whose only qualifying event had a null timestamp would enter the
     frontier — where the pre-round-6 min(ts)+equality-join form (and
     any SQL oracle, whose MIN ignores NULLs) silently excluded them.
-    NULL user ids and event ids are excluded for the same
-    SQL-alignment reason: groupBy keeps a NULL-user group where the
-    oracle's stage-to-stage equi-join drops it (stage-1 overcount),
-    and a NULL event_id inside min(struct) would win the tie-break the
-    oracle's MIN ignores. The filters make the nullable-input behavior
-    explicit instead of relying on sources guaranteeing non-null
-    columns."""
+    NULL user ids are excluded for the same SQL-alignment reason:
+    groupBy keeps a NULL-user group where the oracle's stage-to-stage
+    frontier equi-join drops it (stage-1 overcount). NULL EVENT ids are
+    NOT excluded — an event with a null id still qualifies by
+    timestamp in SQL (the oracle's q0 keeps the row; only MIN over the
+    tie-break column ignores the NULL) — so the frontier's struct-min
+    orders the id field nulls-LAST via an is-null flag: at equal ts a
+    non-null id wins the tie-break, exactly like the oracle's
+    min(event_id), and the frontier id is NULL only when every
+    earliest-ts event has a null id (where the strictly-after
+    disjunct (ts = t AND id > i) is NULL in both engines). The filters
+    make the nullable-input behavior explicit instead of relying on
+    sources guaranteeing non-null columns."""
     from functools import reduce
 
     ev = df.select(user_col, type_col, ts_col, id_col).filter(
-        F.col(ts_col).isNotNull()
-        & F.col(user_col).isNotNull()
-        & F.col(id_col).isNotNull()
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
     )
     frontier = None  # (user, t, i): earliest qualifying event per user
     outs = []
@@ -237,7 +241,13 @@ def funnel_counts(
             .agg(
                 F.min(
                     F.struct(
-                        F.col(ts_col).alias("t"), F.col(id_col).alias("i")
+                        F.col(ts_col).alias("t"),
+                        # nulls-last for the tie-break id: struct
+                        # ordering sorts a NULL field FIRST, but the
+                        # oracle's min(event_id) ignores NULLs — the
+                        # flag makes any non-null id beat a null one
+                        F.col(id_col).isNull().alias("z"),
+                        F.col(id_col).alias("i"),
                     )
                 ).alias("m")
             )

@@ -92,8 +92,11 @@ def all_queries() -> dict[str, QueryFn]:
     # would otherwise silently drop the name, the query would fall to
     # tail enumeration order, and its driver gate row would silently go
     # stale past the ~50-query snapshot cutoff
+    # explicit raise, not assert: python -O strips asserts, which would
+    # silently restore the exact silent-staleness failure this guards
     missing = [n for n in _PRIORITY if n not in _QUERIES]
-    assert not missing, f"_PRIORITY names not registered: {missing}"
+    if missing:
+        raise RuntimeError(f"_PRIORITY names not registered: {missing}")
     return _ordered(_QUERIES)
 
 

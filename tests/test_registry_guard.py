@@ -24,5 +24,7 @@ def test_priority_typo_fails_loudly(monkeypatch):
     monkeypatch.setattr(
         registry, "_PRIORITY", registry._PRIORITY + ("no_such_query_typo",)
     )
-    with pytest.raises(AssertionError, match="no_such_query_typo"):
+    # explicit RuntimeError, not assert: python -O strips asserts,
+    # which would silently restore the failure this guards against
+    with pytest.raises(RuntimeError, match="no_such_query_typo"):
         registry.all_queries()

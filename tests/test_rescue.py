@@ -7,13 +7,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def _docs(spark):
+def _docs(spark, sf_dir):
     from solace_apache_beam_spark.session import load_table
 
-    return load_table(spark, "/root/testdata/sf0.001", "documents")
+    return load_table(spark, sf_dir, "documents")
 
 
-def test_rescue_matches_manual_composition(spark):
+def test_rescue_matches_manual_composition(spark, sf_dir):
     """Operator output == DEFAULT screen over the corpus, plus the
     HIGH_RECALL pairs over the partition that the screen missed —
     composed by hand from the public primitives."""
@@ -24,7 +24,7 @@ def test_rescue_matches_manual_composition(spark):
         minhash_lsh_pairs_rescue,
     )
 
-    docs = _docs(spark)
+    docs = _docs(spark, sf_dir)
     part = F.col("doc_id") % 2 == 0
 
     got = sorted(
@@ -131,8 +131,16 @@ def test_recall_info_tables():
     }
     assert ann_recall_info(3)["model_recall"] == round(1 - 0.048**3, 4)
 
+    # geometry the pairs operator itself can't run must raise, not
+    # fabricate authoritative-looking telemetry (or divide by zero)
+    import pytest
 
-def test_rescue_empty_partition_degrades_to_screen(spark):
+    for bad in ((16, 0), (4, 16), (20, 8)):
+        with pytest.raises(ValueError, match="multiple"):
+            minhash_recall_info(*bad)
+
+
+def test_rescue_empty_partition_degrades_to_screen(spark, sf_dir):
     """A partition_filter matching ZERO rows must degrade to exactly
     the screen pass (all rows source='screen'), exercising the empty
     side of the shared-shingle semi-join and an empty rescue pass."""
@@ -142,7 +150,7 @@ def test_rescue_empty_partition_degrades_to_screen(spark):
         minhash_lsh_pairs_rescue,
     )
 
-    docs = _docs(spark)
+    docs = _docs(spark, sf_dir)
     out = minhash_lsh_pairs_rescue(docs, F.lit(False)).collect()
     assert out and all(r.source == "screen" for r in out)
     base = {
@@ -152,7 +160,7 @@ def test_rescue_empty_partition_degrades_to_screen(spark):
     assert {(r.doc_a, r.doc_b) for r in out} == base
 
 
-def test_rescue_accepts_full_preset_dicts(spark):
+def test_rescue_accepts_full_preset_dicts(spark, sf_dir):
     """Round-7 self-review fix: the screen/rescue dicts merge with
     explicit precedence — tuning knobs (threshold, max_bucket, n_perm,
     n_bands) may override, structural keys (text_col, id_col,
@@ -166,7 +174,7 @@ def test_rescue_accepts_full_preset_dicts(spark):
         minhash_lsh_pairs_rescue,
     )
 
-    docs = _docs(spark)
+    docs = _docs(spark, sf_dir)
     part = F.col("doc_id") % 2 == 0
     base = sorted(map(tuple, minhash_lsh_pairs_rescue(docs, part).collect()))
     # same presets spelled with overlapping/structural keys: identical

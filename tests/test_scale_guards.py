@@ -445,3 +445,24 @@ def test_simhash_auto_counts_signature_population(spark, monkeypatch):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     dedup.simhash_hamming_pairs(df, n_bands="auto").collect()
     assert seen["n_docs"] == 5
+
+
+def test_bm25_duplicate_doc_ids_fail_loudly(spark):
+    """bm25_components' map-side doc_len is only correct when id_col is
+    unique (one row per document). A duplicate id would make tf sum
+    across rows while doc_len stays per-row — silently inconsistent
+    output — so the in-plan guard (count(*) vs count distinct, riding
+    the corpus aggregation the operator pays anyway) must fail the job
+    loudly instead."""
+    from solace_apache_beam_spark.llm.text_analysis import bm25_components
+
+    ok = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    assert bm25_components(ok, min_df=1).count() > 0
+
+    dup = spark.createDataFrame(
+        [(1, "a b"), (1, "c d")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="unique"):
+        bm25_components(dup, min_df=1).collect()

@@ -198,30 +198,79 @@ def test_funnel_excludes_null_timestamps(spark):
     assert got == {"view": 1, "click": 1}
 
 
-def test_funnel_excludes_null_user_and_event_ids(spark):
-    """Round-7 self-review fix: groupBy would keep a NULL-user group
-    where the SQL oracle's stage-to-stage equi-join drops it (stage-1
-    overcount), and a NULL event_id inside min(struct) would win the
-    tie-break the oracle's MIN ignores. Pin both exclusions."""
+_NULLABLE_FUNNEL_ROWS = [
+    # (event_id, ts, user_id, event_type)
+    # user 1: full funnel, all columns present
+    (1, "2024-01-01 00:00:01", 1, "view"),
+    (2, "2024-01-01 00:00:02", 1, "click"),
+    # NULL user with otherwise-valid events: the oracle's frontier
+    # equi-join drops the NULL group — must count nowhere
+    (3, "2024-01-01 00:00:01", None, "view"),
+    (4, "2024-01-01 00:00:02", None, "click"),
+    # user 5's only view has a NULL event_id but a valid ts: SQL keeps
+    # the row (only MIN over the tie-break id ignores the NULL), so
+    # user 5 counts at view, and the strictly-later click qualifies
+    (None, "2024-01-01 00:00:01", 5, "view"),
+    (6, "2024-01-01 00:00:03", 5, "click"),
+    # user 7: two views at the SAME ts, ids (NULL, 9) — the frontier
+    # id must be 9 (nulls-last tie-break, like min(event_id)), so the
+    # same-ts click with id 10 > 9 qualifies
+    (None, "2024-01-01 00:00:05", 7, "view"),
+    (9, "2024-01-01 00:00:05", 7, "view"),
+    (10, "2024-01-01 00:00:05", 7, "click"),
+    # user 8: same views, but the same-ts click id 5 < 9 does NOT
+    # qualify (and NULL frontier comparisons never resurrect it)
+    (None, "2024-01-01 00:00:05", 8, "view"),
+    (9, "2024-01-01 00:00:05", 8, "view"),
+    (5, "2024-01-01 00:00:05", 8, "click"),
+]
+
+
+def test_funnel_nullable_inputs_match_sql_semantics(spark):
+    """Nullable columns must behave exactly as the SQL oracle does:
+    NULL ts and NULL user_id rows are effectively excluded (MIN
+    ignores / equi-join drops), but a NULL EVENT_ID row still
+    qualifies by timestamp — only the tie-break ignores the null id
+    (nulls-last in the frontier struct-min). Expected counts are
+    hand-derived AND cross-checked against the registered DuckDB
+    oracle on the same rows."""
     from solace_apache_beam_spark.operators.temporal import funnel_counts
 
-    rows = [
-        # user 1: full funnel — the only rows that may count
-        (1, "2024-01-01 00:00:01", 1, "view"),
-        (2, "2024-01-01 00:00:02", 1, "click"),
-        # NULL user with otherwise-valid events: must count nowhere
-        (3, "2024-01-01 00:00:01", None, "view"),
-        (4, "2024-01-01 00:00:02", None, "click"),
-        # user 5's only view has a NULL event_id: excluded, so the
-        # later click has no stage-1 frontier and counts nowhere
-        (None, "2024-01-01 00:00:01", 5, "view"),
-        (6, "2024-01-01 00:00:03", 5, "click"),
-    ]
     df = spark.createDataFrame(
-        rows, "event_id long, ts string, user_id long, event_type string"
+        _NULLABLE_FUNNEL_ROWS,
+        "event_id long, ts string, user_id long, event_type string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got = {
         r.stage: r.n_users
         for r in funnel_counts(df, stages=("view", "click")).collect()
     }
-    assert got == {"view": 1, "click": 1}
+    # view: users 1, 5, 7, 8; click: 1 (later ts), 5 (later ts),
+    # 7 (same-ts id 10 > frontier id 9); not 8 (id 5 < 9)
+    assert got == {"view": 4, "click": 3}
+
+    # the registered oracle on the SAME nullable rows must agree
+    import duckdb
+    import pandas as pd
+
+    from solace_apache_beam_spark.queries_temporal import _funnel_stage_sql
+
+    pdf = pd.DataFrame(
+        _NULLABLE_FUNNEL_ROWS, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    pdf["event_id"] = pdf["event_id"].astype("Int64")
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events AS SELECT * FROM pdf")
+    stages = ("view", "click")
+    sql = (
+        "WITH "
+        + ",\n".join(_funnel_stage_sql(i, s) for i, s in enumerate(stages))
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT '{s}' AS stage, count(*) AS n_users FROM s{i}"
+            for i, s in enumerate(stages)
+        )
+    )
+    oracle = {stage: n for stage, n in con.execute(sql).fetchall()}
+    assert oracle == got
