@@ -30,8 +30,14 @@ def expectation_report(
     Output: (rule, n_rows, n_violations, passed) — one row per rule."""
     if not rules and not unique_keys:
         raise ValueError("expectation_report needs at least one rule")
+    # SUM over zero rows is NULL in SQL: without the coalesce an EMPTY
+    # input drop (exactly what a validation gate must handle) reports
+    # NULL n_violations and NULL passed — neither accepted nor
+    # rejected by any boolean filter. Zero rows violate nothing.
     agg_cols = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"v_{i}")
+        F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(f"v_{i}")
         for i, pred in enumerate(rules.values())
     ]
     row = df.agg(*agg_cols)
@@ -48,8 +54,10 @@ def expectation_report(
         dup = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
         reports.append(
             dup.agg(
-                F.sum("c").cast("long").alias("n_rows"),
-                F.sum(F.col("c") - 1).cast("long").alias("n_violations"),
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
+                F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+                .cast("long")
+                .alias("n_violations"),
             ).select(
                 F.lit(name).alias("rule"),
                 "n_rows",

@@ -20,7 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKENIZER_PATTERN = r"[^\p{L}]+"
+# ONE canonical tokenizer for the whole engine: the word-count chain
+# and the shingle/minhash/bm25 chain (functions/hashing.words_expr +
+# its DuckDB WORDS_SQL twin) must never tokenize differently, or the
+# documented engine-parity guarantees silently break when one constant
+# is tuned — so this is an alias of the hashing module's pattern, not
+# a second definition.
+from solace_apache_beam_spark.functions.hashing import (  # noqa: E402
+    TOKEN_PATTERN as TOKENIZER_PATTERN,
+)
 
 
 def extract_words(df: DataFrame, line_col: str = "line", keep: list[str] | None = None) -> DataFrame:

@@ -99,10 +99,25 @@ def write_training_shards(
     permutation. One shuffle (partitionBy shard) + per-shard sort;
     every shard is written by exactly one task (repartition on the
     shard column), so file contents are run-to-run identical."""
-    from solace_apache_beam_spark.functions.sampling import training_shuffle
+    from pyspark.sql.window import Window
 
-    addressed = training_shuffle(df, id_col, n_shards, salt)
-    out = addressed.join(df, id_col)
+    from solace_apache_beam_spark.functions.hashing import h64
+
+    # (shard, pos) computed INLINE on df — same formula as
+    # training_shuffle (shard = h64(salt||id) % n_shards, pos = rank of
+    # (h, id) within shard), but without materializing the address
+    # frame and joining it back: the join re-scanned the full dataset
+    # and shuffled every payload column a second time just to
+    # re-attach rows to their own address — at training-export scale
+    # that roughly doubled the job's I/O.
+    h = h64(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    out = (
+        df.withColumn("h", h)
+        .withColumn("shard", F.col("h") % n_shards)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("h")
+    )
     (
         out.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "pos")
@@ -129,6 +144,59 @@ def _epoch_dirs(table_path: str) -> dict[str, str]:
         for n in names
         if n.startswith("_epoch_id=")
     }
+
+
+def _recover_compaction(table_path: str) -> None:
+    """Roll a crashed compact_epochs forward or back from its on-disk
+    breadcrumbs (the `<path>.compact.json` manifest written before the
+    swap, and the `<path>.bak` backup). Every crash point is covered:
+
+    - crash before the first rename: table untouched — drop the
+      orphaned temp dir and manifest.
+    - crash between the renames (published path ABSENT): restore the
+      backup to the published path; the next run recompacts.
+    - crash during late-epoch carry-over: resume it — the manifest
+      lists exactly which epoch dirs were folded (present in the
+      compacted partition), so everything else moves over and the
+      backup drops, completing the original run.
+
+    Without this, a leftover .bak made every later compaction die at
+    os.rename with ENOTEMPTY, and the between-renames crash left the
+    table absent until a human restored it. A .bak with NO manifest
+    (pre-manifest vintage, or tampering) is not safely resolvable —
+    folded epochs cannot be distinguished from late ones, and guessing
+    would duplicate rows — so that one case raises for inspection."""
+    import json
+    import shutil
+
+    bak = table_path.rstrip("/") + ".bak"
+    mpath = table_path.rstrip("/") + ".compact.json"
+    manifest = None
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+    if os.path.exists(bak):
+        if not os.path.exists(table_path):
+            os.rename(bak, table_path)  # crash between renames: restore
+        elif manifest is not None:
+            folded = set(manifest["foldable"])
+            for name, p in sorted(_epoch_dirs(bak).items()):
+                dest = os.path.join(table_path, name)
+                if name not in folded and not os.path.exists(dest):
+                    os.rename(p, dest)
+            shutil.rmtree(bak)
+        else:
+            raise RuntimeError(
+                f"stale {bak} with no compaction manifest: cannot tell "
+                "folded epochs from late ones — inspect and remove it "
+                "manually"
+            )
+    if manifest is not None:
+        tmp = manifest.get("tmp")
+        if tmp and os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(mpath):
+            os.remove(mpath)
 
 
 def compact_epochs(
@@ -166,20 +234,27 @@ def compact_epochs(
     a snapshot epoch mid-compaction is superseded by the fold; pause
     writers around the swap for full safety in those cases.
 
-    Swap protocol: write to a temp dir, move the old table aside to
-    `<path>.bak`, move the compacted data in, re-append late epochs,
-    then drop the backup. Plain-directory rename is NOT transactional —
-    there is a brief window where the published path is absent (a
-    concurrent reader can see not-found and should retry), but a crash
-    at ANY point leaves a complete copy of the data on disk (in .bak or
-    the temp dir) rather than a half-deleted table. True atomic swap
+    Swap protocol: write to a temp dir, write a `<path>.compact.json`
+    manifest (folded epoch names + temp location), move the old table
+    aside to `<path>.bak`, move the compacted data in, re-append late
+    epochs, then drop the backup and the manifest. Plain-directory
+    rename is NOT transactional — there is a brief window where the
+    published path is absent (a concurrent reader can see not-found
+    and should retry) — but a crash at ANY point leaves a complete
+    copy of the data on disk AND enough breadcrumbs that the next run
+    (or any compact_epochs call) rolls the crashed swap forward or
+    back mechanically via ``_recover_compaction``. True atomic swap
     needs a table format with a metadata pointer (Delta/Iceberg)."""
+    import json
     import shutil
     import tempfile
 
     def _epoch_of(name: str) -> int:
         return int(name.split("=", 1)[1])
 
+    # roll any crashed prior compaction forward/back first — a stale
+    # .bak would otherwise fail the swap below with ENOTEMPTY
+    _recover_compaction(table_path)
     snapshot = _epoch_dirs(table_path)
     live = [n for n in snapshot if _epoch_of(n) != COMPACTED_EPOCH]
     if committed_through is not None:
@@ -214,6 +289,14 @@ def compact_epochs(
     )
     writer.parquet(tmp)
     bak = table_path.rstrip("/") + ".bak"
+    # manifest BEFORE the swap: it is what makes a crash at any later
+    # point mechanically recoverable (which epochs are represented in
+    # the compacted partition, and where the temp output lives)
+    mpath = table_path.rstrip("/") + ".compact.json"
+    mtmp = mpath + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump({"foldable": sorted(foldable), "tmp": tmp}, f)
+    os.replace(mtmp, mpath)
     os.rename(table_path, bak)
     os.rename(tmp, table_path)
     # carry over everything that was NOT folded: epochs committed after
@@ -224,3 +307,4 @@ def compact_epochs(
         if name not in foldable:
             os.rename(os.path.join(bak, name), os.path.join(table_path, name))
     shutil.rmtree(bak)
+    os.remove(mpath)

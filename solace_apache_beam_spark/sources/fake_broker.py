@@ -137,11 +137,40 @@ def _seal_torn_tail(path: str) -> None:
         pass
 
 
+# per-process incremental line counter: (inode, terminated-byte
+# offset, count) per path. The log is append-only, so each poll only
+# scans the DELTA since the last poll — message_count is O(new bytes),
+# not O(log size), in the latestOffset hot path (a multi-GB history is
+# never re-read). The inode guard forces a recount when a file is
+# recreated at the same path (fresh test dirs).
+_COUNT_CACHE: dict[str, tuple[int, int, int]] = {}
+
+
 def _count_lines(path: str) -> int:
-    if not os.path.exists(path):
+    """Count newline-TERMINATED lines only. A concurrent publisher's
+    buffered write can leave a partial tail visible mid-append;
+    counting that fragment would admit an in-flight record into the
+    offset range, deliver it as a poison record, and ack past it —
+    silently losing the successfully-published message. The record
+    becomes countable the instant its newline lands (or when
+    _seal_torn_tail seals a crashed append's torn tail)."""
+    try:
+        st = os.stat(path)
+    except FileNotFoundError:
         return 0
+    ino, off, n = _COUNT_CACHE.get(path, (st.st_ino, 0, 0))
+    if ino != st.st_ino or off > st.st_size:
+        ino, off, n = st.st_ino, 0, 0  # recreated or truncated: recount
+    if st.st_size == off:
+        return n
     with open(path, "rb") as f:
-        return sum(1 for _ in f)
+        f.seek(off)
+        data = f.read(st.st_size - off)
+    n += data.count(b"\n")
+    last_nl = data.rfind(b"\n")
+    off = off + last_nl + 1 if last_nl >= 0 else off
+    _COUNT_CACHE[path] = (ino, off, n)
+    return n
 
 
 def message_count(broker_dir: str, queue: str) -> int:
@@ -213,19 +242,25 @@ def _idx_len(idx_path: str) -> int:
 
 def _rebuild_bytes_idx_unlocked(msg_path: str, idx_path: str) -> None:
     """(Re)build the cumulative-bytes index from the message log.
-    Caller must hold the queue's publish lock. A torn line (a crash
-    mid-append can flush a partial JSON line) counts as a zero-byte
-    payload rather than wedging the queue — _count_lines counts it as
-    a line, so index record i must still align with line i."""
+    Caller must hold the queue's publish lock. Only newline-TERMINATED
+    lines get an index record — _count_lines counts exactly those, so
+    index record i aligns with line i and the index length equals the
+    message count. A SEALED torn line (a crash mid-append, then
+    _seal_torn_tail's newline) is terminated, parses as garbage, and
+    counts as a zero-byte payload rather than wedging the queue; an
+    UNSEALED torn tail is invisible to both the count and the index
+    until the next publish seals it."""
     tmp = idx_path + ".rebuild"
     cum = 0
-    with open(msg_path) as f, open(tmp, "w") as ix:
+    with open(msg_path, "rb") as f, open(tmp, "w") as ix:
         for line in f:
+            if not line.endswith(b"\n"):
+                break  # unsealed torn tail: not a message yet
             try:
                 payload = json.loads(line).get("payload") or ""
-            except json.JSONDecodeError:
+            except (json.JSONDecodeError, UnicodeDecodeError):
                 payload = ""
-            cum += len(payload.encode("utf-8"))
+            cum += len(payload.encode("utf-8")) if isinstance(payload, str) else 0
             ix.write(f"{cum:016d}\n")
     os.replace(tmp, idx_path)
 
@@ -308,10 +343,24 @@ def admissible_end(
     idx_path = os.path.join(qdir, "bytes.idx")
     if _idx_len(idx_path) < limit:
         _rebuild_bytes_idx(qdir, idx_path)
+    if limit <= start:
+        return start
     base = _last_cumsum(idx_path, start)
-    end = start
-    while end < limit:
-        if end > start and _last_cumsum(idx_path, end + 1) - base > max_bytes:
-            break
-        end += 1
-    return end
+    # ONE contiguous read of the [start, limit) cumsum slice — bounded
+    # by maxRecordsPerBatch * 17 bytes — then a bisect in memory. The
+    # previous per-offset loop re-opened and seeked the index once per
+    # candidate message on every poll (~10k open/seek/read cycles per
+    # queue per micro-batch at the default batch cap).
+    import bisect
+
+    with open(idx_path, "rb") as f:
+        f.seek(start * _IDX_REC)
+        raw = f.read((limit - start) * _IDX_REC)
+    cums = [
+        int(raw[i * _IDX_REC : i * _IDX_REC + 16])
+        for i in range(len(raw) // _IDX_REC)
+    ]
+    # largest k with cums[k-1] - base <= max_bytes; always admit one
+    # message when any is available (progress guarantee)
+    k = bisect.bisect_right(cums, base + max_bytes)
+    return start + max(k, 1 if cums else 0)

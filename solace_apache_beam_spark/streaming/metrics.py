@@ -66,10 +66,15 @@ class ProgressCollector(StreamingQueryListener):
                 acc = observed.setdefault(obs_name, {})
                 for k, v in metrics.items():
                     is_gauge = k in gauges or f"{obs_name}.{k}" in gauges
+                    # bools are EXCLUDED from summing (isinstance(True,
+                    # int) is True): a flag like max(x IS NULL) must
+                    # keep the latest value, not accumulate to an int
                     if (
                         not is_gauge
                         and isinstance(v, (int, float))
+                        and not isinstance(v, bool)
                         and isinstance(acc.get(k), (int, float))
+                        and not isinstance(acc.get(k), bool)
                     ):
                         acc[k] = acc[k] + v
                     else:

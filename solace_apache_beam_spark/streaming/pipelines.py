@@ -127,7 +127,11 @@ def dedup_stream(
     horizon — state-store backed, evicted as the watermark advances
     (bounded state at 100 TB; global dropDuplicates would grow without
     bound)."""
-    keys = keys or ["message_id"]
+    # default includes destination: message_id is only unique PER
+    # QUEUE (publish mints it as the per-queue line index), so keying
+    # on it alone over a multi-queue stream silently drops distinct
+    # messages that share an id across queues
+    keys = keys or ["destination", "message_id"]
     return source.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
         keys
     )

@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -199,9 +200,22 @@ def funnel_progress(
     retained. Events are processed in (ts, id) order WITHIN each batch;
     cross-batch stragglers older than the frontier are ignored (the
     batch funnel is the exact offline oracle; this is its
-    monotone-progress online twin)."""
+    monotone-progress online twin).
+
+    Nullable inputs follow the batch funnel_counts exactly: null
+    event-time and null key rows are filtered up front (a NaT
+    timestamp's integer value would otherwise compare ABOVE the
+    initial frontier sentinel and advance stage 1 on an event the
+    oracle excludes; a null key would keep a group the oracle's
+    frontier join drops). A null EVENT ID still qualifies — by
+    strictly-later timestamp only — and once it is the frontier,
+    same-ts events never beat it (SQL's `id > NULL` is NULL), encoded
+    by storing the +inf frontier sentinel."""
     n_stages = len(stages)
     stage_of = {s: i for i, s in enumerate(stages)}
+    # same-ts events never beat a null-id frontier (SQL: id > NULL is
+    # NULL) -> store +inf for it; only a strictly later ts advances
+    null_id_frontier = 1 << 62
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -214,14 +228,20 @@ def funnel_progress(
             columns=[type_col, ts_col, id_col]
         )
         if len(ev):
+            # NaN ids sort LAST at equal ts (pandas default), matching
+            # the batch frontier's nulls-last tie-break preference
             ev = ev.sort_values([ts_col, id_col])
             for typ, ts, mid in ev.itertuples(index=False):
+                if stage >= n_stages or stage_of.get(typ) != stage:
+                    continue
                 t_us = pd.Timestamp(ts).value // 1000
-                if (
-                    stage < n_stages
-                    and stage_of.get(typ) == stage
-                    and (t_us, int(mid)) > (ts_us, last_id)
-                ):
+                if pd.isna(mid):
+                    # null id: qualifies by STRICTLY later ts only
+                    # (the (ts = t AND id > i) disjunct is NULL in SQL)
+                    if t_us > ts_us:
+                        stage += 1
+                        ts_us, last_id = t_us, null_id_frontier
+                elif (t_us, int(mid)) > (ts_us, last_id):
                     stage += 1
                     ts_us, last_id = t_us, int(mid)
         state.update((stage, ts_us, last_id))
@@ -229,6 +249,7 @@ def funnel_progress(
 
     return (
         stream.select(key_col, type_col, ts_col, id_col)
+        .filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
             update, _FUNNEL_OUT, _FUNNEL_STATE, "update", GroupStateTimeout.NoTimeout

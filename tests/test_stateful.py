@@ -246,3 +246,62 @@ def test_sessionize_splits_gap_within_one_batch(spark, broker, tmp_path):
     assert len(rows) == 1
     assert rows[0].n_events == 2
     assert (rows[0].session_end - rows[0].session_start).total_seconds() == 1.0
+
+
+def test_funnel_progress_nullable_inputs_match_batch_semantics(spark, tmp_path):
+    """The streaming funnel must treat nullable inputs exactly like
+    batch funnel_counts: null event-time and null key rows are
+    excluded (a NaT timestamp's integer value compares ABOVE the
+    frontier sentinel and would otherwise advance stage 1; a null id
+    previously crashed on int(NaN)); a null-id event still qualifies —
+    by strictly later ts only — and same-ts events never beat a
+    null-id frontier."""
+    import datetime as dt
+
+    from solace_apache_beam_spark.streaming.stateful import funnel_progress
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: clean view -> click
+        ("u1", "view", t(1), 1),
+        ("u1", "click", t(2), 2),
+        # null key: dropped entirely
+        (None, "view", t(1), 3),
+        # u2: null-ts view must NOT reach stage 1; later click has no
+        # frontier to follow
+        ("u2", "view", None, 4),
+        ("u2", "click", t(2), 5),
+        # u3: null-id view qualifies; strictly-later click advances
+        ("u3", "view", t(1), None),
+        ("u3", "click", t(3), 6),
+        # u4: null-id view qualifies; SAME-ts click cannot beat the
+        # null-id frontier (SQL: id > NULL is NULL)
+        ("u4", "view", t(1), None),
+        ("u4", "click", t(1), 7),
+    ]
+    src = str(tmp_path / "funnel_null_src")
+    spark.createDataFrame(
+        rows, "user string, stage_name string, event_time timestamp, message_id long"
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user string, stage_name string, event_time timestamp, message_id long"
+        ).parquet(src)
+    )
+    q = (
+        funnel_progress(stream, ("view", "click"), key_col="user")
+        .writeStream.format("memory")
+        .queryName("funnel_nulls")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_funnel_nulls"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.key: r.s
+        for r in spark.sql(
+            "SELECT key, max(stage_reached) s FROM funnel_nulls GROUP BY key"
+        ).collect()
+    }
+    assert got == {"u1": 2, "u2": 0, "u3": 2, "u4": 1}
