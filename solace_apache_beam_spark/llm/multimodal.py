@@ -51,7 +51,13 @@ def decode_image(payload: bytes):
     )
 
 
-def _byte_histogram(payload: bytes) -> list[float]:
+def _byte_histogram(payload: bytes | None) -> list[float] | None:
+    """None payload -> None (absent media has NO features — a zero
+    vector would claim 'measured, all-zero'; posexplode then emits no
+    rows, matching frame_sample/resize which also skip None). Empty
+    payload -> all-zero vector (measured, empty)."""
+    if payload is None:
+        return None
     counts = [0] * FEATURE_BINS
     if payload:
         for byte in payload:

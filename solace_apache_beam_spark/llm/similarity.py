@@ -68,19 +68,24 @@ def _emit_sliced(frame: pd.DataFrame, cap: int | None = None):
 
 def _rowwise_topk_mask(scores: np.ndarray, valid: np.ndarray, k: int) -> np.ndarray:
     """Mask keeping, per row, every VALID entry that ties-or-beats the
-    row's k-th largest valid score — the exact candidate set a global
-    ``row_number() <= k`` window (ordering by the same score, ties
-    broken elsewhere) can ever select from this block. Callers must
-    pass scores at the SAME granularity the final window orders by
-    (the 6-decimal round), otherwise a raw-value cut could drop a row
-    that ties at window granularity but loses at raw granularity —
-    changing which id wins the deterministic tie-break."""
+    row's k-th largest valid score minus one 6-decimal quantum — a
+    SUPERSET of the candidate set a global ``row_number() <= k`` window
+    (ordering by Spark's F.round(cos, 6), ties broken elsewhere) can
+    ever select from this block. Callers pass np.round(cos, 6) scores;
+    the 2e-6 slack covers the two places numpy's scaled half-to-even
+    rounding can land one quantum away from F.round's decimal HALF_UP
+    (the entry's own rounding AND the k-th score's) — without it, a
+    value that ties at window granularity but loses at numpy
+    granularity could be pruned before the shuffle, changing which id
+    wins the deterministic tie-break. The slack only ever ADMITS extra
+    candidates (a few near-boundary rows per block); the final window
+    still ranks exactly."""
     n_rows, n_cols = scores.shape
     if n_cols <= k:
         return valid
     masked = np.where(valid, scores, -np.inf)
     kth = -np.partition(-masked, k - 1, axis=1)[:, k - 1]
-    return valid & (masked >= kth[:, None])
+    return valid & (masked >= kth[:, None] - 2e-6)
 
 
 def _quantize(mat: np.ndarray) -> np.ndarray:

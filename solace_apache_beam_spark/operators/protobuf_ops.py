@@ -35,6 +35,10 @@ from pyspark.sql import types as T
 
 
 def _varint_bytes(n: int) -> bytes:
+    if n < 0:
+        # proto varints are unsigned here; a negative python int would
+        # loop forever (>>= 7 never reaches 0 on negatives)
+        raise ValueError(f"varint requires a non-negative int, got {n}")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -109,14 +113,9 @@ def decode_proto_test(col: Column | str) -> Column:
 # Descriptor-driven path (spark-protobuf jar)
 # ---------------------------------------------------------------------------
 
-def _varint(n: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        out.append(b | (0x80 if n else 0))
-        if not n:
-            return bytes(out)
+# one varint encoder for both the wire path and the descriptor builder
+# (a second copy here drifted-independently once; alias, don't redefine)
+_varint = _varint_bytes
 
 
 def _ld(field: int, payload: bytes) -> bytes:

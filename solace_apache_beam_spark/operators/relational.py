@@ -78,7 +78,12 @@ def exact_percentiles(
     table window and it's spill-safe; no collects.
 
     Output: (group, n, p<q> per quantile e.g. p50, p95)."""
-    w = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+    # tiebreak NULLS LAST: Spark's ASC default is NULLS FIRST, SQL's is
+    # NULLS LAST — at equal values a NULL-id row would otherwise rank
+    # ahead only on the Spark side and shift interpolation endpoints
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(tiebreak_col).asc_nulls_last()
+    )
     # NULL values are excluded (standard percentile semantics) — and
     # they must be: Spark ranks NULLS FIRST, DuckDB NULLS LAST, so a
     # NULL reaching the rank would silently shift every endpoint

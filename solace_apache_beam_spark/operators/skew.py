@@ -31,7 +31,14 @@ def salted_join(
 ) -> DataFrame:
     """Inner equi-join with the left side salted and the right side
     replicated across all salt values. Output = left.join(right) with
-    the helper columns dropped."""
+    the helper columns dropped.
+
+    Keys are referenced through their own frame (``l_salted[left_on]``)
+    so ``left_on == right_on`` — the most common call shape for a
+    generic join helper — resolves instead of raising an
+    ambiguous-reference AnalysisException; when the names collide the
+    output keeps both key columns (qualify or rename downstream, as
+    with any Spark self-named join)."""
     l_salted = left.withColumn(
         "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
@@ -40,5 +47,6 @@ def salted_join(
     )
     return l_salted.join(
         r_replicated,
-        (F.col(left_on) == F.col(right_on)) & (l_salted["_salt"] == r_replicated["_salt"]),
+        (l_salted[left_on] == r_replicated[right_on])
+        & (l_salted["_salt"] == r_replicated["_salt"]),
     ).drop("_salt")

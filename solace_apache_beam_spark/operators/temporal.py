@@ -50,10 +50,19 @@ def asof_join(
     last(ignorenulls): every output column comes from the same matched
     right row, so a NULL inside a right row stays NULL in the output
     (per-column carries would silently mix values from different right
-    rows whenever a newer row holds a NULL)."""
+    rows whenever a newer row holds a NULL).
+
+    NULL handling matches SQL ASOF semantics (``l.on >= r.on AND l.by =
+    r.by`` is never true through a NULL): right rows with a NULL ``on``
+    or ``by`` are dropped up front — without the filter Spark's
+    NULLS-FIRST window order would sort a NULL-timestamp right row
+    before everything and carry its payload into every left row. Left
+    rows with a NULL ``on`` or ``by`` are kept (left join) and match
+    nothing: they sort before all surviving right rows / partition with
+    no right rows, so the carry window is empty for them."""
     right_cols = right_cols or {"value": "asof_value"}
     payload = F.struct(*[F.col(c).alias(a) for c, a in right_cols.items()])
-    r_tagged = right.select(
+    r_tagged = right.filter(F.col(on).isNotNull() & F.col(by).isNotNull()).select(
         F.col(by), F.col(on), F.lit(0).alias("_is_l"), payload.alias("_r")
     )
     l_tagged = left.select(

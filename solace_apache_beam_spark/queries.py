@@ -171,14 +171,20 @@ def json_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (CAST(floor(epoch(ts) / 600) AS BIGINT) * 600) AS window_start,
            count(*) AS cnt
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """,
 )
 def count_per_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combine.globally(Count) per window withoutDefaults — global count
     per 10-min window, empty windows emit nothing
-    (test/transform/CountMessagesPTransform.java:16-26)."""
-    ev = load_table(spark, sf_dir, "events")
+    (test/transform/CountMessagesPTransform.java:16-26).
+
+    NULL event times are excluded EXPLICITLY on both engines: Spark's
+    F.window silently injects an IsNotNull(ts) filter, while a plain
+    SQL GROUP BY would keep a NULL bucket — the filter makes the
+    semantics identical instead of data-dependent."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -204,11 +210,19 @@ def dedup_by_representative_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary row, so for a checkable contract we keep the
     lowest-message-id row per key (row_number, deterministic).
     Single shuffle on the dedup key; at scale this is the same plan as
-    dropDuplicates (hash partition + per-key reduce)."""
+    dropDuplicates (hash partition + per-key reduce).
+
+    The pick orders event_id NULLS LAST to match SQL's ASC default
+    (Spark defaults to NULLS FIRST — a NULL-id row would silently win
+    the representative pick only on the Spark side). A group whose ids
+    are ALL NULL ties, and the tie resolves arbitrarily on both
+    engines — same contract as the oracle's own ORDER BY."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("event_id").asc_nulls_last()
+    )
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -260,6 +274,7 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.event_type,
              (CAST(floor(epoch(e.ts) / 600) AS BIGINT) - i.i) * 600 AS start_s
       FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) i
+      WHERE e.ts IS NOT NULL
     )
     SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * start_s AS window_start,
            TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (start_s + 1200) AS window_end,
@@ -271,10 +286,11 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sliding_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (20 min / 10 min) per event type — W7; Spark
     expands each row into duration/slide windows with a generator
-    (no self-join)."""
+    (no self-join). NULL ts excluded explicitly on both engines (see
+    count_per_window_global)."""
     from solace_apache_beam_spark.operators.windows import sliding_count
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return sliding_count(ev, "ts", "20 minutes", "10 minutes", "event_type")
 
 
@@ -287,6 +303,7 @@ def sliding_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     sess AS (
@@ -306,10 +323,12 @@ def sliding_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user, 30 min gap (W7): session_window merges
     rows while consecutive gaps < gap; end = last event + gap. The
-    oracle reproduces the merge with lag + gap-flag cumsum."""
+    oracle reproduces the merge with lag + gap-flag cumsum. NULL ts
+    excluded explicitly on both engines (see count_per_window_global;
+    DuckDB would otherwise sort NULLs into a session)."""
     from solace_apache_beam_spark.operators.windows import session_count
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return session_count(ev, "ts", "30 minutes", "user_id")
 
 

@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 
 from solace_apache_beam_spark.functions.hashing import (
     MERSENNE_61,
+    WORDS_SQL,
+    h32_sql,
+    h64_sql,
     minhash_coeffs,
 )
 from solace_apache_beam_spark.llm.text_analysis import FINGERPRINT_MASK, STOPWORDS
@@ -22,15 +25,14 @@ from solace_apache_beam_spark.session import load_table
 # Shared DuckDB SQL fragments (mirror functions/hashing.py exactly)
 # ---------------------------------------------------------------------------
 
-_WORDS = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
-
-
-def _h32(expr: str) -> str:
-    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
-
-
-def _h64(expr: str) -> str:
-    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+# Aliases of the canonical fragments in functions/hashing.py — NOT
+# second definitions (same single-source rule as operators/text.py's
+# TOKENIZER_PATTERN: the Spark side hashes via hashing.h32/h64 and
+# tokenizes via TOKEN_PATTERN; a drifting local copy would break every
+# minhash/simhash/fingerprint gate silently).
+_WORDS = WORDS_SQL.format(text="text")
+_h32 = h32_sql
+_h64 = h64_sql
 
 
 def _stop_sql(lang: str) -> str:
@@ -824,10 +826,14 @@ _QCOS = (
     "knn_brute_cosine",
     oracle=f"""
     WITH {_QE},
+    -- n2 > 0 mirrors the Spark kernel's np.isfinite mask: a zero-norm
+    -- vector has NaN cosine with everything, which DuckDB would sort
+    -- ABOVE every real score (NaN ranks greatest) while Spark drops it
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_QCOS} AS cos_sim
       FROM qn a, qn b
       WHERE a.vec_id < 100 AND a.vec_id != b.vec_id
+        AND a.n2 > 0 AND b.n2 > 0
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -876,10 +882,13 @@ _BUCKET_SQL = " + ".join(
       SELECT vec_id, q, n2, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
       FROM qn
     ),
+    -- n2 > 0: zero-norm guard matching the kernel's isfinite mask
+    -- (see knn_brute_cosine)
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_QCOS} AS cos_sim
       FROM bucketed a JOIN bucketed b
         ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+      WHERE a.n2 > 0 AND b.n2 > 0
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -904,9 +913,11 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_neardup",
     oracle=f"""
     WITH {_QE}
+    -- n2 > 0: zero-norm guard matching the kernel's isfinite mask (a
+    -- NaN cosine satisfies >= 0.4 in DuckDB; Spark drops the pair)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_QCOS} AS cos_sim
     FROM qn a, qn b
-    WHERE a.vec_id < b.vec_id AND {_QCOS} >= 0.4
+    WHERE a.vec_id < b.vec_id AND a.n2 > 0 AND b.n2 > 0 AND {_QCOS} >= 0.4
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -948,8 +959,12 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- relies on), so ord(codepoint) == UTF-8 byte and DuckDB can replay
     -- the byte histogram the Spark-side Arrow decoder computes. The
     -- feature vector is posexploded to scalar (doc_id, bin, value) rows
-    -- so the driver's sorted-column value-hash applies.
-    WITH d AS (SELECT doc_id, text, length(text) AS total FROM documents),
+    -- so the driver's sorted-column value-hash applies. NULL text ->
+    -- NULL payload -> NULL features -> posexplode emits nothing on the
+    -- Spark side; the WHERE mirrors that (absent media has no feature
+    -- rows, same as frame_sample/resize).
+    WITH d AS (SELECT doc_id, text, length(text) AS total FROM documents
+               WHERE text IS NOT NULL),
     pos AS (SELECT doc_id, text, total,
                    unnest(generate_series(1, total)) AS i
             FROM d),
@@ -1066,22 +1081,31 @@ _N_CELLS = 16
     oracle=f"""
     WITH {_QE},
     c AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn WHERE vec_id < {_N_CELLS}),
+    -- the isnan CASE mirrors _assign_cells' NaN -> -inf argmax mask
+    -- (a zero-norm CENTROID would otherwise rank FIRST in DuckDB's
+    -- DESC order, where Spark never picks it); same guard as _KM_SQL
     scored AS (
-      SELECT e.vec_id, e.q, e.n2, c.cid,
+      SELECT vec_id, q, n2, cid,
              row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY CAST(list_reduce(list_prepend(0::BIGINT,
-                          [e.q[i] * c.cq[i] for i in generate_series(1, len(e.q))]),
-                          (s, x) -> s + x) AS DOUBLE)
-                        / (sqrt(CAST(e.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
-                        c.cid) AS rn
-      FROM qn e CROSS JOIN c
+               PARTITION BY vec_id
+               ORDER BY (CASE WHEN isnan(cos) THEN CAST('-infinity' AS DOUBLE)
+                         ELSE cos END) DESC, cid) AS rn
+      FROM (
+        SELECT e.vec_id, e.q, e.n2, c.cid,
+               CAST(list_reduce(list_prepend(0::BIGINT,
+                    [e.q[i] * c.cq[i] for i in generate_series(1, len(e.q))]),
+                    (s, x) -> s + x) AS DOUBLE)
+                 / (sqrt(CAST(e.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS cos
+        FROM qn e CROSS JOIN c
+      ) e
     ),
     assigned AS (SELECT vec_id, q, n2, cid AS cell FROM scored WHERE rn = 1),
+    -- n2 > 0: zero-norm guard matching the kernel's isfinite mask
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_QCOS} AS cos_sim
       FROM assigned a JOIN assigned b
         ON a.cell = b.cell AND a.vec_id != b.vec_id
+      WHERE a.n2 > 0 AND b.n2 > 0
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id

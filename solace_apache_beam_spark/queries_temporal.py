@@ -87,7 +87,7 @@ def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT date_trunc('hour', ts) AS bucket_start, count(*) AS n,
              sum(CAST(value AS DECIMAL(18,4))) AS dec_total
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     )
     SELECT '1 hour' AS resolution, bucket_start, n,
            CAST(dec_total AS DOUBLE) AS total
@@ -102,10 +102,13 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: hourly buckets from the
     raw table, daily buckets re-aggregated FROM the hourly level
     (hierarchical — the raw table is scanned once). DECIMAL sums keep
-    the hierarchy bit-identical to a direct aggregate."""
+    the hierarchy bit-identical to a direct aggregate. NULL ts rows
+    are excluded explicitly on both engines: Spark's F.window injects
+    an IsNotNull(ts) filter silently, while the oracle's date_trunc
+    would keep a NULL bucket — the filter pins one semantics."""
     from solace_apache_beam_spark.operators.temporal import hypertable_rollup
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return hypertable_rollup(ev, "ts", "value", "1 hour", "1 day")
 
 
