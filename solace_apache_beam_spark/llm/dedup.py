@@ -499,6 +499,35 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+class RescueCaches:
+    """Unpersist handle for the shingle frames one
+    :func:`minhash_lsh_pairs_rescue` call persisted (the rescue mirror
+    of :meth:`CorpusIndex.unpersist` — ADVICE r7: without a handle,
+    repeated rescue calls in a long-lived session accumulate
+    unreleasable MEMORY_AND_DISK shingle frames). The operator attaches
+    an instance to its result as ``pairs.rescue_caches``; call
+    ``.unpersist()`` once the pair frame is materialized (collected /
+    written) — the plan stays valid afterwards (lineage recomputes),
+    only the caching is released."""
+
+    __slots__ = ("_frames",)
+
+    def __init__(self, frames):
+        self._frames = tuple(frames)
+
+    def unpersist(self) -> "RescueCaches":
+        for f in self._frames:
+            f.unpersist()
+        return self
+
+    @property
+    def is_cached(self) -> bool:
+        return any(
+            f.storageLevel.useMemory or f.storageLevel.useDisk
+            for f in self._frames
+        )
+
+
 def minhash_lsh_pairs_rescue(
     df: DataFrame,
     partition_filter,
@@ -529,13 +558,15 @@ def minhash_lsh_pairs_rescue(
     verification is exact — so overlapping pairs keep one row,
     attributed to the screen).
 
-    Recall contract (measured, scripts/measure_rescue.py at 100x):
-    pairs with both endpoints in the rescue partition get HIGH_RECALL's
-    ~95.6 %; everything else keeps the screen's 76.7 %. Cost: the
-    screen plus HIGH_RECALL on the partition only — the full-corpus
-    HIGH_RECALL premium (2.0x at 100x growing to 4.2x at 1000x: r=2
-    admits low-J candidate mass that outgrows true pairs) is paid on
-    the partition fraction, not the corpus.
+    Recall contract (measured, scripts/measure_rescue.py, mod-4
+    partition): pairs with both endpoints in the rescue partition get
+    HIGH_RECALL's level — 95.5 % at 100x / 95.7 % at 1000x; everything
+    else keeps the screen's 76.7 %. Cost (measured after the
+    shared-shingle rework, PLANS.md r7): **1.63x the screen alone at
+    100x, 1.77x at 1000x**, vs 2.27x/3.57x for full-corpus HIGH_RECALL
+    (r=2 admits low-J candidate mass that outgrows true pairs with
+    scale, so the avoided premium GROWS) — the partition's HIGH_RECALL
+    contract at roughly half the full-pass cost at 5M docs.
 
     Plan shape: the corpus is shingled ONCE (the rescue pass reuses
     the screen's persisted shingle frame through a semi-join on the
@@ -548,7 +579,13 @@ def minhash_lsh_pairs_rescue(
     cached lineage) can read tiny, so an anti-join formulation would
     need a broadcast pin AND a persist of the screen side to avoid
     double execution; the aggregation needs neither (each pass is
-    consumed exactly once, no persisted pair frame lingers)."""
+    consumed exactly once, no persisted pair frame lingers).
+
+    Cache lifecycle: the two persisted shingle frames (corpus +
+    partition) are exposed on the result as ``pairs.rescue_caches``
+    (:class:`RescueCaches`) — call ``pairs.rescue_caches.unpersist()``
+    after materializing the pair frame, exactly like
+    ``CorpusIndex.unpersist`` after writing the index artifacts."""
     common = dict(
         text_col=text_col,
         id_col=id_col,
@@ -607,7 +644,7 @@ def minhash_lsh_pairs_rescue(
     )
     # screen wins on overlap (_prio orders the struct; jaccard is the
     # same exact value in both passes, so the choice only sets `source`)
-    return (
+    out = (
         tagged.groupBy("doc_a", "doc_b")
         .agg(F.min(F.struct("_prio", "jaccard", "source")).alias("m"))
         .select(
@@ -617,6 +654,11 @@ def minhash_lsh_pairs_rescue(
             F.col("m.source").alias("source"),
         )
     )
+    # release handle for the two persists above (ADVICE r7) — an
+    # instance attribute, not a subclass, so the return type stays a
+    # plain DataFrame for every existing caller
+    out.rescue_caches = RescueCaches((sh, sh_part))
+    return out
 
 
 def simhash_signatures(

@@ -94,6 +94,88 @@ _CAND_SQL = f"""
 """
 
 
+# SimHash pair oracle — 60-bit signatures, 15-bit band slices, skew cap
+# replayed. Shared verbatim by dedup_simhash_pairs (literal n_bands=4)
+# and dedup_simhash_pairs_auto (n_bands="auto", which resolves to 4
+# below the 8.19M-signature horizon — see that query's rationale).
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    h AS (SELECT doc_id, [{_h64("x")} for x in words] AS hlist FROM w WHERE len(words) > 0),
+    sig AS (
+      SELECT doc_id,
+             CAST(list_sum([
+               CASE WHEN CAST(list_sum([
+                      CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+                    for h in hlist]) AS BIGINT) > 0
+                    THEN (1::BIGINT << b) ELSE 0 END
+             for b in generate_series(0, 59)]) AS BIGINT) AS simhash
+      FROM h
+    ),
+    bands AS (
+      SELECT doc_id, b.band, (simhash >> (b.band * 15)) & 32767 AS val
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    ok AS (SELECT band, val FROM bands
+           GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+      JOIN ok ON ok.band = a.band AND ok.val = a.val
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN sig sa ON cand.doc_a = sa.doc_id
+    JOIN sig sb ON cand.doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """
+
+
+def _minhash_pass_sql(n_perm: int, n_bands: int, src: str, sfx: str) -> str:
+    """One full MinHash-LSH pass (signature -> bands -> capped
+    candidates -> exact-Jaccard-verified pairs >= 0.5) as CTE fragments
+    over shingle-set CTE ``src``, every name suffixed ``sfx`` — the
+    parameterized generalization of the module-level (16, 4) fragments,
+    so the rescue oracle can replay BOTH the screen preset and the
+    HIGH_RECALL preset in one statement with the same coefficient
+    stream (functions/hashing.py minhash_coeffs) as the Spark side."""
+    rows = n_perm // n_bands
+    sig_items = ", ".join(
+        f"list_min([({a} * h + {b}) % {MERSENNE_61} for h in hlist])"
+        for a, b in minhash_coeffs(n_perm)
+    )
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + _h64(f"array_to_string(sig{sfx}[{bi * rows + 1}:{(bi + 1) * rows}], ',')")
+        + f" AS band_hash FROM sig{sfx}"
+        for bi in range(n_bands)
+    )
+    return f"""
+    sig{sfx} AS (SELECT doc_id, [{sig_items}] AS sig{sfx} FROM {src}),
+    bands{sfx} AS ({bands_sql}),
+    cand{sfx} AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands{sfx} l
+      JOIN bands{sfx} r ON l.band = r.band AND l.band_hash = r.band_hash
+                       AND l.doc_id < r.doc_id
+      JOIN (SELECT band, band_hash FROM bands{sfx}
+            GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}) ok
+        ON l.band = ok.band AND l.band_hash = ok.band_hash
+      GROUP BY 1, 2
+    ),
+    pairs{sfx} AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.hlist, sb.hlist)) * 1.0
+               / len(list_distinct(list_concat(sa.hlist, sb.hlist))) AS jaccard
+      FROM cand{sfx}
+      JOIN {src} sa ON cand{sfx}.doc_a = sa.doc_id
+      JOIN {src} sb ON cand{sfx}.doc_b = sb.doc_id
+      WHERE jaccard >= 0.5
+    )
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -584,6 +666,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solace_apache_beam_spark.llm.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_rescue",
+    # the oracle replays BOTH passes of the screen-then-rescue
+    # composition: the (16, 4) DEFAULT over the whole corpus and the
+    # (64, 32) HIGH_RECALL over the mod-4 partition (the partition the
+    # recall measurements use, scripts/measure_rescue.py), then
+    # resolves overlap screen-first — the same min-priority rule as the
+    # Spark-side min(struct) aggregation. Jaccard is the identical
+    # exact int/int double in both passes, so min(jaccard) per pair is
+    # a no-op value-wise.
+    oracle=f"""
+    WITH {_DOC_BASE},
+    {_minhash_pass_sql(16, 4, "hs", "_s")},
+    hp AS (SELECT * FROM hs WHERE doc_id % 4 = 0),
+    {_minhash_pass_sql(64, 32, "hp", "_r")},
+    u AS (
+      SELECT doc_a, doc_b, jaccard, 0 AS prio, 'screen' AS source FROM pairs_s
+      UNION ALL
+      SELECT doc_a, doc_b, jaccard, 1 AS prio, 'rescue' AS source FROM pairs_r
+    )
+    SELECT doc_a, doc_b, min(jaccard) AS jaccard,
+           CASE WHEN min(prio) = 0 THEN 'screen' ELSE 'rescue' END AS source
+    FROM u GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen-then-rescue MinHash composition (the round-7 operator,
+    gated round 8 — VERDICT r7 Next #2): corpus-wide DEFAULT screen
+    plus HIGH_RECALL rescue on the mod-4 partition of interest, union
+    with provenance, screen winning on overlap."""
+    from solace_apache_beam_spark.llm.dedup import minhash_lsh_pairs_rescue
+
+    return minhash_lsh_pairs_rescue(
+        load_table(spark, sf_dir, "documents"), F.col("doc_id") % 4 == 0
+    )
 
 
 @query(
@@ -1132,38 +1251,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 256 buckets/band saturates the skew cap past ~256k docs — the
     # VERDICT-r5 scale cliff). Oracle replays the widened arithmetic
     # bit-for-bit; everything stays non-negative BIGINT.
-    oracle=f"""
-    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
-    h AS (SELECT doc_id, [{_h64("x")} for x in words] AS hlist FROM w WHERE len(words) > 0),
-    sig AS (
-      SELECT doc_id,
-             CAST(list_sum([
-               CASE WHEN CAST(list_sum([
-                      CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
-                    for h in hlist]) AS BIGINT) > 0
-                    THEN (1::BIGINT << b) ELSE 0 END
-             for b in generate_series(0, 59)]) AS BIGINT) AS simhash
-      FROM h
-    ),
-    bands AS (
-      SELECT doc_id, b.band, (simhash >> (b.band * 15)) & 32767 AS val
-      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
-    ),
-    ok AS (SELECT band, val FROM bands
-           GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-      JOIN ok ON ok.band = a.band AND ok.val = a.val
-    )
-    SELECT doc_a, doc_b,
-           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
-    FROM cand
-    JOIN sig sa ON cand.doc_a = sa.doc_id
-    JOIN sig sb ON cand.doc_b = sb.doc_id
-    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
-    """,
+    oracle=_SIMHASH_PAIRS_ORACLE,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via band-bucket candidates
@@ -1175,6 +1263,29 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solace_apache_beam_spark.llm.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash_pairs_auto",
+    # SAME oracle as dedup_simhash_pairs, deliberately: below the
+    # 8.19M-signature horizon simhash_auto_bands returns the literal
+    # 4-band default (tests/test_scale_guards.py pins the switch
+    # points), so the gate proves the auto path END-TO-END — count the
+    # signature population, derive the band count, run the banded
+    # pipeline — against the unchanged 4-band truth. A divergence in
+    # the derivation (e.g. widening at gate scale) would band
+    # differently and hash-mismatch.
+    oracle=_SIMHASH_PAIRS_ORACLE,
+)
+def dedup_simhash_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the corpus-size-derived band count
+    (``n_bands="auto"`` — the round-7 band-saturation escape, gated
+    round 8 per VERDICT r7 Next #2)."""
+    from solace_apache_beam_spark.llm.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), n_bands="auto"
+    )
 
 
 @query(

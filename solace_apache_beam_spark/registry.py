@@ -49,34 +49,53 @@ def _load() -> None:
 # The driver's correctness snapshot records at most ~50 queries per round,
 # enumerated in dict insertion order.  Rotation policy: the queries whose
 # newest driver row is OLDEST enumerate first, so every query's gate row
-# stays fresh across rounds.  Round-7 rotation (VERDICT r6 Next #4): the
-# 22 queries whose newest driver row is r05 enumerate first.  No query
-# semantics changed this round (the round-7 work is telemetry, composed
-# operators, and scale validation), so no re-pin entries follow.
+# stays fresh across rounds.
+#
+# ROTATION-LOCKSTEP RULE (mechanical, VERDICT r7 Next #3 — the mirror of
+# the oracle-lockstep rule in this module's header): any commit that
+# changes a registered query's plan OR its oracle SQL must move that
+# query's name into _PRIORITY's HEAD in the SAME commit.  A rotation set
+# at round open and falsified by a later semantic change leaves the
+# driver's newest gate row predating the code it vouches for (the
+# round-7 process miss: five queries changed after the rotation comment
+# declared "no re-pin entries follow").  Refresh this comment at round
+# close so it states the rotation actually in force.
+#
+# Round-8 rotation (VERDICT r7 Next #1 + #2):
+#   1. the five queries whose semantics/oracles changed in round-7
+#      commits AFTER the r7 rotation was set (their newest driver rows
+#      are r06 and predate the code) enumerate FIRST;
+#   2. then the two newly gated round-7 operators (freeze lifted by
+#      exactly two — minhash_lsh_pairs_rescue and the auto-banded
+#      simhash pairs path);
+#   3. then the remaining 16 queries whose newest driver row is r06.
 _PRIORITY: tuple[str, ...] = (
-    # newest driver row: round 5 — verify first
-    "analytic_user_running",
-    "ann_lsh_cosine",
-    "decontamination_report",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "embedding_coverage",
-    "embedding_neardup",
-    "incremental_dedup",
-    "ivf_kmeans_assign",
-    "knn_brute_cosine",
-    "minhash_band_hashes",
-    "multimodal_features",
-    "multimodal_metadata",
-    "range_join_error_clicks",
-    "source_quality_gate",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality",
-    "text_repetition",
-    "text_token_counts",
-    "training_shuffle_manifest",
+    # 1. semantics/oracle changed post-rotation in r7 — re-pin first
+    "asof_click_view",
+    "funnel_view_click_purchase",
+    "hypertable_rollup_events",
+    "dedup_ngram_jaccard",
+    "expectation_report_lineitem",
+    # 2. newly gated round-7 operators (first driver rows)
+    "dedup_minhash_rescue",
+    "dedup_simhash_pairs_auto",
+    # 3. newest driver row: round 6 — refresh
+    "ann_ivf_cosine",
+    "chunk_documents",
+    "corpus_stats",
+    "dedup_rate_report",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "kmv_distinct_parts",
+    "multimodal_frame_sample",
+    "percentiles_event_value",
+    "sample_documents_10pct",
+    "sequence_packing",
+    "split_train_val_test",
+    "stratified_sample_lineitem",
+    "text_normalize",
+    "text_pii_redact",
+    "training_shard_stats",
 )
 
 

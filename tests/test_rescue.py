@@ -190,3 +190,26 @@ def test_rescue_accepts_full_preset_dicts(spark, sf_dir):
         )
     )
     assert got == base and len(base) > 0
+
+
+def test_rescue_caches_handle_releases_persists(spark, sf_dir):
+    """ADVICE r7: the two MEMORY_AND_DISK shingle frames a rescue call
+    persists must be releasable by the caller — the result carries a
+    RescueCaches handle (the rescue mirror of CorpusIndex.unpersist).
+    After materializing and unpersisting, neither frame stays cached,
+    and the returned frame is still recomputable from lineage."""
+    from solace_apache_beam_spark.llm.dedup import (
+        RescueCaches,
+        minhash_lsh_pairs_rescue,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = minhash_lsh_pairs_rescue(docs, F.col("doc_id") % 2 == 0)
+    handle = out.rescue_caches
+    assert isinstance(handle, RescueCaches)
+    before = out.collect()
+    assert handle.is_cached  # the collect materialized both persists
+    handle.unpersist()
+    assert not handle.is_cached
+    # lineage intact: the frame recomputes identically without caches
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, before))
