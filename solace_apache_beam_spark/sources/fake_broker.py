@@ -161,9 +161,24 @@ def _count_lines(path: str) -> int:
     ino, off, n = _COUNT_CACHE.get(path, (st.st_ino, 0, 0))
     if ino != st.st_ino or off > st.st_size:
         ino, off, n = st.st_ino, 0, 0  # recreated or truncated: recount
-    if st.st_size == off:
-        return n
+    if st.st_size == off and off == 0:
+        return 0
     with open(path, "rb") as f:
+        if off > 0:
+            # generation check beyond st_ino (ADVICE r7): a
+            # deleted-and-recreated log can REUSE the inode, and once
+            # the new file grows past the cached offset the inode+size
+            # guard alone would serve a count mixing old and new
+            # content. The cached offset always sits one byte past a
+            # newline of the generation it was counted on — verify that
+            # byte (one O(1) read per poll); any other byte there means
+            # a different file history, so recount from zero.
+            f.seek(off - 1)
+            if f.read(1) != b"\n":
+                off, n = 0, 0
+        if st.st_size == off:
+            _COUNT_CACHE[path] = (ino, off, n)
+            return n
         f.seek(off)
         data = f.read(st.st_size - off)
     n += data.count(b"\n")
@@ -298,14 +313,18 @@ def backlog_bytes(broker_dir: str, queue: str) -> int:
 def read_messages(broker_dir: str, queue: str, start: int, end: int) -> list[dict]:
     path = os.path.join(queue_dir(broker_dir, queue), "messages.jsonl")
     out = []
-    with open(path) as f:
+    # binary, matching _rebuild_bytes_idx_unlocked (ADVICE r7): a
+    # sealed torn line containing invalid UTF-8 (externally written —
+    # publish itself is ensure_ascii) must surface as a poison record,
+    # not crash the read path with UnicodeDecodeError in text decoding
+    with open(path, "rb") as f:
         for idx, line in enumerate(f):
             if idx >= end:
                 break
             if idx >= start:
                 try:
                     out.append(json.loads(line))
-                except json.JSONDecodeError:
+                except (json.JSONDecodeError, UnicodeDecodeError):
                     # a sealed torn record (crash mid-append): surface
                     # it as a poison message rather than crashing the
                     # source — offset alignment must hold (record i =

@@ -62,6 +62,52 @@ def test_message_count_recount_after_recreate(tmp_path):
     assert fake_broker.message_count(broker_dir, "q1") == 1
 
 
+def test_message_count_recount_after_inode_reuse(tmp_path):
+    """ADVICE r7: on Linux a deleted-and-recreated log can REUSE the
+    freed inode, and once the new file reaches the cached offset the
+    inode+size guard alone would serve a count mixing generations. The
+    byte-at-offset generation check (the cached offset must sit one
+    byte past a newline) forces the recount. Simulated by rewriting
+    the SAME file in place (st_ino trivially unchanged) with content
+    whose byte at the cached offset - 1 is not a newline."""
+    broker_dir = str(tmp_path / "broker")
+    fake_broker.create_queue(broker_dir, "q1")
+    fake_broker.publish(broker_dir, "q1", ["aa", "bb", "cc"])
+    assert fake_broker.message_count(broker_dir, "q1") == 3
+    path = os.path.join(
+        fake_broker.queue_dir(broker_dir, "q1"), "messages.jsonl"
+    )
+    cached_off = os.path.getsize(path)
+    # a "new generation" long enough to reach past the cached offset,
+    # with a record boundary that does NOT line up with the old one
+    with open(path, "wb") as f:
+        f.write(b"{" + b"x" * (cached_off - 1) + b"}\n")
+        f.write(json.dumps({"message_id": 1, "payload": "y"}).encode() + b"\n")
+    assert fake_broker.message_count(broker_dir, "q1") == 2
+
+
+def test_read_messages_survives_invalid_utf8_tail(tmp_path):
+    """ADVICE r7: a sealed torn line containing invalid UTF-8 (an
+    EXTERNAL writer crashed mid-append; publish itself is
+    ensure_ascii) must surface as a poison record through
+    read_messages — the text-mode read path used to raise
+    UnicodeDecodeError before json parsing could even run, crashing
+    exactly the poison-record path _rebuild_bytes_idx_unlocked
+    already survives."""
+    broker_dir = str(tmp_path / "broker")
+    fake_broker.create_queue(broker_dir, "q1")
+    fake_broker.publish(broker_dir, "q1", ["good"])
+    path = os.path.join(
+        fake_broker.queue_dir(broker_dir, "q1"), "messages.jsonl"
+    )
+    with open(path, "ab") as f:
+        f.write(b"\xff\xfe{torn\n")  # sealed torn garbage, bad UTF-8
+    fake_broker.publish(broker_dir, "q1", ["after"])
+    msgs = fake_broker.read_messages(broker_dir, "q1", 0, 3)
+    assert [m["payload"] for m in msgs] == ["good", None, "after"]
+    assert msgs[1]["properties"].get("corrupt") == "true"
+
+
 def test_admissible_end_matches_reference_scan(broker):
     """The single-contiguous-read bisect must return exactly what the
     retired per-offset loop did, across starts/limits/budgets."""
