@@ -32,6 +32,10 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
+from solace_apache_beam_spark.functions.caching import (
+    PlanCaches,
+    attach_plan_caches,
+)
 from solace_apache_beam_spark.functions.hashing import (
     MERSENNE_61,
     h64,
@@ -496,10 +500,15 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold)
+    out = verified.filter(F.col("jaccard") >= threshold)
+    if shingles is None:
+        # this call owns the persist; a caller-provided shingle frame's
+        # lifecycle belongs to the caller (e.g. the rescue composition)
+        attach_plan_caches(out, (sh,))
+    return out
 
 
-class RescueCaches:
+class RescueCaches(PlanCaches):
     """Unpersist handle for the shingle frames one
     :func:`minhash_lsh_pairs_rescue` call persisted (the rescue mirror
     of :meth:`CorpusIndex.unpersist` — ADVICE r7: without a handle,
@@ -508,24 +517,10 @@ class RescueCaches:
     an instance to its result as ``pairs.rescue_caches``; call
     ``.unpersist()`` once the pair frame is materialized (collected /
     written) — the plan stays valid afterwards (lineage recomputes),
-    only the caching is released."""
-
-    __slots__ = ("_frames",)
-
-    def __init__(self, frames):
-        self._frames = tuple(frames)
-
-    def unpersist(self) -> "RescueCaches":
-        for f in self._frames:
-            f.unpersist()
-        return self
-
-    @property
-    def is_cached(self) -> bool:
-        return any(
-            f.storageLevel.useMemory or f.storageLevel.useDisk
-            for f in self._frames
-        )
+    only the caching is released. Implementation lives in
+    :class:`functions.caching.PlanCaches`, the round-8 generalization
+    every internally-persisting operator now attaches as
+    ``out.plan_caches``."""
 
 
 def minhash_lsh_pairs_rescue(
@@ -656,8 +651,10 @@ def minhash_lsh_pairs_rescue(
     )
     # release handle for the two persists above (ADVICE r7) — an
     # instance attribute, not a subclass, so the return type stays a
-    # plain DataFrame for every existing caller
+    # plain DataFrame for every existing caller; plan_caches is the
+    # same handle under the uniform name every persisting operator uses
     out.rescue_caches = RescueCaches((sh, sh_part))
+    out.plan_caches = out.rescue_caches
     return out
 
 
@@ -812,7 +809,9 @@ def ngram_jaccard_pairs(
             / F.size(F.array_union("sh_a", "sh_b"))
         ).alias("jaccard"),
     )
-    return verified.filter(F.col("jaccard") >= threshold)
+    return attach_plan_caches(
+        verified.filter(F.col("jaccard") >= threshold), (sh,)
+    )
 
 
 def _simhash_bands(
@@ -992,11 +991,16 @@ def simhash_hamming_pairs(
         )
         .distinct()
     )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+    return attach_plan_caches(
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("long")
+            .alias("hamming"),
+        ).filter(F.col("hamming") <= max_hamming),
+        (sig,),
+    )
 
 
 def bucket_drop_stats(inv: DataFrame, keys: list[str], max_bucket: int) -> dict:
@@ -1191,6 +1195,9 @@ def incremental_dedup(
             "pass exactly one of corpus_df (recompute path) or "
             "corpus_index (precomputed-index path)"
         )
+    # persists owned by THIS call (a corpus_index's cache lifecycle
+    # belongs to CorpusIndex.unpersist); exposed as out.plan_caches
+    own_caches: list[DataFrame] = []
     new_ids = new_df.select(F.col(id_col))
     new_hash = new_df.select(
         F.col(id_col).alias("new_id"), F.md5(F.col(text_col)).alias("h")
@@ -1208,6 +1215,7 @@ def incremental_dedup(
         sh_corp = _doc_shingles(corpus_df, text_col, id_col, shingle_n).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        own_caches.append(sh_corp)
         bands_corp = _band_hashes_from_shingles(
             sh_corp, id_col, n_perm, n_bands
         ).select(F.col(id_col).alias("corp_id"), "band", "band_hash")
@@ -1222,6 +1230,7 @@ def incremental_dedup(
         .agg(F.min("corp_id").alias("match_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    own_caches.append(exact)
 
     remaining = new_df.join(
         exact.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
@@ -1229,6 +1238,7 @@ def incremental_dedup(
     sh_new = _doc_shingles(remaining, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    own_caches.append(sh_new)
     bands_new = _band_hashes_from_shingles(sh_new, id_col, n_perm, n_bands).select(
         F.col(id_col).alias("new_id"), "band", "band_hash"
     )
@@ -1293,7 +1303,9 @@ def incremental_dedup(
         F.lit(None).cast("long").alias("match_id"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return exact_out.union(near_out).union(unique_out)
+    return attach_plan_caches(
+        exact_out.union(near_out).union(unique_out), own_caches
+    )
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:
@@ -1432,7 +1444,7 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
-    return (
+    return attach_plan_caches(
         sh_t.select(F.col(id_col), F.size("hs").cast("long").alias("n_shingles"))
         .join(cnt, id_col, "left")
         .select(
@@ -1445,5 +1457,6 @@ def decontaminate(
                 F.coalesce(F.col("n_contaminated"), F.lit(0))
                 / F.col("n_shingles")
             ).alias("contamination"),
-        )
+        ),
+        (sh_t,),
     )

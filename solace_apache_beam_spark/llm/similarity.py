@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from solace_apache_beam_spark.functions.caching import attach_plan_caches
+
 QUANT_BITS = 20
 QUANT = 1 << QUANT_BITS
 
@@ -380,8 +382,11 @@ def _bucketed_all_pairs_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return attach_plan_caches(
+        scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        ),
+        (packed,),
     )
 
 
@@ -517,9 +522,12 @@ def neardup_pairs(
     raw = a.join(b, F.col("ablk") <= F.col("bblk")).mapInPandas(
         score, "id_a long, id_b long, cos_raw double"
     )
-    return raw.select(
-        "id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
+    return attach_plan_caches(
+        raw.select(
+            "id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim")
+        ).filter(F.col("cos_sim") >= threshold),
+        (packed,),
+    )
 
 
 def _quantized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -664,10 +672,13 @@ def kmeans_assign(
             [], f"{id_col} long, cell long, cos_sim double"
         )
     cids, cmat = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
-    return _assign_cells(qdf, id_col, cids, cmat).select(
-        F.col(id_col),
-        "cell",
-        F.round("cos_raw", 6).alias("cos_sim"),
+    return attach_plan_caches(
+        _assign_cells(qdf, id_col, cids, cmat).select(
+            F.col(id_col),
+            "cell",
+            F.round("cos_raw", 6).alias("cos_sim"),
+        ),
+        (qdf,),
     )
 
 

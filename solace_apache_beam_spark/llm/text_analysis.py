@@ -9,6 +9,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from solace_apache_beam_spark.functions.caching import attach_plan_caches
 from solace_apache_beam_spark.functions.hashing import h32, h64, words_expr
 
 # Minimal per-language stopword profiles for the n-gram/stopword
@@ -555,8 +556,9 @@ def bm25_components(
         )
         .select("n_docs_total")
     )
-    return (
+    return attach_plan_caches(
         tf.join(dfreq.hint("merge"), "term")
         .crossJoin(F.broadcast(n_total))
-        .select(id_col, "term", "tf", "df", "doc_len", "n_docs_total")
+        .select(id_col, "term", "tf", "df", "doc_len", "n_docs_total"),
+        (tf,),
     )

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from solace_apache_beam_spark.functions.caching import attach_plan_caches
+
 
 def asof_join(
     left: DataFrame,
@@ -215,6 +217,7 @@ def funnel_counts(
     )
     frontier = None  # (user, t, i): earliest qualifying event per user
     outs = []
+    frontiers = []  # per-stage persisted frontiers -> out.plan_caches
     for idx, stage in enumerate(stages):
         e = ev.filter(F.col(type_col) == stage)
         if frontier is None:
@@ -263,6 +266,7 @@ def funnel_counts(
             .select(F.col(user_col), F.col("m.t").alias("t"), F.col("m.i").alias("i"))
             .persist()
         )
+        frontiers.append(frontier)
         outs.append(
             frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
                 F.lit(idx + 1).alias("stage_idx"),
@@ -270,4 +274,6 @@ def funnel_counts(
                 "n_users",
             )
         )
-    return reduce(lambda a, b: a.union(b), outs)
+    return attach_plan_caches(
+        reduce(lambda a, b: a.union(b), outs), frontiers
+    )
