@@ -668,6 +668,9 @@ def kmeans_assign(
     quantization kernel runs once). Empty corpus -> empty result."""
     qdf = _quantized_vectors(df, vec_col, id_col).persist()
     if qdf.isEmpty():
+        # nothing downstream consumes qdf on this path — release it
+        # here rather than handing back a handle to a dead cache
+        qdf.unpersist()
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, cell long, cos_sim double"
         )

@@ -162,3 +162,38 @@ def test_minhash_caller_owned_shingles_not_attached(spark, sf_dir):
         assert getattr(out, "plan_caches", None) is None
     finally:
         sh.unpersist()
+
+
+def test_kmeans_assign_empty_corpus_releases_its_persist(spark):
+    """The empty-corpus early return has no downstream consumer of the
+    quantized frame — it must unpersist it immediately rather than
+    strand a cache with no handle (round-8 self-review)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from solace_apache_beam_spark.llm.similarity import kmeans_assign
+
+    empty = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(DoubleType())),
+                StructField("label", LongType()),
+            ]
+        ),
+    )
+    n_cached_before = len(
+        [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
+    )
+    out = kmeans_assign(empty)
+    assert out.count() == 0
+    n_cached_after = len(
+        [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
+    )
+    assert n_cached_after <= n_cached_before
