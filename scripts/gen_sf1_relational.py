@@ -23,6 +23,7 @@ corpus (scripts/gen_stress_llm.py SEED_FACTOR=1 — fresh Zipf seeds at
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 import pyarrow as pa
@@ -64,6 +65,16 @@ def tile(name: str, offsets: dict, out_dir: str) -> None:
     print(name, t.num_rows, "->", out.num_rows, flush=True)
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    # hard link when src/dst share a filesystem (free); copy across
+    # devices (e.g. tmpfs /tmp) instead of dying on EXDEV. The copy
+    # also avoids shared-inode aliasing on the cross-device path.
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0"
     llm_src = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stress10x_llm"
@@ -72,7 +83,7 @@ def main() -> None:
         src = os.path.join(SRC, f"{name}.parquet")
         dst = os.path.join(out_dir, f"{name}.parquet")
         if not os.path.exists(dst):
-            os.link(src, dst)
+            _link_or_copy(src, dst)
         print(name, "linked", flush=True)
     for name, offsets in KEYED.items():
         tile(name, offsets, out_dir)
@@ -84,7 +95,7 @@ def main() -> None:
                 f"missing {src}: run scripts/gen_stress_llm.py {llm_src} 1 first"
             )
         if not os.path.exists(dst):
-            os.link(src, dst)
+            _link_or_copy(src, dst)
         print(name, "linked from", llm_src, flush=True)
 
 

@@ -19,6 +19,13 @@ releases with ``out.plan_caches.unpersist()`` AFTER materializing
 valid and recomputes from lineage if re-executed. Short-lived sessions
 (tests, the driver's per-round gate run) may ignore the handle; the
 caches die with the session.
+
+Checkpoint-backed results are the one case this contract cannot
+cover: ``connected_components`` returns a frame whose storage IS its
+lineage (localCheckpoint), so releasing kills the frame instead of
+falling back to recompute. That operator exposes the sibling
+``out.checkpoint_caches`` (``llm.dedup.CheckpointCaches``) with the
+stricter release-only-when-done semantics.
 """
 
 from __future__ import annotations

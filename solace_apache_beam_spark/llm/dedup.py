@@ -1283,6 +1283,7 @@ def incremental_dedup(
         .select("new_id", F.col("corp_id").alias("match_id"), "jaccard")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    own_caches.append(near)
 
     exact_out = exact.select(
         F.col("new_id").alias(id_col),
@@ -1308,6 +1309,15 @@ def incremental_dedup(
     )
 
 
+def _local_checkpoint_rdd(df: DataFrame):
+    """The checkpointed JVM RDD backing a ``localCheckpoint()``-ed
+    frame, or None if the plan is not a LogicalRDD leaf."""
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() == "LogicalRDD":
+        return plan.rdd()
+    return None
+
+
 def _release_local_checkpoint(df: DataFrame) -> None:
     """Free the block-manager storage of a ``localCheckpoint()``-ed
     frame. ``DataFrame.unpersist()`` only removes CacheManager entries,
@@ -1315,9 +1325,42 @@ def _release_local_checkpoint(df: DataFrame) -> None:
     belong to the checkpointed RDD inside the plan's LogicalRDD leaf.
     After release the frame cannot be recomputed (lineage was
     truncated): only call on frames no round will read again."""
-    plan = df._jdf.queryExecution().analyzed()
-    if plan.getClass().getSimpleName() == "LogicalRDD":
-        plan.rdd().unpersist(False)
+    rdd = _local_checkpoint_rdd(df)
+    if rdd is not None:
+        rdd.unpersist(False)
+
+
+class CheckpointCaches:
+    """Release handle for the TERMINAL localCheckpoint backing an
+    operator's returned frame (``connected_components``' converged
+    labels). Deliberately NOT a :class:`functions.caching.PlanCaches`:
+    that contract promises the plan recomputes from lineage after
+    release, but a checkpoint IS the lineage — after ``unpersist()``
+    the returned frame is dead and must not be re-executed. Call only
+    once the result is fully consumed (collected / written). The
+    in-loop superseded rounds are still released eagerly inside the
+    operator; this handle covers only the final frame, whose blocks
+    otherwise linger for the session lifetime."""
+
+    __slots__ = ("_frames",)
+
+    def __init__(self, frames) -> None:
+        self._frames = tuple(frames)
+
+    def unpersist(self) -> "CheckpointCaches":
+        for f in self._frames:
+            _release_local_checkpoint(f)
+        return self
+
+    @property
+    def is_cached(self) -> bool:
+        for f in self._frames:
+            rdd = _local_checkpoint_rdd(f)
+            if rdd is not None:
+                lvl = rdd.getStorageLevel()
+                if lvl.useMemory() or lvl.useDisk():
+                    return True
+        return False
 
 
 def connected_components(
@@ -1340,7 +1383,14 @@ def connected_components(
     (and task closure) stays constant-size regardless of iteration
     count. Raises RuntimeError if max_iters rounds pass without
     convergence — silent truncation would hand back wrong cluster
-    representatives."""
+    representatives.
+
+    Cache lifecycle: superseded rounds' checkpoints are released
+    in-loop; the TERMINAL round's checkpoint backs the returned frame
+    and is exposed as ``out.checkpoint_caches``
+    (:class:`CheckpointCaches`) — release it once the labels are fully
+    consumed. Unlike ``plan_caches``, the frame cannot be recomputed
+    after release (the checkpoint is the lineage)."""
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -1406,7 +1456,14 @@ def connected_components(
             f"connected_components did not converge in {max_iters} rounds "
             "(graph diameter too large?) — raise max_iters"
         )
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+    # the terminal round's checkpoint backs the returned frame — expose
+    # its release (checkpoint semantics: result is DEAD after release,
+    # so this is checkpoint_caches, NOT the recompute-safe plan_caches)
+    out.checkpoint_caches = CheckpointCaches((labels,))
+    return out
 
 
 def decontaminate(

@@ -669,10 +669,15 @@ def kmeans_assign(
     qdf = _quantized_vectors(df, vec_col, id_col).persist()
     if qdf.isEmpty():
         # nothing downstream consumes qdf on this path — release it
-        # here rather than handing back a handle to a dead cache
+        # here rather than handing back a handle to a dead cache; still
+        # attach an (empty) handle so out.plan_caches resolves uniformly
+        # on every path (DataFrame.__getattr__ otherwise raises on it)
         qdf.unpersist()
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, cell long, cos_sim double"
+        return attach_plan_caches(
+            df.sparkSession.createDataFrame(
+                [], f"{id_col} long, cell long, cos_sim double"
+            ),
+            (),
         )
     cids, cmat = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
     return attach_plan_caches(

@@ -55,42 +55,73 @@ _DOC_BASE = f"""
 """
 
 _N_PERM, _N_BANDS = 16, 4
-_ROWS_PER_BAND = _N_PERM // _N_BANDS
-
-_SIG_ITEMS = ", ".join(
-    f"list_min([({a} * h + {b}) % {MERSENNE_61} for h in hlist])"
-    for a, b in minhash_coeffs(_N_PERM)
-)
-_BANDS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {bi} AS band, "
-    + _h64(
-        f"array_to_string(sig[{bi * _ROWS_PER_BAND + 1}:{(bi + 1) * _ROWS_PER_BAND}], ',')"
-    )
-    + " AS band_hash FROM sig"
-    for bi in range(_N_BANDS)
-)
-_MINHASH_BASE = f"""
-  {_DOC_BASE},
-  sig AS (SELECT doc_id, [{_SIG_ITEMS}] AS sig FROM hs),
-  bands AS ({_BANDS_SQL})
-"""
 
 # LSH bucket-membership cap (mirrors minhash_lsh_pairs max_bucket=1000:
 # buckets larger than this are dropped on BOTH engines — the skew guard
 # that keeps one degenerate band hash from concentrating O(n^2) pairs)
 _MAX_BUCKET = 1000
 
-_CAND_SQL = f"""
-    cand AS (
+
+def _minhash_fragments(
+    n_perm: int, n_bands: int, src: str, sfx: str
+) -> dict[str, str]:
+    """The four CTE fragments of one MinHash-LSH pass — signature,
+    LSH bands, capped candidate pairs, exact-Jaccard-verified pairs —
+    over shingle-set CTE ``src``, every CTE name suffixed ``sfx``.
+
+    SINGLE SOURCE for the oracle-side MinHash pass: the module-level
+    (16, 4) fragments (``_MINHASH_BASE``/``_CAND_SQL``, shared by five
+    oracles) and the rescue oracle's two parameterized passes all
+    assemble from here, so an edit to the pass logic (cap rule, jaccard
+    formula, band hashing) cannot de-synchronize one gate from another
+    (round-8 review: the previous hand-written module-level copy was
+    exactly that drift hazard)."""
+    rows = n_perm // n_bands
+    sig_items = ", ".join(
+        f"list_min([({a} * h + {b}) % {MERSENNE_61} for h in hlist])"
+        for a, b in minhash_coeffs(n_perm)
+    )
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + _h64(f"array_to_string(sig{sfx}[{bi * rows + 1}:{(bi + 1) * rows}], ',')")
+        + f" AS band_hash FROM sig{sfx}"
+        for bi in range(n_bands)
+    )
+    return {
+        "sig": f"sig{sfx} AS (SELECT doc_id, [{sig_items}] AS sig{sfx} FROM {src})",
+        "bands": f"bands{sfx} AS ({bands_sql})",
+        "cand": f"""cand{sfx} AS (
       SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM bands l
-      JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
-                  AND l.doc_id < r.doc_id
-      JOIN (SELECT band, band_hash FROM bands
+      FROM bands{sfx} l
+      JOIN bands{sfx} r ON l.band = r.band AND l.band_hash = r.band_hash
+                       AND l.doc_id < r.doc_id
+      JOIN (SELECT band, band_hash FROM bands{sfx}
             GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}) ok
         ON l.band = ok.band AND l.band_hash = ok.band_hash
       GROUP BY 1, 2
-    )
+    )""",
+        "pairs": f"""pairs{sfx} AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.hlist, sb.hlist)) * 1.0
+               / len(list_distinct(list_concat(sa.hlist, sb.hlist))) AS jaccard
+      FROM cand{sfx}
+      JOIN {src} sa ON cand{sfx}.doc_a = sa.doc_id
+      JOIN {src} sb ON cand{sfx}.doc_b = sb.doc_id
+      WHERE jaccard >= 0.5
+    )""",
+    }
+
+
+_PASS_DEFAULT = _minhash_fragments(_N_PERM, _N_BANDS, "hs", "")
+
+_MINHASH_BASE = f"""
+  {_DOC_BASE},
+  {_PASS_DEFAULT["sig"]},
+  {_PASS_DEFAULT["bands"]}
+"""
+
+_CAND_SQL = f"""
+    {_PASS_DEFAULT["cand"]}
 """
 
 
@@ -134,45 +165,18 @@ _SIMHASH_PAIRS_ORACLE = f"""
 
 def _minhash_pass_sql(n_perm: int, n_bands: int, src: str, sfx: str) -> str:
     """One full MinHash-LSH pass (signature -> bands -> capped
-    candidates -> exact-Jaccard-verified pairs >= 0.5) as CTE fragments
-    over shingle-set CTE ``src``, every name suffixed ``sfx`` — the
-    parameterized generalization of the module-level (16, 4) fragments,
-    so the rescue oracle can replay BOTH the screen preset and the
-    HIGH_RECALL preset in one statement with the same coefficient
-    stream (functions/hashing.py minhash_coeffs) as the Spark side."""
-    rows = n_perm // n_bands
-    sig_items = ", ".join(
-        f"list_min([({a} * h + {b}) % {MERSENNE_61} for h in hlist])"
-        for a, b in minhash_coeffs(n_perm)
-    )
-    bands_sql = " UNION ALL ".join(
-        f"SELECT doc_id, {bi} AS band, "
-        + _h64(f"array_to_string(sig{sfx}[{bi * rows + 1}:{(bi + 1) * rows}], ',')")
-        + f" AS band_hash FROM sig{sfx}"
-        for bi in range(n_bands)
-    )
+    candidates -> exact-Jaccard-verified pairs >= 0.5), assembled from
+    the same :func:`_minhash_fragments` the module-level (16, 4)
+    fragments come from — the rescue oracle replays BOTH the screen
+    preset and the HIGH_RECALL preset in one statement with the same
+    coefficient stream (functions/hashing.py minhash_coeffs) as the
+    Spark side."""
+    f = _minhash_fragments(n_perm, n_bands, src, sfx)
     return f"""
-    sig{sfx} AS (SELECT doc_id, [{sig_items}] AS sig{sfx} FROM {src}),
-    bands{sfx} AS ({bands_sql}),
-    cand{sfx} AS (
-      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM bands{sfx} l
-      JOIN bands{sfx} r ON l.band = r.band AND l.band_hash = r.band_hash
-                       AND l.doc_id < r.doc_id
-      JOIN (SELECT band, band_hash FROM bands{sfx}
-            GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}) ok
-        ON l.band = ok.band AND l.band_hash = ok.band_hash
-      GROUP BY 1, 2
-    ),
-    pairs{sfx} AS (
-      SELECT doc_a, doc_b,
-             len(list_intersect(sa.hlist, sb.hlist)) * 1.0
-               / len(list_distinct(list_concat(sa.hlist, sb.hlist))) AS jaccard
-      FROM cand{sfx}
-      JOIN {src} sa ON cand{sfx}.doc_a = sa.doc_id
-      JOIN {src} sb ON cand{sfx}.doc_b = sb.doc_id
-      WHERE jaccard >= 0.5
-    )
+    {f["sig"]},
+    {f["bands"]},
+    {f["cand"]},
+    {f["pairs"]}
 """
 
 

@@ -123,8 +123,13 @@ BUILDERS = {
 }
 
 
+def _cached_rdd_ids(spark):
+    return {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+
 @pytest.mark.parametrize("name", sorted(BUILDERS))
 def test_plan_caches_release_cycle(name, spark, sf_dir):
+    rdds_before = _cached_rdd_ids(spark)
     out = BUILDERS[name](spark, sf_dir)
     handle = getattr(out, "plan_caches", None)
     assert isinstance(handle, PlanCaches), f"{name} lost its plan_caches"
@@ -135,6 +140,13 @@ def test_plan_caches_release_cycle(name, spark, sf_dir):
     assert handle.is_cached, f"{name}: nothing cached after materialize"
     handle.unpersist()
     assert not handle.is_cached, f"{name}: unpersist left a cache"
+    # block-manager-level: the handle must cover EVERY frame the call
+    # persisted — an operator persist omitted from the handle leaves a
+    # cached RDD the handle checks above cannot see (the round-8
+    # incremental_dedup `near` miss). unpersist(blocking=False) removes
+    # the registry entry synchronously, so no retry loop is needed.
+    leaked = _cached_rdd_ids(spark) - rdds_before
+    assert not leaked, f"{name}: persisted frames outside the handle: {leaked}"
     # lineage intact: recompute without the cache, identical rows
     assert sorted(map(tuple, out.collect())) == before
 

@@ -169,6 +169,35 @@ def test_connected_components_releases_superseded_round_blocks(spark):
     assert len(jsc.getRDDStorageInfo()) <= before + 1
 
 
+def test_connected_components_terminal_checkpoint_release(spark):
+    """The converged labels frame is backed by the terminal round's
+    localCheckpoint — out.checkpoint_caches releases it once the
+    caller is done (round-8 review: without the handle every
+    dedup_clusters call strands one full labels frame in the block
+    manager for the session lifetime). Unlike plan_caches, release
+    kills the frame (checkpoint == lineage), so the contract is
+    release-after-fully-consumed; the test therefore collects FIRST."""
+    from solace_apache_beam_spark.llm.dedup import (
+        CheckpointCaches,
+        connected_components,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 32)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(pairs)
+    handle = labels.checkpoint_caches
+    assert isinstance(handle, CheckpointCaches)
+    assert {r.cluster_rep for r in labels.collect()} == {1}
+    assert handle.is_cached
+    handle.unpersist()
+    assert not handle.is_cached
+    # block-manager-level: nothing from this call may remain
+    assert len(jsc.getRDDStorageInfo()) <= before
+
+
 def test_funnel_excludes_null_timestamps(spark):
     """min(struct(ts, id)) sorts a NULL ts field FIRST, so without the
     explicit not-null filter a user whose only qualifying event has a
