@@ -681,10 +681,12 @@ def simhash_signatures(
 def _ngram_prefix_instances(
     sh: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """(id, shingle) instances of each doc's PREFIX — the
+    """(id, _sz, shingle) instances of each doc's PREFIX — the
     |d| - ceil(t*|d|) + 1 globally-smallest shingles under the
-    (document-frequency asc, hash asc) total order. Shared by
-    ngram_jaccard_pairs (candidate generation) and pair_bucket_stats
+    (document-frequency asc, hash asc) total order, with the doc's full
+    shingle-set size riding along (``_sz`` feeds the caller's size
+    filter; it is already computed here for the prefix length). Shared
+    by ngram_jaccard_pairs (candidate generation) and pair_bucket_stats
     (drop telemetry): both must see the identical bucket-key stream.
 
     Global document frequency is a constant-memory count agg, map-side
@@ -731,7 +733,7 @@ def _ngram_prefix_instances(
     return (
         ranked.withColumn("_rn", F.row_number().over(wo))
         .filter(F.col("_rn") <= prefix_len)
-        .select(F.col(id_col), F.col("shingle"))
+        .select(F.col(id_col), F.col("_sz"), F.col("shingle"))
     )
 
 
@@ -753,8 +755,10 @@ def ngram_jaccard_pairs(
     globally-smallest common shingle inside BOTH prefixes (if A's
     prefix missed every shared shingle, the shared set would fit in
     A's suffix of ceil(t*|A|)-1 < t*|A| <= |A∩B| elements), so the
-    prefix index is a COMPLETE candidate generator; candidates are then
-    verified with the exact intersect/union of the full shingle sets.
+    prefix index is a COMPLETE candidate generator; candidates then
+    pass the lossless SIZE FILTER (min set size >= t * max set size, a
+    necessary condition for J >= t) before being verified with the
+    exact intersect/union of the full shingle sets.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b — the TRUE
     full-universe Jaccard, no df-cutoff bias. The former
@@ -784,15 +788,43 @@ def ngram_jaccard_pairs(
     pre = _ngram_prefix_instances(sh, id_col, threshold)
     # candidate buckets over prefix instances only, size-first capped;
     # identical postings arrays (a clique whose docs share the same
-    # rare shingles) collapse to one row before pair explosion
+    # rare shingles) collapse to one row before pair explosion. Each
+    # posting carries its doc's shingle-set size (struct sorts by
+    # id-first field order, so the sorted-array pair invariant holds)
     buckets = (
         _sized_group_instances(pre, ["shingle"], max_bucket, observation)
         .groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col), F.col("_sz")))
+            ).alias("ids")
+        )
     )
+    # SIZE FILTER (Bayardo et al. §3.1, carried inline — no extra join
+    # or shuffle): J(A,B) >= t forces |A∩B| >= t*|A∪B|, and with
+    # |A∩B| <= min_sz, max_sz <= |A∪B| that means min_sz >= t*max_sz —
+    # a candidate failing it is provably below threshold, so pruning it
+    # BEFORE the distinct and the verify joins is lossless. Measured:
+    # 24 % of sf0.1 candidates pruned (-6 %/-11 % min/med on the
+    # query); ~0 % on the 100x Zipf stress corpus (its near-dup cliques
+    # are same-size by construction) with timing parity — the struct
+    # carry costs nothing when the filter has nothing to prune, and
+    # real corpora have varied doc lengths. Same downward-epsilon guard
+    # as the prefix length: IEEE can round t*max above the exact
+    # product and would drop exact-boundary pairs; scaling by
+    # (1 - 1e-12) errs toward keeping, and verification is exact.
     cand = (
         _explode_sorted_pairs(buckets.select("ids").distinct(), "ids")
-        .select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"))
+        .filter(
+            F.least(F.col("_a._sz"), F.col("_b._sz"))
+            >= F.greatest(F.col("_a._sz"), F.col("_b._sz"))
+            * F.lit(float(threshold))
+            * F.lit(1.0 - 1e-12)
+        )
+        .select(
+            F.col(f"_a.{id_col}").alias("doc_a"),
+            F.col(f"_b.{id_col}").alias("doc_b"),
+        )
         .distinct()
     )
     # exact verification on the full shingle sets — same merge-pinned
