@@ -395,10 +395,15 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-schema enrichment join: fact lineitem joined through orders to
-    the customer->nation->region dimensions, all dimension sides
-    broadcast — the fact table never shuffles for the lookups; the only
-    shuffles are the l_orderkey equi-join and the final small agg."""
+    """Star-schema enrichment join: fact lineitem joined through orders
+    and customer to the nation->region dimensions. Only the
+    CONSTANT-cardinality dimensions are statically broadcast (nation is
+    25 rows and region 5 at EVERY scale factor); customer scales
+    linearly with SF — billions of rows at the 100 TB point — so its
+    join carries no hint and AQE promotes it to broadcast only when the
+    side is genuinely small (it is at sf0.1). Same contract as
+    tpch_q3_shipping_priority / top_customers_per_segment, pinned in
+    tests/test_plans.py."""
     from solace_apache_beam_spark.operators.relational import (
         broadcast_dim_join,
         dec_sum,
@@ -414,7 +419,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enriched = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .transform(lambda d: broadcast_dim_join(d, cust, [d.o_custkey == cust.c_custkey]))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .transform(lambda d: broadcast_dim_join(d, nation, [cust.c_nationkey == nation.n_nationkey]))
         .transform(lambda d: broadcast_dim_join(d, region, [nation.n_regionkey == region.r_regionkey]))
     )

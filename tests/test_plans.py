@@ -40,6 +40,32 @@ def test_q3_no_forced_broadcast_and_topk(spark, sf_dir, queries):
     assert "TakeOrderedAndProject" in plan  # top-10, never a full sort
 
 
+def test_revenue_by_nation_broadcasts_only_constant_dims(spark, sf_dir, queries):
+    """nation (25 rows) and region (5) are constant-cardinality at every
+    SF — statically broadcast. customer scales with SF, so its join must
+    stay hint-free (AQE promotes it at small SF). With the automatic
+    broadcast threshold disabled, the ONLY BroadcastHashJoins left are
+    the two hinted constant dims — a forced customer broadcast would
+    show as a third."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # simple mode: each operator appears once (formatted lists every
+        # node twice — tree line + detail section)
+        plan = (
+            queries["revenue_by_nation"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastHashJoin") == 2
+
+
 def test_top_customers_no_forced_broadcast(spark, sf_dir, queries):
     """Same contract for the other customer join: hint-free at analysis
     time, AQE owns the strategy choice."""
