@@ -71,7 +71,15 @@ def _decode_one(raw: bytes, field: int = 1) -> str | None:
         shift += 7
     if i + n > len(raw):
         return None
-    return raw[i : i + n].decode("utf-8")
+    try:
+        return raw[i : i + n].decode("utf-8")
+    except UnicodeDecodeError:
+        # a structurally-valid record with non-UTF-8 payload bytes is a
+        # poison record like any other malformed input: decode to NULL
+        # instead of raising inside the UDF (one bad message on a 100 TB
+        # feed must not fail the task) — same contract as the fake
+        # broker's torn-record read path
+        return None
 
 
 def encode_proto_string_field(col: Column | str, field_number: int = 1) -> Column:

@@ -21,6 +21,9 @@ def test_wire_roundtrip_edge_cases():
     assert _decode_one(None) is None
     assert _decode_one(b"") is None
     assert _decode_one(b"\x0a\xff") is None  # truncated length prefix
+    # structurally valid record, payload bytes not UTF-8: poison record
+    # decodes to NULL instead of raising inside the UDF
+    assert _decode_one(b"\x0a\x02\xff\xfe") is None
 
 
 def test_descriptor_set_bytes_are_exact():
