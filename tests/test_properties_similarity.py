@@ -1,0 +1,98 @@
+"""Property-based differential test for the exact brute-force cosine
+top-k (llm/similarity.brute_force_topk) — previously covered only by
+the fixed-embeddings oracle gate. The Python reference mirrors the
+documented contract step by step:
+
+  quantize  round-half-away-from-zero(x * 2^20) per component
+  cosine    integer-exact dot / (norm * norm) in float64
+  report    Spark F.round(cos, 6) = BigDecimal HALF_UP on the exact
+            binary double (mirrored with decimal.Decimal, NOT
+            numpy.round — scaled half-to-even differs in the last
+            quantum)
+  rank      per query: cos_sim desc, neighbor_id asc, row_number <= k
+  exclude   self-pairs and non-finite scores (zero-norm vectors)
+
+Randomized inputs deliberately include zero vectors (norm 0 — every
+score involving them must vanish, not become NaN rows), duplicate
+vectors (cos exactly 1.0 ties — the id tiebreak decides), and
+same-score ties at the k boundary (the _rowwise_topk_mask slack must
+admit every window-granularity tie)."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from solace_apache_beam_spark.llm.similarity import QUANT, brute_force_topk
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# components from a small exact grid (i/4 is exactly representable):
+# ties and duplicate vectors must be COMMON
+_component = st.integers(-8, 8).map(lambda i: i / 4.0)
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark F.round(col, 6): BigDecimal(double) HALF_UP — exact mirror
+    via Decimal from the exact binary double."""
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _reference_topk(vecs: dict[int, list[float]], k: int):
+    ids = sorted(vecs)
+    q = {
+        i: np.floor(np.abs(np.array(vecs[i])) * QUANT + 0.5)
+        * np.sign(np.array(vecs[i]))
+        for i in ids
+    }
+    rows = set()
+    for qi in ids:
+        scored = []
+        for ci in ids:
+            if ci == qi:
+                continue
+            dot = float(q[qi] @ q[ci])
+            denom = float(np.sqrt((q[qi] ** 2).sum()) * np.sqrt((q[ci] ** 2).sum()))
+            if denom == 0.0:
+                continue  # zero-norm: non-finite score, excluded
+            cos = dot / denom
+            if not np.isfinite(cos):
+                continue
+            scored.append((-_round6_half_up(cos), ci))
+        scored.sort()
+        for rank, (neg_cos, ci) in enumerate(scored[:k], start=1):
+            rows.add((qi, ci, -neg_cos, rank))
+    return rows
+
+
+@settings(**SETTINGS)
+@given(
+    vec_lists=st.lists(
+        st.lists(_component, min_size=3, max_size=3),
+        min_size=2,
+        max_size=12,
+    ),
+    k=st.sampled_from([1, 3]),
+)
+def test_brute_force_topk_matches_reference(spark, vec_lists, k):
+    vecs = dict(enumerate(vec_lists))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = brute_force_topk(df, df, "embedding", "vec_id", k=k)
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in out.collect()
+    }
+    assert got == _reference_topk(vecs, k)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
