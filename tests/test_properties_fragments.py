@@ -127,5 +127,53 @@ def test_h64_h32_match_sql_twins(spark, texts):
         assert 0 <= v64 < (1 << 60) and 0 <= v32 < (1 << 32)
 
 
+# ----------------------------------------------- normalize / PII twins
+
+# the regex surfaces the normalize/redact oracles replay in RE2 — an
+# alphabet dense in the classes those patterns pivot on (@, dots,
+# dashes, %, +, digits, short TLD-ish runs, unicode letters/digits)
+_PII_ALPHABET = (
+    "abcdefgXYZ 0123456789 @._%+- äñ漢७ ,;()\n\t"
+)
+_pii_text = st.text(alphabet=_PII_ALPHABET, min_size=0, max_size=80)
+
+
+def _oracle_on_documents(texts, oracle_sql):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", list(enumerate(texts)))
+    res = con.execute(oracle_sql)
+    cols = [d[0] for d in res.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(r[i]) for i in idx) for r in res.fetchall())
+
+
+@settings(**SETTINGS)
+@given(texts=st.lists(_pii_text, min_size=1, max_size=15))
+def test_normalize_and_pii_oracles_match_on_random_text(spark, texts):
+    """Query-level cross-engine differential for text_normalize and
+    text_pii_redact: the REGISTRY's own oracle SQL runs against an
+    in-memory DuckDB `documents` table of randomized text while the
+    operators run on the same rows — Java regex vs RE2 on the
+    \\p{L}\\p{N} class, the {2,} TLD quantifier, char-class ranges, and
+    regexp_extract_all counting must agree on every input, not just the
+    gate corpus."""
+    from solace_apache_beam_spark.llm.text_analysis import (
+        normalize_text,
+        redact_pii,
+    )
+    from solace_apache_beam_spark.registry import all_oracles
+
+    oracles = all_oracles()
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for op, name in ((normalize_text, "text_normalize"), (redact_pii, "text_pii_redact")):
+        sdf = op(df)
+        got = sorted(
+            tuple(str(x) for x in r)
+            for r in sdf.select(*sorted(sdf.columns)).collect()
+        )
+        assert got == _oracle_on_documents(texts, oracles[name]), name
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
