@@ -56,8 +56,11 @@ def session_count(
     df: DataFrame, time_col: str, gap: str, *group_cols: str
 ) -> DataFrame:
     """Session windows (W7): merge rows per key while consecutive gaps
-    stay under ``gap``; window end = last event + gap. Single shuffle on
-    the session keys."""
+    are AT MOST ``gap`` — an event exactly ``gap`` after the previous
+    one still merges (inclusive touch, measured; the registered query's
+    oracle and stateful.sessionize encode the same strict-> split);
+    window end = last event + gap. Single shuffle on the session
+    keys."""
     return (
         df.groupBy(F.session_window(time_col, gap).alias("w"), *group_cols)
         .agg(F.count(F.lit(1)).alias("cnt"))

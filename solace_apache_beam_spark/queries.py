@@ -299,8 +299,13 @@ def sliding_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ordered AS (
       SELECT user_id, ts,
+             -- STRICTLY greater: Spark's session_window MERGES two
+             -- events exactly `gap` apart (inclusive touch — measured;
+             -- the randomized events differential caught the >= form
+             -- splitting them), and streaming/stateful.sessionize
+             -- encodes the same strict-> rule
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WHERE ts IS NOT NULL
@@ -322,10 +327,13 @@ def sliding_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user, 30 min gap (W7): session_window merges
-    rows while consecutive gaps < gap; end = last event + gap. The
-    oracle reproduces the merge with lag + gap-flag cumsum. NULL ts
-    excluded explicitly on both engines (see count_per_window_global;
-    DuckDB would otherwise sort NULLs into a session)."""
+    rows while consecutive gaps are AT MOST gap (an event landing
+    exactly on last_event + gap still merges — inclusive touch,
+    measured; stateful.sessionize's strict-> split encodes the same
+    boundary); end = last event + gap. The oracle reproduces the merge
+    with lag + gap-flag cumsum. NULL ts excluded explicitly on both
+    engines (see count_per_window_global; DuckDB would otherwise sort
+    NULLs into a session)."""
     from solace_apache_beam_spark.operators.windows import session_count
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
@@ -556,11 +564,21 @@ def analytic_user_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window functions (§2.8): per-user row_number, lag and
     running sum. The running sum goes through DECIMAL: engines may fold
     window frames in different association orders (segment trees), so
-    double accumulation would not be comparable."""
+    double accumulation would not be comparable.
+
+    Ordering is NULLS LAST explicitly: Spark's ASC default is NULLS
+    FIRST while SQL's (and DuckDB's) is NULLS LAST, so a NULL-ts row
+    would otherwise take rank 1 only on the Spark side and shift every
+    rank/lag/running value after it (found by the randomized
+    events-table differential in tests/test_properties_queries.py;
+    same alignment as dedup_by_representative_key and
+    exact_percentiles)."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(
         "event_id",

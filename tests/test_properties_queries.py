@@ -1,0 +1,117 @@
+"""Query-level randomized differential harness: for each hypothesis
+example, a randomized ``events`` table (null-dense timestamps/users/
+values, 10-minute-grid times so window and session-gap BOUNDARIES are
+common, funnel-stage event types) is written as parquet; every
+events-only registered query then runs through its real entry point
+(``queries()[name](spark, tmp_dir)``) while its registry oracle runs
+in DuckDB over the same file — the exact driver-gate comparison, but
+on adversarial data instead of the fixed corpus.
+
+Deliberate domain constraints (documented nondeterminism, not gaps):
+``event_id`` is unique and non-null — a dedup group whose ids are ALL
+NULL picks its representative arbitrarily on both engines (see
+dedup_by_representative_key's docstring), and duplicate (ts, event_id)
+order-by pairs make lag()/running sums order-ambiguous on both; both
+are contracts, not comparable behavior.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import __spark_entry__ as e
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_BASE = dt.datetime(2024, 1, 10, 0, 0, 0)
+
+# events-only queries whose oracles encode hand-written window/session/
+# frontier/null semantics — the highest-risk restatements in the repo
+QUERY_NAMES = (
+    "count_per_window_global",
+    "sliding_window_count",
+    "session_window_count",
+    "dedup_by_representative_key",
+    "analytic_user_running",
+    "data_quality_events",
+    "hypertable_rollup_events",
+    "percentiles_event_value",
+    "funnel_view_click_purchase",
+    "asof_click_view",
+    "range_join_error_clicks",
+)
+
+_row = st.tuples(
+    st.one_of(st.none(), st.integers(0, 18)),  # ts: 10-min grid steps
+    st.one_of(st.none(), st.integers(0, 2)),  # user_id
+    st.sampled_from(["view", "click", "purchase", "error", "signup", "bogus"]),
+    st.one_of(st.none(), st.integers(-3, 9).map(lambda i: i / 2.0)),  # value
+)
+
+
+def _write_events(rows, dirpath: str) -> None:
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [
+                    None if r[0] is None else _BASE + dt.timedelta(minutes=10 * r[0])
+                    for r in rows
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{dirpath}/events.parquet")
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(_row, min_size=1, max_size=30))
+def test_events_queries_match_oracles_on_random_data(spark, rows):
+    qs, oracles = e.queries(), e.oracle_sql()
+    tmp = tempfile.mkdtemp(prefix="propq_")
+    try:
+        _write_events(rows, tmp)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')"
+        )
+        for name in QUERY_NAMES:
+            sdf = qs[name](spark, tmp)
+            got = sorted(
+                tuple(str(x) for x in r)
+                for r in sdf.select(*sorted(sdf.columns)).collect()
+            )
+            res = con.execute(oracles[name])
+            cols = [d[0] for d in res.description]
+            idx = sorted(range(len(cols)), key=lambda i: cols[i])
+            want = sorted(
+                tuple(str(r[i]) for i in idx) for r in res.fetchall()
+            )
+            assert got == want, f"{name}: spark={got[:4]}... oracle={want[:4]}..."
+            caches = getattr(sdf, "plan_caches", None)
+            if caches is not None:
+                caches.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
