@@ -144,6 +144,16 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         memo: dict[str, int] = {}
         out = []
         for ws in words:
+            if ws is None:
+                # NULL text -> NULL fingerprint: absent content has no
+                # measurement (0 is the VALID fingerprint of EMPTY
+                # content — claiming it for absent content would alias
+                # the two); same principle as multimodal's None-payload
+                # -> no features. The randomized documents differential
+                # caught the previous behavior: a crash (TypeError on
+                # the None array) — the poison-record class again.
+                out.append(None)
+                continue
             acc = 0
             for w in ws:
                 h = memo.get(w)
@@ -152,7 +162,7 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
                     memo[w] = h
                 acc = (acc * 31 + h) & FINGERPRINT_MASK
             out.append(acc)
-        return pd.Series(out, dtype="int64")
+        return pd.Series(out, dtype="Int64")
 
     words = words_expr(text_col)
     return df.select(F.col(id_col), fp(words).alias("fingerprint"))

@@ -36,10 +36,18 @@ _h64 = h64_sql
 
 
 def _stop_sql(lang: str) -> str:
+    # the coalesce exists for EMPTY word lists (DuckDB list_sum([]) is
+    # NULL where Spark's F.aggregate([], 0, ...) returns its 0 init) —
+    # it must not also swallow NULL words: on a NULL text every other
+    # feature is NULL on both engines and Spark's aggregate over a NULL
+    # array is NULL, so the guard keeps n_stopwords NULL there too
+    # (found by the randomized documents differential in
+    # tests/test_properties_queries.py)
     lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return (
+        f"CASE WHEN words IS NULL THEN NULL ELSE "
         f"CAST(coalesce(list_sum([CASE WHEN list_contains([{lst}], x) THEN 1 ELSE 0 END "
-        f"for x in words]), 0) AS BIGINT)"
+        f"for x in words]), 0) AS BIGINT) END"
     )
 
 
@@ -886,7 +894,12 @@ def source_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '[\\p{{L}}]+|[0-9]+|[^\\s\\p{{L}}0-9]')) AS BIGINT) AS n_bpe_tokens,
-           CAST(coalesce(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) for x in words]), 0) AS BIGINT) AS n_subword_est
+           -- the coalesce covers EMPTY word lists only (list_sum([])
+           -- is NULL, Spark's aggregate init is 0); NULL words stays
+           -- NULL like the other two counts (same guard as _stop_sql)
+           CASE WHEN words IS NULL THEN NULL ELSE
+             CAST(coalesce(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) for x in words]), 0) AS BIGINT)
+           END AS n_subword_est
     FROM w
     """,
 )
@@ -902,10 +915,15 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents)
     SELECT doc_id,
-           list_reduce(
-             list_prepend(0::BIGINT, [{_h32("x")} for x in words]),
-             (acc, x) -> (acc * 31 + x) & {FINGERPRINT_MASK}
-           ) AS fingerprint
+           -- NULL text -> NULL fingerprint (absent content has no
+           -- measurement; DuckDB's list_prepend(0, NULL) would
+           -- otherwise fold to 0, aliasing NULL text with EMPTY text)
+           CASE WHEN words IS NULL THEN NULL ELSE
+             list_reduce(
+               list_prepend(0::BIGINT, [{_h32("x")} for x in words]),
+               (acc, x) -> (acc * 31 + x) & {FINGERPRINT_MASK}
+             )
+           END AS fingerprint
     FROM w
     """,
 )

@@ -113,5 +113,105 @@ def test_events_queries_match_oracles_on_random_data(spark, rows):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# -------------------------------------------------- documents harness
+
+# small shared vocabulary: exact dups, near-dups, shared shingles and
+# repeated tokens must be COMMON so the dedup/minhash/repetition paths
+# light up; tokens carry unicode and in-token punctuation so the
+# tokenizer split points matter
+_VOCAB = (
+    "the", "cat", "sat", "on", "mat", "el", "perro", "niño",
+    "漢字", "42", "x!y", "a,b",
+)
+_doc_text = st.one_of(
+    st.none(),
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12).map(" ".join),
+)
+
+# documents-only registered queries with deterministic contracts; the
+# multimodal family is EXCLUDED by design — its oracles document a
+# pure-ASCII corpus invariant this randomized text deliberately breaks
+DOC_QUERY_NAMES = (
+    "wordcount_global",
+    "windowed_wordcount",
+    "observed_metrics",
+    "text_quality",
+    "text_language_id",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_repetition",
+    "vocab_top_words",
+    "chunk_documents",
+    "sequence_packing",
+    "dedup_exact",
+    "minhash_band_hashes",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "incremental_dedup",
+    "sample_documents_10pct",
+    "split_train_val_test",
+    "training_shuffle_manifest",
+)
+
+
+def _write_documents(rows, dirpath: str) -> None:
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([r[0] for r in rows], pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [None if r[0] is None else len(r[0]) for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{dirpath}/documents.parquet")
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            _doc_text,
+            st.sampled_from(["en", "es", None]),
+            st.sampled_from(["web", "book", None]),
+        ),
+        min_size=2,
+        max_size=18,
+    )
+)
+def test_documents_queries_match_oracles_on_random_data(spark, rows):
+    qs, oracles = e.queries(), e.oracle_sql()
+    tmp = tempfile.mkdtemp(prefix="propd_")
+    try:
+        _write_documents(rows, tmp)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp}/documents.parquet')"
+        )
+        for name in DOC_QUERY_NAMES:
+            sdf = qs[name](spark, tmp)
+            got = sorted(
+                tuple(str(x) for x in r)
+                for r in sdf.select(*sorted(sdf.columns)).collect()
+            )
+            res = con.execute(oracles[name])
+            cols = [d[0] for d in res.description]
+            idx = sorted(range(len(cols)), key=lambda i: cols[i])
+            want = sorted(
+                tuple(str(r[i]) for i in idx) for r in res.fetchall()
+            )
+            assert got == want, f"{name}: spark={got[:4]}... oracle={want[:4]}..."
+            caches = getattr(sdf, "plan_caches", None)
+            if caches is not None:
+                caches.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
