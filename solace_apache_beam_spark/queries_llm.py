@@ -390,7 +390,9 @@ _KM_SQL = f"""
       SELECT vec_id,
              [CAST(round(CAST(x AS DOUBLE) * 1048576) AS DOUBLE)
               for x in embedding] AS qv
-      FROM embeddings
+      -- same undecoded-row filter as _QE: kmeans_assign never sees
+      -- NULL vectors on the Spark side
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KM_CELLS}),
     {", ".join(_km_iter_sql(i) for i in range(_KM_ITERS))},
@@ -947,7 +949,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QE = """
   qe AS (SELECT vec_id,
                 [CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS q
-         FROM embeddings),
+         -- undecoded rows carry no vector (similarity.py filters them
+         -- in every packer/bucketizer); without the filter a NULL
+         -- embedding maps to q NULL whose n2 list_prepend-folds to 0
+         -- and the row scores as a phantom zero vector
+         FROM embeddings WHERE embedding IS NOT NULL),
   qn AS (SELECT vec_id, q,
                 list_reduce(list_prepend(0::BIGINT, [x * x for x in q]),
                             (s, x) -> s + x) AS n2

@@ -105,6 +105,18 @@ _PRIORITY: tuple[str, ...] = (
     #     both engines (the UDF crashed on the None array; the oracle
     #     folded to 0, aliasing NULL with empty — same differential)
     "text_fingerprint",
+    #     the _QE/_KM_SQL embedding fragments gained the undecoded-row
+    #     filter the Spark packers always had (a NULL embedding's n2
+    #     list_prepend-folded to 0 and scored as a phantom zero vector
+    #     — found by the randomized embeddings differential); oracle
+    #     text changed for the six consumers (ann_ivf_cosine,
+    #     knn_brute_cosine, embedding_neardup, embedding_coverage and
+    #     ann_lsh_cosine enumerate below / already in head)
+    "ivf_kmeans_assign",
+    "knn_brute_cosine",
+    "ann_lsh_cosine",
+    "embedding_neardup",
+    "embedding_coverage",
     # 0. oracle text regenerated by the MinHash single-sourcing
     #    (dedup_minhash_rescue, also a consumer, is already in set 2)
     "dedup_minhash_lsh",

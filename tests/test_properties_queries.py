@@ -213,5 +213,71 @@ def test_documents_queries_match_oracles_on_random_data(spark, rows):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# -------------------------------------------------- embeddings harness
+
+# exact-grid float32 components (i/4): duplicate vectors, orthogonal
+# pairs and ZERO vectors (norm 0 — every cosine involving one must be
+# excluded, not NaN-ranked) are all common
+_vec = st.one_of(
+    st.none(),
+    st.lists(st.integers(-8, 8).map(lambda i: i / 4.0), min_size=3, max_size=3),
+)
+
+EMB_QUERY_NAMES = (
+    "knn_brute_cosine",
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    "ivf_kmeans_assign",
+    "embedding_neardup",
+    "embedding_coverage",
+)
+
+
+def _write_embeddings(vecs, dirpath: str) -> None:
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{dirpath}/embeddings.parquet")
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=st.lists(_vec, min_size=2, max_size=14))
+def test_embeddings_queries_match_oracles_on_random_data(spark, vecs):
+    qs, oracles = e.queries(), e.oracle_sql()
+    tmp = tempfile.mkdtemp(prefix="prope_")
+    try:
+        _write_embeddings(vecs, tmp)
+        # embedding_coverage joins documents: ids aligned with vec_ids
+        _write_documents([("doc", "en", "web")] * len(vecs), tmp)
+        con = duckdb.connect()
+        for t in ("embeddings", "documents"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')"
+            )
+        for name in EMB_QUERY_NAMES:
+            sdf = qs[name](spark, tmp)
+            got = sorted(
+                tuple(str(x) for x in r)
+                for r in sdf.select(*sorted(sdf.columns)).collect()
+            )
+            res = con.execute(oracles[name])
+            cols = [d[0] for d in res.description]
+            idx = sorted(range(len(cols)), key=lambda i: cols[i])
+            want = sorted(
+                tuple(str(r[i]) for i in idx) for r in res.fetchall()
+            )
+            assert got == want, f"{name}: spark={got[:4]}... oracle={want[:4]}..."
+            caches = getattr(sdf, "plan_caches", None)
+            if caches is not None:
+                caches.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
