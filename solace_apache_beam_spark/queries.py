@@ -143,7 +143,11 @@ def payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_payload_parse",
     oracle="""
     SELECT event_id AS message_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+                WHEN regexp_matches(trim(coalesce(json_extract_string(props, '$.k'), '')),
+                                    '^[+-]?[0-9]+$')
+                THEN TRY_CAST(trim(json_extract_string(props, '$.k')) AS BIGINT)
+           END AS k,
            ts AS event_time
     FROM events
     """,
@@ -151,11 +155,26 @@ def payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload parse into typed columns (SolaceBigQuery.java:180-196
     maps payload JSON to table rows; SURVEY.md P5). get_json_object keeps
-    the parse JVM-side."""
+    the parse JVM-side.
+
+    try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    THROWS on any non-integer `$.k` (a string, a float, an array...) —
+    one poison message on a long-running feed would fail the job (found
+    by probing for the randomized events differential); a bad value
+    parses to NULL instead. The oracle mirrors the tolerant path
+    exactly on VALID JSON (json_valid guard + integer-format gate +
+    TRY_CAST covers missing keys, floats — Spark does NOT round '5.9'
+    where a bare DuckDB TRY_CAST would — signed/padded ints, bools,
+    nested values, and BIGINT overflow; verified diff-free over that
+    domain). Malformed-JSON tolerance itself is parser-defined and NOT
+    part of the parity contract: Spark's get_json_object accepts some
+    garbage (e.g. trailing junk) that DuckDB's strict parser rejects —
+    the operator's contract is Spark's lenient behavior, and the gate
+    data carries valid JSON."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         F.col("event_id").alias("message_id"),
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
         F.col("ts").alias("event_time"),
     )
 

@@ -117,6 +117,10 @@ _PRIORITY: tuple[str, ...] = (
     "ann_lsh_cosine",
     "embedding_neardup",
     "embedding_coverage",
+    #     json_payload_parse: ANSI cast crashed on non-integer $.k
+    #     (poison-record class) — now try_cast, with the oracle
+    #     restated to mirror the tolerant path on valid JSON
+    "json_payload_parse",
     # 0. oracle text regenerated by the MinHash single-sourcing
     #    (dedup_minhash_rescue, also a consumer, is already in set 2)
     "dedup_minhash_lsh",

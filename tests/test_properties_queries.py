@@ -52,6 +52,28 @@ QUERY_NAMES = (
     "funnel_view_click_purchase",
     "asof_click_view",
     "range_join_error_clicks",
+    "json_payload_parse",
+    "payload_extract",
+    "envelope_project",
+)
+
+# props: VALID JSON only — malformed-JSON tolerance is parser-defined
+# (Spark's get_json_object accepts garbage DuckDB's strict parser
+# rejects) and documented out of the parity contract on
+# json_payload_parse; $.k spans ints, overflow, floats (Spark must NOT
+# round '5.9'), numeric/padded/alpha strings, bools, arrays, objects,
+# null and missing
+_props = st.one_of(
+    st.none(),
+    st.just("{}"),
+    st.sampled_from(
+        [
+            '{"k": 5}', '{"k": -3}', '{"k": 0}', '{"k": 5.9}',
+            '{"k": "7"}', '{"k": " 7 "}', '{"k": "007"}', '{"k": "x"}',
+            '{"k": null}', '{"k": true}', '{"k": [1]}', '{"k": {"a": 1}}',
+            '{"k": 123456789012345678901}', '{"j": 5}',
+        ]
+    ),
 )
 
 _row = st.tuples(
@@ -59,6 +81,7 @@ _row = st.tuples(
     st.one_of(st.none(), st.integers(0, 2)),  # user_id
     st.sampled_from(["view", "click", "purchase", "error", "signup", "bogus"]),
     st.one_of(st.none(), st.integers(-3, 9).map(lambda i: i / 2.0)),  # value
+    _props,
 )
 
 
@@ -76,7 +99,7 @@ def _write_events(rows, dirpath: str) -> None:
             "user_id": pa.array([r[1] for r in rows], pa.int64()),
             "event_type": pa.array([r[2] for r in rows], pa.string()),
             "value": pa.array([r[3] for r in rows], pa.float64()),
-            "props": pa.array(["{}"] * len(rows), pa.string()),
+            "props": pa.array([r[4] for r in rows], pa.string()),
         }
     )
     pq.write_table(tbl, f"{dirpath}/events.parquet")
