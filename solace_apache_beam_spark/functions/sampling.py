@@ -20,8 +20,17 @@ from solace_apache_beam_spark.functions.hashing import h64
 
 
 def _bucket(id_col: str, salt: str, buckets: int) -> Column:
+    # concat, NOT concat_ws: a NULL key must have NO hash identity —
+    # concat propagates the NULL exactly like the oracles' `'salt:' ||
+    # key`, so hash_sample/stratified_sample EXCLUDE null-key rows and
+    # assign_splits sends them to the 'test' remainder on both engines.
+    # concat_ws silently skipped the NULL, hashing the bare salt: every
+    # null-key row then shared one bucket, and any rate above that
+    # bucket's value (h64("strat")%10000 = 7699 for the stratified
+    # default salt — masked at the registered rates, live at any rate
+    # above it) would have included them only on the Spark side.
     return h64(
-        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
     ) % buckets
 
 
@@ -82,7 +91,9 @@ def training_shuffle(
     Output: (shard, pos, id)."""
     from pyspark.sql.window import Window
 
-    h = h64(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    # NULL-propagating like _bucket: a null-key row lands in a NULL
+    # shard with a NULL h on both engines (ordered by id within it)
+    h = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     w = Window.partitionBy("shard").orderBy("h", id_col)
     return (
         df.select(F.col(id_col), h.alias("h"))

@@ -232,7 +232,9 @@ def pack_sequences(
 
     from pyspark.sql.functions import spark_partition_id
 
-    counted = df.select(
+    # NULL ids excluded like pack_sequences_canonical (a bin member
+    # must be addressable; int(None) would also crash the kernel)
+    counted = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         # NULL text -> size() is NULL in ANSI Spark; treat as 0 tokens
         F.coalesce(F.size(words_expr(text_col)), F.lit(0)).alias("n_tokens"),
@@ -390,12 +392,17 @@ def pack_sequences_canonical(
     bin of their own; never split here.
 
     Output: (bin_id string 'shard-binidx', doc_id, n_tokens, bin_fill)."""
-    counted = df.select(
+    # a NULL id has no canonical position (the shard hash and the
+    # in-shard order are both functions of the id) — excluded, exactly
+    # like the oracle's NULL-propagating 'pack:' || id; the concat
+    # (not concat_ws) keeps the hash NULL-propagating for consistency
+    # with sampling._bucket
+    counted = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         # NULL text -> size() is NULL in ANSI Spark; treat as 0 tokens
         F.coalesce(F.size(words_expr(text_col)), F.lit(0)).alias("n_tokens"),
         (
-            h64(F.concat_ws(":", F.lit("pack"), F.col(id_col).cast("string")))
+            h64(F.concat(F.lit("pack:"), F.col(id_col).cast("string")))
             % n_shards
         ).alias("shard"),
     )

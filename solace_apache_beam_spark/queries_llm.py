@@ -1436,7 +1436,9 @@ def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = assign_splits(load_table(spark, sf_dir, "documents"), "doc_id")
     sharded = docs.withColumn(
         "shard",
-        h64(F.concat_ws(":", F.lit("shard"), F.col("doc_id").cast("string"))) % 8,
+        # concat (NULL-propagating) like sampling._bucket: a NULL
+        # doc_id gets a NULL shard on both engines
+        h64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))) % 8,
     )
     return sharded.groupBy("split", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1452,10 +1454,13 @@ def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- recurrence replays as a recursive CTE stepping rn = 1, 2, ...
     -- across all shards in parallel
     WITH RECURSIVE w AS (
+      -- NULL ids excluded: no canonical position (the Spark side
+      -- filters them before sharding)
       SELECT doc_id, CAST(coalesce(len({_WORDS}), 0) AS BIGINT) AS n_tokens,
              ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
              % 8 AS shard
       FROM documents
+      WHERE doc_id IS NOT NULL
     ),
     rw AS (
       SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn

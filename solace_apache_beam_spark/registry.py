@@ -121,6 +121,14 @@ _PRIORITY: tuple[str, ...] = (
     #     (poison-record class) — now try_cast, with the oracle
     #     restated to mirror the tolerant path on valid JSON
     "json_payload_parse",
+    #     the sampling-family hash went NULL-propagating (concat, not
+    #     concat_ws — a NULL key has no hash identity, matching the
+    #     oracles' 'salt:' || key); plan changed for every _bucket /
+    #     training_shuffle consumer (the others — sample_documents_
+    #     10pct, split_train_val_test, stratified_sample_lineitem,
+    #     training_shard_stats, sequence_packing, embedding_coverage,
+    #     training_data_pipeline — already sit in the head above)
+    "training_shuffle_manifest",
     # 0. oracle text regenerated by the MinHash single-sourcing
     #    (dedup_minhash_rescue, also a consumer, is already in set 2)
     "dedup_minhash_lsh",

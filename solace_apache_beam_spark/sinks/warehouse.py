@@ -110,7 +110,9 @@ def write_training_shards(
     # and shuffled every payload column a second time just to
     # re-attach rows to their own address — at training-export scale
     # that roughly doubled the job's I/O.
-    h = h64(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    # concat (NULL-propagating), mirroring training_shuffle exactly —
+    # the written order must replay the canonical permutation
+    h = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     w = Window.partitionBy("shard").orderBy("h", id_col)
     out = (
         df.withColumn("h", h)

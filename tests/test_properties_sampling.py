@@ -226,3 +226,37 @@ def test_top_k_per_group_matches_sorted_reference(spark, rows, k, descending):
         members.sort(key=lambda t: ((-t[0] if descending else t[0]), t[1]))
         expect.extend((g, pos, i) for pos, (_, i) in enumerate(members[:k], 1))
     assert got == sorted(expect)
+
+
+def test_null_key_has_no_hash_identity(spark):
+    """A NULL sampling key must behave like the oracles' NULL-
+    propagating `'salt:' || key`: hash_sample and stratified_sample
+    EXCLUDE the row at EVERY rate (pre-fix, all null-key rows shared
+    the bare-salt bucket — h64("strat") % 10000 = 7699 — so any rate
+    above it included them only on the Spark side), assign_splits
+    sends it to the 'test' remainder, and training_shuffle addresses
+    it as (NULL shard, id-ordered)."""
+    from solace_apache_beam_spark.functions.sampling import (
+        assign_splits,
+        hash_sample,
+        stratified_sample,
+        training_shuffle,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (2, "b")], "id long, s string"
+    )
+    # rate 9999: virtually everything non-null passes; a null key never
+    assert all(
+        r.id is not None for r in hash_sample(df, "id", 9999).collect()
+    )
+    assert all(
+        r.id is not None
+        for r in stratified_sample(
+            df, "id", "s", {"a": 9999, "b": 9999}
+        ).collect()
+    )
+    splits = {r.id: r.split for r in assign_splits(df, "id").collect()}
+    assert splits[None] == "test"
+    shuf = {r.id: r.shard for r in training_shuffle(df, "id").collect()}
+    assert shuf[None] is None and shuf[1] is not None
