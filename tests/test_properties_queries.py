@@ -38,6 +38,18 @@ SETTINGS = dict(
 
 _BASE = dt.datetime(2024, 1, 10, 0, 0, 0)
 
+
+def _release(sdf) -> None:
+    """Release every cache handle a query result may carry (the
+    plan-cache contract, plus the stricter release-only-when-done
+    checkpoint/rescue handles — safe here: the result is collected)."""
+    for attr in ("plan_caches", "checkpoint_caches", "rescue_caches"):
+        h = getattr(sdf, attr, None)
+        if h is not None:
+            h.unpersist()
+
+
+
 # events-only queries whose oracles encode hand-written window/session/
 # frontier/null semantics — the highest-risk restatements in the repo
 QUERY_NAMES = (
@@ -129,9 +141,7 @@ def test_events_queries_match_oracles_on_random_data(spark, rows):
                 tuple(str(r[i]) for i in idx) for r in res.fetchall()
             )
             assert got == want, f"{name}: spark={got[:4]}... oracle={want[:4]}..."
-            caches = getattr(sdf, "plan_caches", None)
-            if caches is not None:
-                caches.unpersist()
+            _release(sdf)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -170,13 +180,28 @@ DOC_QUERY_NAMES = (
     "minhash_band_hashes",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_simhash_pairs_auto",
     "dedup_minhash_lsh",
+    "dedup_minhash_rescue",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_rate_report",
     "incremental_dedup",
+    "decontamination_report",
     "sample_documents_10pct",
     "split_train_val_test",
     "training_shuffle_manifest",
+    "training_shard_stats",
+    "training_data_pipeline",
+    "bm25_components",
+    "corpus_stats",
+    "source_quality_gate",
 )
+# NOT here: the multimodal family (oracles document a pure-ASCII
+# corpus invariant this text deliberately breaks), text_normalize /
+# text_pii_redact (query-level random-text differential lives in
+# test_properties_fragments), protobuf_roundtrip (wire-level property
+# tests in test_protobuf)
 
 
 def _write_documents(rows, dirpath: str) -> None:
@@ -229,9 +254,7 @@ def test_documents_queries_match_oracles_on_random_data(spark, rows):
                 tuple(str(r[i]) for i in idx) for r in res.fetchall()
             )
             assert got == want, f"{name}: spark={got[:4]}... oracle={want[:4]}..."
-            caches = getattr(sdf, "plan_caches", None)
-            if caches is not None:
-                caches.unpersist()
+            _release(sdf)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -295,9 +318,196 @@ def test_embeddings_queries_match_oracles_on_random_data(spark, vecs):
                 tuple(str(r[i]) for i in idx) for r in res.fetchall()
             )
             assert got == want, f"{name}: spark={got[:4]}... oracle={want[:4]}..."
-            caches = getattr(sdf, "plan_caches", None)
-            if caches is not None:
-                caches.unpersist()
+            _release(sdf)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -------------------------------------------------- relational harness
+
+REL_QUERY_NAMES = (
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "top_customers_per_segment",
+    "set_ops_custkeys",
+    "rollup_pricing",
+    "pivot_linestatus",
+    "cube_order_stats",
+    "customers_without_orders",
+    "suppliers_with_large_parts",
+    "tpch_q3_shipping_priority",
+    "salted_revenue_by_segment",
+    "orders_above_customer_avg",
+    "expectation_report_lineitem",
+    "stratified_sample_lineitem",
+    "kmv_distinct_parts",
+)
+
+# money/quantity on an exact binary grid (i/4): decimal casts then
+# agree bit-for-bit on both engines with no rounding-mode exposure
+_money = st.one_of(st.none(), st.integers(0, 2_000_000).map(lambda i: i / 4.0))
+_qty = st.one_of(st.none(), st.integers(0, 220).map(lambda i: i / 4.0))
+
+_order = st.tuples(
+    st.one_of(st.none(), st.integers(0, 5)),  # o_custkey (NULL FKs common)
+    st.sampled_from(["O", "F", "P"]),
+    _money,
+    st.one_of(st.none(), st.integers(0, 2400)),  # orderdate: day offset
+    st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]),
+)
+_line = st.tuples(
+    st.one_of(st.none(), st.integers(0, 9)),  # l_orderkey (may dangle/NULL)
+    st.integers(0, 6),  # l_partkey
+    st.integers(0, 4),  # l_suppkey
+    _qty,
+    _money,
+    st.one_of(st.none(), st.integers(0, 44).map(lambda i: i / 400.0)),  # disc
+    st.one_of(st.none(), st.integers(0, 32).map(lambda i: i / 400.0)),  # tax
+    st.sampled_from(["A", "N", "R"]),
+    st.sampled_from(["O", "F"]),
+    st.one_of(st.none(), st.integers(0, 2400)),  # shipdate: day offset
+)
+
+_D0 = dt.datetime(1992, 1, 1)
+
+
+def _write_relational(orders, lines, dirpath: str) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int32()),
+                "r_name": pa.array(["AMERICA", "ASIA"], pa.string()),
+            }
+        ),
+        f"{dirpath}/region.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+                "n_name": pa.array(["US", "JP", "BR"], pa.string()),
+                "n_regionkey": pa.array([0, 1, 0], pa.int32()),
+            }
+        ),
+        f"{dirpath}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(6), pa.int64()),
+                "c_name": pa.array([f"cust{i}" for i in range(6)], pa.string()),
+                "c_nationkey": pa.array([0, 1, 2, 0, 1, 2], pa.int32()),
+                "c_acctbal": pa.array([i * 10.25 for i in range(6)], pa.float64()),
+                "c_mktsegment": pa.array(
+                    ["BUILDING", "AUTO", None, "BUILDING", "MACHINERY", "AUTO"],
+                    pa.string(),
+                ),
+            }
+        ),
+        f"{dirpath}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(5), pa.int64()),
+                "s_name": pa.array([f"sup{i}" for i in range(5)], pa.string()),
+                "s_nationkey": pa.array([0, 1, 2, 0, 1], pa.int32()),
+                "s_acctbal": pa.array([i * 7.5 for i in range(5)], pa.float64()),
+            }
+        ),
+        f"{dirpath}/supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(7), pa.int64()),
+                "p_name": pa.array([f"part{i}" for i in range(7)], pa.string()),
+                "p_brand": pa.array([f"B{i % 2}" for i in range(7)], pa.string()),
+                "p_type": pa.array([f"T{i % 3}" for i in range(7)], pa.string()),
+                "p_size": pa.array([i * 10 for i in range(7)], pa.int32()),
+                "p_retailprice": pa.array([i * 99.25 for i in range(7)], pa.float64()),
+            }
+        ),
+        f"{dirpath}/part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(orders)), pa.int64()),
+                "o_custkey": pa.array([o[0] for o in orders], pa.int64()),
+                "o_orderstatus": pa.array([o[1] for o in orders], pa.string()),
+                "o_totalprice": pa.array([o[2] for o in orders], pa.float64()),
+                "o_orderdate": pa.array(
+                    [
+                        None if o[3] is None else _D0 + dt.timedelta(days=o[3])
+                        for o in orders
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array([o[4] for o in orders], pa.string()),
+            }
+        ),
+        f"{dirpath}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([ln[0] for ln in lines], pa.int64()),
+                "l_partkey": pa.array([ln[1] for ln in lines], pa.int64()),
+                "l_suppkey": pa.array([ln[2] for ln in lines], pa.int64()),
+                "l_linenumber": pa.array(
+                    list(range(1, len(lines) + 1)), pa.int32()
+                ),
+                "l_quantity": pa.array([ln[3] for ln in lines], pa.float64()),
+                "l_extendedprice": pa.array([ln[4] for ln in lines], pa.float64()),
+                "l_discount": pa.array([ln[5] for ln in lines], pa.float64()),
+                "l_tax": pa.array([ln[6] for ln in lines], pa.float64()),
+                "l_returnflag": pa.array([ln[7] for ln in lines], pa.string()),
+                "l_linestatus": pa.array([ln[8] for ln in lines], pa.string()),
+                "l_shipdate": pa.array(
+                    [
+                        None if ln[9] is None else _D0 + dt.timedelta(days=ln[9])
+                        for ln in lines
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        f"{dirpath}/lineitem.parquet",
+    )
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    orders=st.lists(_order, min_size=1, max_size=14),
+    lines=st.lists(_line, min_size=1, max_size=20),
+)
+def test_relational_queries_match_oracles_on_random_data(spark, orders, lines):
+    qs, oracles = e.queries(), e.oracle_sql()
+    tmp = tempfile.mkdtemp(prefix="propr_")
+    try:
+        _write_relational(orders, lines, tmp)
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')"
+            )
+        for name in REL_QUERY_NAMES:
+            sdf = qs[name](spark, tmp)
+            got = sorted(
+                tuple(str(x) for x in r)
+                for r in sdf.select(*sorted(sdf.columns)).collect()
+            )
+            res = con.execute(oracles[name])
+            cols = [d[0] for d in res.description]
+            idx = sorted(range(len(cols)), key=lambda i: cols[i])
+            want = sorted(
+                tuple(str(r[i]) for i in idx) for r in res.fetchall()
+            )
+            assert got == want, f"{name}: spark={got[:4]}... oracle={want[:4]}..."
+            _release(sdf)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
