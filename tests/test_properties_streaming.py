@@ -1,0 +1,129 @@
+"""Randomized streaming-vs-batch differential: the streaming pipelines
+must produce exactly what the batch operators produce on the same
+messages — Structured Streaming's unified-model claim, exercised END
+TO END through the source (publish -> fake broker -> solace
+DataSource -> event-time assignment -> windowed aggregation -> memory
+sink) rather than by feeding the transformation a static frame.
+
+Event times are pinned per message (sender-timestamp mode) on a
+10-second grid so window boundaries are dense; payloads come from a
+small vocabulary so cross-message word collisions are common. One
+microbatch per example (everything published before the stream
+starts), so update-mode emissions are final values."""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from solace_apache_beam_spark.operators.text import (
+    format_word_count,
+    windowed_count_words,
+)
+from solace_apache_beam_spark.sources import fake_broker
+from solace_apache_beam_spark.streaming.pipelines import (
+    count_messages,
+    open_stream,
+    windowed_word_count,
+)
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+_WORDS = ("alpha", "beta", "gamma", "δέλτα", "", "x y  z")
+
+_msg = st.tuples(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=4).map(" ".join),
+    st.integers(0, 6),  # event time: 10-second grid steps
+)
+
+_seq = itertools.count()
+
+
+def _run_stream(spark, df, tmp: str):
+    name = f"propstream_{next(_seq)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@settings(**SETTINGS)
+@given(msgs=st.lists(_msg, min_size=1, max_size=25))
+def test_streaming_windowed_wordcount_matches_batch(spark, msgs):
+    tmp = tempfile.mkdtemp(prefix="propstream_")
+    fake_broker.create_queue(tmp, "q1")
+    fake_broker.publish(
+        tmp,
+        "q1",
+        [m[0] for m in msgs],
+        sender_timestamp_us=[_BASE_US + 10_000_000 * m[1] for m in msgs],
+    )
+    stream = open_stream(spark, tmp, ["q1"], use_sender_timestamp=True)
+    got_df = _run_stream(spark, windowed_word_count(stream), tmp)
+    got = sorted(
+        (r.window_start, r.window_end, r.word, r.cnt, r.formatted)
+        for r in got_df.collect()
+    )
+
+    batch = spark.createDataFrame(
+        [(m[0], _BASE_US + 10_000_000 * m[1]) for m in msgs],
+        "line string, us long",
+    ).select("line", F.timestamp_micros(F.col("us")).alias("event_time"))
+    want_df = format_word_count(
+        windowed_count_words(batch, "line", "event_time", "10 seconds")
+    )
+    want = sorted(
+        (r.window_start, r.window_end, r.word, r.cnt, r.formatted)
+        for r in want_df.collect()
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(msgs=st.lists(_msg, min_size=1, max_size=25))
+def test_streaming_count_messages_matches_batch(spark, msgs):
+    tmp = tempfile.mkdtemp(prefix="propstream_")
+    fake_broker.create_queue(tmp, "q1")
+    fake_broker.publish(
+        tmp,
+        "q1",
+        [m[0] for m in msgs],
+        sender_timestamp_us=[_BASE_US + 10_000_000 * m[1] for m in msgs],
+    )
+    stream = open_stream(spark, tmp, ["q1"], use_sender_timestamp=True)
+    got = sorted(
+        (r.window_start, r.window_end, r.cnt)
+        for r in _run_stream(spark, count_messages(stream), tmp).collect()
+    )
+    batch = spark.createDataFrame(
+        [(_BASE_US + 10_000_000 * m[1],) for m in msgs], "us long"
+    ).select(F.timestamp_micros(F.col("us")).alias("event_time"))
+    want = sorted(
+        (r.w.start, r.w.end, r.cnt)
+        for r in batch.groupBy(F.window("event_time", "10 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    assert got == want
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
