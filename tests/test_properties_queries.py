@@ -162,8 +162,9 @@ _doc_text = st.one_of(
 )
 
 # documents-only registered queries with deterministic contracts; the
-# multimodal family is EXCLUDED by design — its oracles document a
-# pure-ASCII corpus invariant this randomized text deliberately breaks
+# multimodal family is NOT here — its oracles document a pure-ASCII
+# corpus invariant this arm's unicode text deliberately breaks, so it
+# gets its own ASCII-constrained arm below
 DOC_QUERY_NAMES = (
     "wordcount_global",
     "windowed_wordcount",
@@ -197,11 +198,9 @@ DOC_QUERY_NAMES = (
     "corpus_stats",
     "source_quality_gate",
 )
-# NOT here: the multimodal family (oracles document a pure-ASCII
-# corpus invariant this text deliberately breaks), text_normalize /
-# text_pii_redact (query-level random-text differential lives in
-# test_properties_fragments), protobuf_roundtrip (wire-level property
-# tests in test_protobuf)
+# NOT in any arm: text_normalize / text_pii_redact (query-level
+# random-text differential lives in test_properties_fragments) and
+# protobuf_roundtrip (wire-level property tests in test_protobuf)
 
 
 def _write_documents(rows, dirpath: str) -> None:
@@ -242,6 +241,68 @@ def test_documents_queries_match_oracles_on_random_data(spark, rows):
             f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp}/documents.parquet')"
         )
         for name in DOC_QUERY_NAMES:
+            sdf = qs[name](spark, tmp)
+            got = sorted(
+                tuple(str(x) for x in r)
+                for r in sdf.select(*sorted(sdf.columns)).collect()
+            )
+            res = con.execute(oracles[name])
+            cols = [d[0] for d in res.description]
+            idx = sorted(range(len(cols)), key=lambda i: cols[i])
+            want = sorted(
+                tuple(str(r[i]) for i in idx) for r in res.fetchall()
+            )
+            assert got == want, f"{name}: spark={got[:4]}... oracle={want[:4]}..."
+            _release(sdf)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ------------------------------------------------ multimodal harness
+
+# the multimodal oracles replay the byte-level fake decoders with
+# ord(codepoint) == UTF-8 byte, so their documented data contract is a
+# pure-ASCII corpus — this arm honors it (long repeated runs so frame
+# sampling and resize cells see multi-frame payloads; empty strings
+# and NULLs exercise the absent-media paths)
+_ascii_text = st.one_of(
+    st.none(),
+    st.text(
+        alphabet="abcXYZ 0123456789 .,!?-_", min_size=0, max_size=200
+    ),
+)
+
+MM_QUERY_NAMES = (
+    "multimodal_metadata",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            _ascii_text,
+            st.sampled_from(["en", None]),
+            st.sampled_from(["web", None]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_multimodal_queries_match_oracles_on_ascii_data(spark, rows):
+    qs, oracles = e.queries(), e.oracle_sql()
+    tmp = tempfile.mkdtemp(prefix="propm_")
+    try:
+        _write_documents(rows, tmp)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp}/documents.parquet')"
+        )
+        for name in MM_QUERY_NAMES:
             sdf = qs[name](spark, tmp)
             got = sorted(
                 tuple(str(x) for x in r)
