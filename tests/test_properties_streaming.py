@@ -125,5 +125,39 @@ def test_streaming_count_messages_matches_batch(spark, msgs):
     assert got == want
 
 
+@settings(**SETTINGS)
+@given(
+    # duplicated message_ids across queues are the trap dedup_stream's
+    # default (destination, message_id) key exists for: publish the
+    # same per-queue line indexes on two queues
+    n_q1=st.integers(1, 10),
+    n_q2=st.integers(0, 10),
+)
+def test_streaming_dedup_matches_batch_distinct(spark, n_q1, n_q2):
+    """dropDuplicatesWithinWatermark keyed (destination, message_id)
+    must keep exactly one row per key — compared against the batch
+    distinct over the same published messages, across two queues whose
+    per-queue message ids collide by construction."""
+    from solace_apache_beam_spark.streaming.pipelines import dedup_stream
+
+    tmp = tempfile.mkdtemp(prefix="propstream_")
+    for q, n in (("q1", n_q1), ("q2", n_q2)):
+        fake_broker.create_queue(tmp, q)
+        if n:
+            fake_broker.publish(
+                tmp, q, [f"m{i}" for i in range(n)],
+                sender_timestamp_us=[_BASE_US + 1_000_000 * i for i in range(n)],
+            )
+    stream = open_stream(spark, tmp, ["q1", "q2"], use_sender_timestamp=True)
+    out = _run_stream(
+        spark, dedup_stream(stream).select("destination", "message_id"), tmp
+    )
+    got = sorted((r.destination, r.message_id) for r in out.collect())
+    want = sorted(
+        {("q1", i) for i in range(n_q1)} | {("q2", i) for i in range(n_q2)}
+    )
+    assert got == want
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
