@@ -69,6 +69,11 @@ def _link_or_copy(src: str, dst: str) -> None:
     # hard link when src/dst share a filesystem (free); copy across
     # devices (e.g. tmpfs /tmp) instead of dying on EXDEV. The copy
     # also avoids shared-inode aliasing on the cross-device path.
+    # Always rebuild dst (ADVICE r8): tile() rewrites keyed tables on
+    # every run, so skipping an existing linked table would silently
+    # mix dataset vintages after the LLM stress corpus is regenerated.
+    if os.path.exists(dst):
+        os.unlink(dst)
     try:
         os.link(src, dst)
     except OSError:
@@ -82,8 +87,7 @@ def main() -> None:
     for name in COPY:
         src = os.path.join(SRC, f"{name}.parquet")
         dst = os.path.join(out_dir, f"{name}.parquet")
-        if not os.path.exists(dst):
-            _link_or_copy(src, dst)
+        _link_or_copy(src, dst)
         print(name, "linked", flush=True)
     for name, offsets in KEYED.items():
         tile(name, offsets, out_dir)
@@ -94,8 +98,7 @@ def main() -> None:
             raise SystemExit(
                 f"missing {src}: run scripts/gen_stress_llm.py {llm_src} 1 first"
             )
-        if not os.path.exists(dst):
-            _link_or_copy(src, dst)
+        _link_or_copy(src, dst)
         print(name, "linked from", llm_src, flush=True)
 
 

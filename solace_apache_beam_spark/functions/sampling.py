@@ -88,15 +88,20 @@ def training_shuffle(
     keyed by shard; the per-shard ordering is Spark's external
     spill-safe sort, and n_shards bounds what any reader must stream.
 
+    NULL-id rows are EXCLUDED (like pack_sequences_canonical): a
+    NULL key has no hash identity, so multiple NULL-id rows would all
+    land in a NULL shard with a NULL h and row_number over (h, id)
+    among them would be nondeterministic — the reproducible-permutation
+    contract cannot hold for rows with no key (ADVICE r8).
+
     Output: (shard, pos, id)."""
     from pyspark.sql.window import Window
 
-    # NULL-propagating like _bucket: a null-key row lands in a NULL
-    # shard with a NULL h on both engines (ordered by id within it)
     h = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     w = Window.partitionBy("shard").orderBy("h", id_col)
     return (
-        df.select(F.col(id_col), h.alias("h"))
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), h.alias("h"))
         .withColumn("shard", F.col("h") % n_shards)
         .select(
             "shard",

@@ -71,7 +71,12 @@ _MAX_BUCKET = 1000
 
 
 def _minhash_fragments(
-    n_perm: int, n_bands: int, src: str, sfx: str
+    n_perm: int,
+    n_bands: int,
+    src: str,
+    sfx: str,
+    threshold: float = 0.5,
+    max_bucket: int = _MAX_BUCKET,
 ) -> dict[str, str]:
     """The four CTE fragments of one MinHash-LSH pass — signature,
     LSH bands, capped candidate pairs, exact-Jaccard-verified pairs —
@@ -83,7 +88,11 @@ def _minhash_fragments(
     assemble from here, so an edit to the pass logic (cap rule, jaccard
     formula, band hashing) cannot de-synchronize one gate from another
     (round-8 review: the previous hand-written module-level copy was
-    exactly that drift hazard)."""
+    exactly that drift hazard). ``threshold`` and ``max_bucket`` are
+    parameters like n_perm/n_bands (ADVICE r8: hard-coding them meant
+    an oracle assembled at a different verify threshold would silently
+    diverge from its Spark side); the defaults interpolate to the exact
+    text every existing oracle already carries."""
     rows = n_perm // n_bands
     sig_items = ", ".join(
         f"list_min([({a} * h + {b}) % {MERSENNE_61} for h in hlist])"
@@ -104,7 +113,7 @@ def _minhash_fragments(
       JOIN bands{sfx} r ON l.band = r.band AND l.band_hash = r.band_hash
                        AND l.doc_id < r.doc_id
       JOIN (SELECT band, band_hash FROM bands{sfx}
-            GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}) ok
+            GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) ok
         ON l.band = ok.band AND l.band_hash = ok.band_hash
       GROUP BY 1, 2
     )""",
@@ -115,7 +124,7 @@ def _minhash_fragments(
       FROM cand{sfx}
       JOIN {src} sa ON cand{sfx}.doc_a = sa.doc_id
       JOIN {src} sb ON cand{sfx}.doc_b = sb.doc_id
-      WHERE jaccard >= 0.5
+      WHERE jaccard >= {threshold}
     )""",
     }
 
@@ -433,10 +442,13 @@ def ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "training_shuffle_manifest",
     oracle="""
+    -- NULL-id rows excluded on both engines: no key => no hash
+    -- identity => no deterministic position in the permutation
     WITH h AS (
       SELECT doc_id,
              ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
       FROM documents
+      WHERE doc_id IS NOT NULL
     )
     SELECT h % 8 AS shard,
            CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos,

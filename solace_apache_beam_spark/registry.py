@@ -61,109 +61,44 @@ def _load() -> None:
 # declared "no re-pin entries follow").  Refresh this comment at round
 # close so it states the rotation actually in force.
 #
-# Round-8 rotation (VERDICT r7 Next #1 + #2, plus the in-round
-# lockstep additions):
-#   0. the six queries whose oracle TEXT changed when the MinHash-pass
-#      SQL was single-sourced through _minhash_fragments (round-8
-#      review; semantics identical — generated fragments replace a
-#      hand-written verbatim copy — but the lockstep rule is
-#      mechanical: oracle changed => head, same commit);
-#   1. the five queries whose semantics/oracles changed in round-7
-#      commits AFTER the r7 rotation was set (their newest driver rows
-#      are r06 and predate the code);
-#   2. then the two newly gated round-7 operators (freeze lifted by
-#      exactly two — minhash_lsh_pairs_rescue and the auto-banded
-#      simhash pairs path);
-#   3. then the remaining 16 queries whose newest driver row is r06.
+# Round-9 rotation (VERDICT r8 Next #3: keep every gate row <= 1 round
+# old — the 23 queries whose newest driver row is r07 lead; in-round
+# lockstep additions stack ABOVE them in the same commit as the change):
+#   0. this round's semantics/oracle changes (lockstep rule above);
+#   1. the 23 queries whose newest driver row is r07.
 _PRIORITY: tuple[str, ...] = (
-    # 0a. plan changed post-close-out (lockstep): revenue_by_nation
-    #     dropped the static broadcast of the SF-scaling customer side
-    #     (constant-size nation/region keep theirs; AQE owns customer);
-    #     protobuf_roundtrip's fallback wire-parser UDF now decodes
-    #     non-UTF-8 poison payloads to NULL instead of raising
-    "revenue_by_nation",
-    "protobuf_roundtrip",
-    #     analytic_user_running's window order went explicitly
-    #     NULLS LAST (Spark ASC default is NULLS FIRST, DuckDB's is
-    #     NULLS LAST — rank/lag/running diverged on NULL-ts rows,
-    #     found by the randomized events differential);
-    #     session_window_count's oracle gap split went strictly-> —
-    #     Spark's session_window merges an exact-gap touch (same
-    #     differential, boundary-dense 10-minute grid)
-    "analytic_user_running",
-    "session_window_count",
-    #     _stop_sql's coalesce stopped swallowing NULL word lists (its
-    #     oracle text changed in all four consumers: n_stopwords must
-    #     be NULL on NULL text like every other feature — same
-    #     differential, NULL-text documents; the fourth consumer,
-    #     training_data_pipeline, already sits in set 0 above)
-    "text_quality",
-    "text_language_id",
-    "source_quality_gate",
-    "text_token_counts",
-    #     text_fingerprint: NULL text now yields a NULL fingerprint on
-    #     both engines (the UDF crashed on the None array; the oracle
-    #     folded to 0, aliasing NULL with empty — same differential)
-    "text_fingerprint",
-    #     the _QE/_KM_SQL embedding fragments gained the undecoded-row
-    #     filter the Spark packers always had (a NULL embedding's n2
-    #     list_prepend-folded to 0 and scored as a phantom zero vector
-    #     — found by the randomized embeddings differential); oracle
-    #     text changed for the six consumers (ann_ivf_cosine,
-    #     knn_brute_cosine, embedding_neardup, embedding_coverage and
-    #     ann_lsh_cosine enumerate below / already in head)
-    "ivf_kmeans_assign",
-    "knn_brute_cosine",
-    "ann_lsh_cosine",
-    "embedding_neardup",
-    "embedding_coverage",
-    #     json_payload_parse: ANSI cast crashed on non-integer $.k
-    #     (poison-record class) — now try_cast, with the oracle
-    #     restated to mirror the tolerant path on valid JSON
-    "json_payload_parse",
-    #     the sampling-family hash went NULL-propagating (concat, not
-    #     concat_ws — a NULL key has no hash identity, matching the
-    #     oracles' 'salt:' || key); plan changed for every _bucket /
-    #     training_shuffle consumer (the others — sample_documents_
-    #     10pct, split_train_val_test, stratified_sample_lineitem,
-    #     training_shard_stats, sequence_packing, embedding_coverage,
-    #     training_data_pipeline — already sit in the head above)
+    # 0. lockstep: training_shuffle_manifest — NULL-id rows are now
+    #    FILTERED on both engines (ADVICE r8: multiple NULL-key rows
+    #    all hash to NULL shard/NULL h, making row_number over (h, id)
+    #    nondeterministic — the 'reproducible permutation' contract
+    #    cannot hold for rows with no key identity); oracle gained
+    #    WHERE doc_id IS NOT NULL in the same commit
     "training_shuffle_manifest",
-    # 0. oracle text regenerated by the MinHash single-sourcing
-    #    (dedup_minhash_rescue, also a consumer, is already in set 2)
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "incremental_dedup",
-    "minhash_band_hashes",
-    "training_data_pipeline",
-    # 1. semantics/oracle changed post-rotation in r7 — re-pin first
-    #    (dedup_ngram_jaccard ALSO changed plan in round 8: the inline
-    #    Bayardo size filter — lockstep holds, it is already in head)
-    "asof_click_view",
-    "funnel_view_click_purchase",
-    "hypertable_rollup_events",
-    "dedup_ngram_jaccard",
-    "expectation_report_lineitem",
-    # 2. newly gated round-7 operators (first driver rows)
-    "dedup_minhash_rescue",
-    "dedup_simhash_pairs_auto",
-    # 3. newest driver row: round 6 — refresh
-    "ann_ivf_cosine",
-    "chunk_documents",
-    "corpus_stats",
-    "dedup_rate_report",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "kmv_distinct_parts",
-    "multimodal_frame_sample",
-    "percentiles_event_value",
-    "sample_documents_10pct",
-    "sequence_packing",
-    "split_train_val_test",
-    "stratified_sample_lineitem",
-    "text_normalize",
-    "text_pii_redact",
-    "training_shard_stats",
+    # 1. newest driver row: round 7 — refresh (alphabetical; all 23
+    #    fit the ~50-row snapshot window together with set 0)
+    "bm25_components",
+    "cube_order_stats",
+    "customers_without_orders",
+    "data_quality_events",
+    "decontamination_report",
+    "dedup_exact",
+    "multimodal_features",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "observed_metrics",
+    "orders_above_customer_avg",
+    "pivot_linestatus",
+    "range_join_error_clicks",
+    "rollup_pricing",
+    "salted_revenue_by_segment",
+    "set_ops_custkeys",
+    "sliding_window_count",
+    "suppliers_with_large_parts",
+    "text_repetition",
+    "top_customers_per_segment",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "vocab_top_words",
 )
 
 

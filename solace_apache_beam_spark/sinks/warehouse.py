@@ -110,12 +110,14 @@ def write_training_shards(
     # and shuffled every payload column a second time just to
     # re-attach rows to their own address — at training-export scale
     # that roughly doubled the job's I/O.
-    # concat (NULL-propagating), mirroring training_shuffle exactly —
-    # the written order must replay the canonical permutation
+    # NULL-id rows excluded, mirroring training_shuffle exactly — the
+    # written order must replay the canonical permutation, and rows
+    # with no key identity have no deterministic position in it
     h = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     w = Window.partitionBy("shard").orderBy("h", id_col)
     out = (
-        df.withColumn("h", h)
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("h", h)
         .withColumn("shard", F.col("h") % n_shards)
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("h")

@@ -138,12 +138,16 @@ def _seal_torn_tail(path: str) -> None:
 
 
 # per-process incremental line counter: (inode, terminated-byte
-# offset, count) per path. The log is append-only, so each poll only
-# scans the DELTA since the last poll — message_count is O(new bytes),
-# not O(log size), in the latestOffset hot path (a multi-GB history is
-# never re-read). The inode guard forces a recount when a file is
-# recreated at the same path (fresh test dirs).
-_COUNT_CACHE: dict[str, tuple[int, int, int]] = {}
+# offset, count, tail token) per path. The log is append-only, so each
+# poll only scans the DELTA since the last poll — message_count is
+# O(new bytes), not O(log size), in the latestOffset hot path (a
+# multi-GB history is never re-read). The inode guard forces a recount
+# when a file is recreated at the same path (fresh test dirs).
+_COUNT_CACHE: dict[str, tuple[int, int, int, bytes]] = {}
+
+# generation-token width: the last _TAIL_TOKEN bytes of counted history
+# are re-verified on every poll (one O(1) read)
+_TAIL_TOKEN = 24
 
 
 def _count_lines(path: str) -> int:
@@ -158,33 +162,42 @@ def _count_lines(path: str) -> int:
         st = os.stat(path)
     except FileNotFoundError:
         return 0
-    ino, off, n = _COUNT_CACHE.get(path, (st.st_ino, 0, 0))
+    ino, off, n, tail = _COUNT_CACHE.get(path, (st.st_ino, 0, 0, b""))
     if ino != st.st_ino or off > st.st_size:
-        ino, off, n = st.st_ino, 0, 0  # recreated or truncated: recount
+        # recreated or truncated: recount
+        ino, off, n, tail = st.st_ino, 0, 0, b""
     if st.st_size == off and off == 0:
         return 0
     with open(path, "rb") as f:
         if off > 0:
-            # generation check beyond st_ino (ADVICE r7): a
+            # generation check beyond st_ino (ADVICE r7/r8): a
             # deleted-and-recreated log can REUSE the inode, and once
             # the new file grows past the cached offset the inode+size
             # guard alone would serve a count mixing old and new
-            # content. The cached offset always sits one byte past a
-            # newline of the generation it was counted on — verify that
-            # byte (one O(1) read per poll); any other byte there means
-            # a different file history, so recount from zero.
-            f.seek(off - 1)
-            if f.read(1) != b"\n":
-                off, n = 0, 0
+            # content. The token is the last _TAIL_TOKEN bytes of
+            # counted history (always ending in that generation's
+            # newline) — re-read and compare them (one O(1) read per
+            # poll); a mismatch means a different file history, so
+            # recount from zero. The check is PROBABILISTIC, not
+            # certain: a recreated same-inode file whose bytes at
+            # [off - len(tail), off) happen to match the cached token
+            # still slips through — but that now requires the new
+            # generation to reproduce up to 24 bytes of the old one at
+            # the same offset, not merely a newline at off-1.
+            f.seek(max(0, off - len(tail)))
+            if f.read(len(tail)) != tail:
+                off, n, tail = 0, 0, b""
         if st.st_size == off:
-            _COUNT_CACHE[path] = (ino, off, n)
+            _COUNT_CACHE[path] = (ino, off, n, tail)
             return n
         f.seek(off)
         data = f.read(st.st_size - off)
     n += data.count(b"\n")
     last_nl = data.rfind(b"\n")
-    off = off + last_nl + 1 if last_nl >= 0 else off
-    _COUNT_CACHE[path] = (ino, off, n)
+    if last_nl >= 0:
+        off = off + last_nl + 1
+        tail = (tail + data[: last_nl + 1])[-_TAIL_TOKEN:]
+    _COUNT_CACHE[path] = (ino, off, n, tail)
     return n
 
 

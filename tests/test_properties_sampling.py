@@ -234,8 +234,11 @@ def test_null_key_has_no_hash_identity(spark):
     EXCLUDE the row at EVERY rate (pre-fix, all null-key rows shared
     the bare-salt bucket — h64("strat") % 10000 = 7699 — so any rate
     above it included them only on the Spark side), assign_splits
-    sends it to the 'test' remainder, and training_shuffle addresses
-    it as (NULL shard, id-ordered)."""
+    sends it to the 'test' remainder, and training_shuffle EXCLUDES it
+    (ADVICE r8: multiple NULL-id rows would all share a NULL shard and
+    NULL h, so row_number over (h, id) among them is nondeterministic —
+    a row with no key identity has no place in a reproducible
+    permutation)."""
     from solace_apache_beam_spark.functions.sampling import (
         assign_splits,
         hash_sample,
@@ -259,4 +262,4 @@ def test_null_key_has_no_hash_identity(spark):
     splits = {r.id: r.split for r in assign_splits(df, "id").collect()}
     assert splits[None] == "test"
     shuf = {r.id: r.shard for r in training_shuffle(df, "id").collect()}
-    assert shuf[None] is None and shuf[1] is not None
+    assert None not in shuf and shuf[1] is not None and shuf[2] is not None
