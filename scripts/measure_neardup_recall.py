@@ -34,19 +34,36 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from solace_apache_beam_spark.session import get_spark, load_table  # noqa: E402
 
 THRESHOLD = 0.4
-BANDS = ((0.4, 0.6), (0.6, 0.8), (0.8, 1.01))
 
 # (name, n_tables) — n_planes stays derived (mean bucket ~ target)
 PRESETS = (("DEFAULT", 2), ("HIGH_RECALL", 4))
 
 
-def _pairs_set(df):
-    return {(r.id_a, r.id_b): r.cos_sim for r in df.collect()}
+def _band_counts(df):
+    """Distributed per-band pair counts — only scalars reach the driver
+    (the 2M sampled-exact set is ~20M pairs; collecting it OOMed)."""
+    rows = (
+        df.withColumn(
+            "band",
+            F.when(F.col("cos_sim") < 0.6, F.lit("0.4_0.6"))
+            .when(F.col("cos_sim") < 0.8, F.lit("0.6_0.8"))
+            .otherwise(F.lit("0.8_1.0")),
+        )
+        .groupBy("band")
+        .count()
+        .collect()
+    )
+    return {r.band: r["count"] for r in rows}
 
 
 def _exact_sampled(df, m: int):
     """Exact pairs with >=1 endpoint in the sample (vec_id % m == 0):
-    sample blocks x all corpus blocks, canonicalized, deduped."""
+    the (small) sample rides the TASK CLOSURE as a quantized numpy
+    matrix — no join, so no 2-MB packed-matrix rows ever cross Arrow
+    (a join-shaped first cut OOMed the 2M run twice: joined rows carry
+    amat+bmat and one Arrow batch of them is gigabytes). Each corpus
+    block is scored against sample sub-chunks, bounding the per-matmul
+    cosine matrix."""
     import numpy as np
     import pandas as pd
 
@@ -54,39 +71,46 @@ def _exact_sampled(df, m: int):
         _block_scores,
         _emit_sliced,
         _pack_blocks,
+        _quantize,
+        _to_matrix,
         _unpack,
     )
 
-    sample = _pack_blocks(
-        df.filter(F.col("vec_id") % m == 0), "embedding", "vec_id", 4096
-    ).select(
-        F.col("ids").alias("aids"), F.col("mat").alias("amat")
+    srows = (
+        df.filter((F.col("vec_id") % m == 0) & F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .collect()
     )
-    corpus = _pack_blocks(df, "embedding", "vec_id", 4096).select(
-        F.col("ids").alias("bids"), F.col("mat").alias("bmat")
-    )
+    ids_s = np.array([r.vec_id for r in srows], dtype=np.int64)
+    mat_s = _quantize(_to_matrix(pd.Series([r.embedding for r in srows])))
+    chunk = 1024
+
+    corpus = _pack_blocks(df, "embedding", "vec_id", 4096)
 
     def score(batches):
         for pdf in batches:
             for r in pdf.itertuples(index=False):
-                ia = np.asarray(r.aids, dtype=np.int64)
-                ib = np.asarray(r.bids, dtype=np.int64)
-                cos = _block_scores(_unpack(r.amat), _unpack(r.bmat))
-                mask = (
-                    np.isfinite(cos)
-                    & (cos >= THRESHOLD - 1e-6)
-                    & (ia[:, None] != ib[None, :])
-                )
-                ii, jj = np.nonzero(mask)
-                a, b = ia[ii], ib[jj]
-                lo, hi = np.minimum(a, b), np.maximum(a, b)
-                yield from _emit_sliced(
-                    pd.DataFrame({"id_a": lo, "id_b": hi, "cos_raw": cos[ii, jj]})
-                )
+                ib = np.asarray(r.ids, dtype=np.int64)
+                bm = _unpack(r.mat)
+                for s in range(0, len(ids_s), chunk):
+                    ia = ids_s[s : s + chunk]
+                    cos = _block_scores(mat_s[s : s + chunk], bm)
+                    mask = (
+                        np.isfinite(cos)
+                        & (cos >= THRESHOLD - 1e-6)
+                        & (ia[:, None] != ib[None, :])
+                    )
+                    ii, jj = np.nonzero(mask)
+                    a, b = ia[ii], ib[jj]
+                    lo, hi = np.minimum(a, b), np.maximum(a, b)
+                    yield from _emit_sliced(
+                        pd.DataFrame(
+                            {"id_a": lo, "id_b": hi, "cos_raw": cos[ii, jj]}
+                        )
+                    )
 
     return (
-        sample.join(corpus)
-        .mapInPandas(score, "id_a long, id_b long, cos_raw double")
+        corpus.mapInPandas(score, "id_a long, id_b long, cos_raw double")
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= THRESHOLD)
         .distinct()  # sample-sample pairs score twice (once per side)
@@ -105,40 +129,50 @@ def main() -> None:
     df = load_table(spark, corpus_dir, "embeddings")
     n = df.count()
 
+    from pyspark.storagelevel import StorageLevel
+
     t0 = time.time()
     if m:
         exact_df = _exact_sampled(df, m)
-        exact = _pairs_set(exact_df)
+        caches = None
     else:
         exact_df = neardup_pairs(df, threshold=THRESHOLD)
-        exact = _pairs_set(exact_df)
-        exact_df.plan_caches.unpersist()
+        caches = exact_df.plan_caches
+    exact_df = exact_df.persist(StorageLevel.DISK_ONLY)
+    exact_bands = _band_counts(exact_df)
+    exact_total = sum(exact_bands.values())
     t_exact = time.time() - t0
+    if caches is not None:
+        caches.unpersist()
 
-    def in_scope(p):
-        return not m or p[0] % m == 0 or p[1] % m == 0
-
-    by_band = {
-        b: {p for p, c in exact.items() if b[0] <= c < b[1]} for b in BANDS
-    }
     for name, n_tables in PRESETS:
         t0 = time.time()
         lsh_df = neardup_pairs_lsh(df, threshold=THRESHOLD, n_tables=n_tables)
-        lsh = _pairs_set(lsh_df)
-        lsh_df.plan_caches.unpersist()
+        in_scope = (
+            lsh_df.filter((F.col("id_a") % m == 0) | (F.col("id_b") % m == 0))
+            if m
+            else lsh_df
+        ).persist(StorageLevel.DISK_ONLY)
+        found_total = in_scope.count()
         t_lsh = time.time() - t0
-        found = {p: c for p, c in lsh.items() if in_scope(p)}
         # precision 1.0: every in-scope LSH pair must be an exact pair
-        # with a bit-identical cosine
-        bad = [p for p, c in found.items() if exact.get(p) != c]
-        assert not bad, f"precision violation: {bad[:5]}"
+        # with a bit-identical cosine (distributed anti-join, scalar out)
+        bad = in_scope.join(
+            exact_df, on=["id_a", "id_b", "cos_sim"], how="left_anti"
+        ).count()
+        assert bad == 0, f"precision violation: {bad} pairs"
+        matched = _band_counts(
+            exact_df.join(in_scope, on=["id_a", "id_b", "cos_sim"], how="left_semi")
+        )
+        lsh_df.plan_caches.unpersist()
+        in_scope.unpersist()
         rec = {
-            f"recall_{lo}_{hi if hi <= 1 else 1.0}": (
-                round(len(by_band[(lo, hi)] & set(found)) / len(by_band[(lo, hi)]), 4)
-                if by_band[(lo, hi)]
+            f"recall_{b}": (
+                round(matched.get(b, 0) / exact_bands[b], 4)
+                if exact_bands.get(b)
                 else None
             )
-            for lo, hi in BANDS
+            for b in ("0.4_0.6", "0.6_0.8", "0.8_1.0")
         }
         print(
             json.dumps(
@@ -147,10 +181,10 @@ def main() -> None:
                     "n_vectors": n,
                     "sample_mod": m or None,
                     "n_tables": n_tables,
-                    "exact_pairs": len(exact),
-                    "lsh_pairs_in_scope": len(found),
-                    "recall_overall": round(len(found) / len(exact), 4)
-                    if exact
+                    "exact_pairs": exact_total,
+                    "lsh_pairs_in_scope": found_total,
+                    "recall_overall": round(found_total / exact_total, 4)
+                    if exact_total
                     else None,
                     **rec,
                     "t_exact_s": round(t_exact, 1),
@@ -159,6 +193,7 @@ def main() -> None:
             ),
             flush=True,
         )
+    exact_df.unpersist()
 
 
 if __name__ == "__main__":

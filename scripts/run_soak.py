@@ -152,6 +152,168 @@ def drain_phase(work: str, k: int, max_per_batch: int) -> None:
         f.write(str(round(elapsed, 2)))
 
 
+def stateful_drain_phase(work: str, k: int, max_per_batch: int) -> None:
+    """Child process for the STATEFUL soak (VERDICT r8 Next #6): the
+    graph carries applyInPandasWithState (running_counts — lifetime
+    per-key count+bytes) between the source and the idempotent
+    appender, so the SIGKILL lands on live state-store versions, not
+    just source offsets. Same drain/flush discipline as drain_phase."""
+    import uuid
+
+    from solace_apache_beam_spark.session import get_spark
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.pipelines import open_stream
+    from solace_apache_beam_spark.streaming.stateful import running_counts
+
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    broker_dir = os.path.join(work, "broker")
+    spark = get_spark("soak_stateful_phase")
+    stream = open_stream(
+        spark, broker_dir, queues, max_records_per_batch=max_per_batch
+    )
+    q = (
+        running_counts(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(make_idempotent_appender(os.path.join(work, "sink")))
+        .option("checkpointLocation", os.path.join(work, "cp"))
+        .start()
+    )
+
+    def _undelivered() -> int:
+        return sum(
+            fake_broker.message_count(broker_dir, qq)
+            - fake_broker.delivered_watermark(broker_dir, qq)
+            for qq in queues
+        )
+
+    t0 = time.monotonic()
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    tag = uuid.uuid4().hex[:8]
+    for qq in queues:
+        fake_broker.publish(broker_dir, qq, [f"__flush__ {qq} {tag}"])
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    elapsed = time.monotonic() - t0
+    q.stop()
+    with open(os.path.join(work, "DONE"), "w") as f:
+        f.write(str(round(elapsed, 2)))
+
+
+def stateful_kill_restart_soak(n: int, k: int) -> None:
+    """Kill-restart soak THROUGH the stateful operator. The evidence is
+    stronger than delivery conservation alone: the final per-key
+    lifetime totals must EXACTLY equal the broker log's ground truth
+    (message count and payload byte sum per queue) — an unclean kill
+    that lost state would undercount, a replayed batch applied twice to
+    restored state would overcount, and either breaks the equality."""
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    per_q = n // k
+    work = tempfile.mkdtemp(prefix="soak_st_")
+    broker = os.path.join(work, "broker")
+    _publish(broker, queues, per_q)
+    sink = os.path.join(work, "sink")
+    max_per_batch = max(1, per_q // 25)
+
+    def _spawn() -> subprocess.Popen:
+        return subprocess.Popen(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--phase-stateful",
+                work,
+                str(k),
+                str(max_per_batch),
+            ],
+            start_new_session=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def _epochs() -> int:
+        try:
+            return len(
+                [d for d in os.listdir(sink) if d.startswith("_epoch_id=")]
+            )
+        except FileNotFoundError:
+            return 0
+
+    t_all = time.monotonic()
+    p1 = _spawn()
+    deadline = time.monotonic() + 600
+    while time.monotonic() < deadline:
+        if os.path.exists(os.path.join(work, "DONE")):
+            raise SystemExit(
+                "drain finished before the kill — lower max_per_batch"
+            )
+        if _epochs() >= 3:
+            break
+        time.sleep(0.2)
+    epochs_at_kill = _epochs()
+    os.killpg(os.getpgid(p1.pid), signal.SIGKILL)
+    p1.wait()
+
+    p2 = _spawn()
+    rc = p2.wait(timeout=600)
+    assert rc == 0, f"restart phase failed rc={rc}"
+    assert os.path.exists(os.path.join(work, "DONE"))
+    total_s = time.monotonic() - t_all
+
+    # ground truth straight from the broker's message log (includes
+    # whatever flush sentinels were actually published)
+    expected: dict[str, tuple[int, int]] = {}
+    for qq in queues:
+        cnt = nbytes = 0
+        with open(
+            os.path.join(fake_broker.queue_dir(broker, qq), "messages.jsonl")
+        ) as f:
+            for line in f:
+                p = json.loads(line)["payload"]
+                cnt += 1
+                nbytes += len((p or "").encode("utf-8"))
+        expected[qq] = (cnt, nbytes)
+
+    # the LATEST emitted row per key is the lifetime total (update-mode
+    # emission; per-key rows are monotone in epoch)
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"""
+        SELECT key, total_count, total_bytes FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY key ORDER BY _epoch_id DESC) AS rn
+          FROM read_parquet('{sink}/*/*.parquet', hive_partitioning=1)
+        ) WHERE rn = 1
+        """
+        )
+        .fetchall()
+    )
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    acked = sum(fake_broker.acked_count(broker, q) for q in queues)
+    out = {
+        "mode": "stateful",
+        "messages": per_q * k,
+        "queues": k,
+        "epochs_at_kill": epochs_at_kill,
+        "per_key_totals_exact": got == expected,
+        "acked": acked,
+        "total_s": round(total_s, 2),
+        "msg_per_s": round(per_q * k / total_s),
+    }
+    assert got == expected, f"state diverged: got={got} expected={expected}"
+    for q in queues:
+        a = fake_broker.acked_count(broker, q)
+        assert a >= per_q, f"{q}: only {a}/{per_q} real messages acked"
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def kill_restart_soak(n: int, k: int) -> None:
     queues = [f"q{i}" for i in range(1, k + 1)]
     per_q = n // k
@@ -266,10 +428,18 @@ def main() -> None:
         i = sys.argv.index("--phase")
         drain_phase(sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3]))
         return
+    if "--phase-stateful" in sys.argv:
+        i = sys.argv.index("--phase-stateful")
+        stateful_drain_phase(
+            sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3])
+        )
+        return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 100_000
     k = int(args[1]) if len(args) > 1 else 4
-    if "--kill-restart" in sys.argv:
+    if "--stateful" in sys.argv:
+        stateful_kill_restart_soak(n, k)
+    elif "--kill-restart" in sys.argv:
         kill_restart_soak(n, k)
     else:
         classic_soak(n, k)

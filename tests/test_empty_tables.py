@@ -92,6 +92,18 @@ def nullrow_sf_dir(tmp_path_factory, sf_dir):
     return str(out)
 
 
+# full tier (VERDICT r8 Next #4): the one-NULL-row sweep is strictly
+# dominated per-round by the randomized harness arms, which fuzz
+# NULL-dense texts/embeddings/timestamps/values through the same entry
+# points on every default run — this fixed probe adds 74 more Spark
+# executions (~30 s) for shapes the arms already cover, so it runs
+# under SPARK_GRAFT_FUZZ_FULL=1 (scripts/preflight, round close). The
+# EMPTY-table sweep above stays in the default tier: zero-row inputs
+# are the one shape the arms' min_size bounds never produce.
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FUZZ_FULL") != "1",
+    reason="full tier: set SPARK_GRAFT_FUZZ_FULL=1 (preflight does)",
+)
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_query_survives_null_rows(name, spark, nullrow_sf_dir):
     df = all_queries()[name](spark, nullrow_sf_dir)

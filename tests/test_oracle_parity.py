@@ -1,8 +1,20 @@
 """The local twin of the driver's correctness gate: every registered
 query is executed on Spark and as DuckDB oracle SQL, and compared
-order-insensitively at sf0.001."""
+order-insensitively at sf0.001.
+
+Full tier (VERDICT r8 Next #4): the per-query parity sweep runs under
+SPARK_GRAFT_FUZZ_FULL=1. It is the SAME comparison the repo already
+pays at least three other ways every round — the driver gate at
+sf0.01, the /verify sweep before each product commit, the randomized
+harness arms on adversarial data, and scripts/preflight (which sets
+the flag) before every snapshot — so the quick tier keeps only the
+cheap rows-only/entry smokes and the default suite stops paying ~45 s
+for a fourth copy of the fixed-corpus comparison on every inner-loop
+run."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -12,6 +24,11 @@ from tests.oracle import compare, duckdb_con
 QUERIES = all_queries()
 ORACLES = all_oracles()
 
+full_tier = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FUZZ_FULL") != "1",
+    reason="full tier: set SPARK_GRAFT_FUZZ_FULL=1 (preflight does)",
+)
+
 
 @pytest.fixture(scope="module")
 def con(sf_dir):
@@ -20,6 +37,7 @@ def con(sf_dir):
     c.close()
 
 
+@full_tier
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, sf_dir, con):
     df = QUERIES[name](spark, sf_dir)

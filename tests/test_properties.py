@@ -11,12 +11,14 @@ import hashlib
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from tests._fuzz import n_examples
 from pyspark.sql import functions as F
 
 from solace_apache_beam_spark.functions.hashing import MERSENNE_61, minhash_coeffs
 
 SETTINGS = dict(
-    max_examples=8,
+    max_examples=n_examples(8, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

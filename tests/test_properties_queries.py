@@ -28,10 +28,12 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._fuzz import n_examples
+
 import __spark_entry__ as e
 
 SETTINGS = dict(
-    max_examples=6,
+    max_examples=n_examples(6, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -162,9 +164,8 @@ _doc_text = st.one_of(
 )
 
 # documents-only registered queries with deterministic contracts; the
-# multimodal family is NOT here — its oracles document a pure-ASCII
-# corpus invariant this arm's unicode text deliberately breaks, so it
-# gets its own ASCII-constrained arm below
+# multimodal family is NOT here — it gets its own arms below (wider
+# unicode text than this vocab corpus, plus a raw-binary operator arm)
 DOC_QUERY_NAMES = (
     "wordcount_global",
     "windowed_wordcount",
@@ -218,7 +219,7 @@ def _write_documents(rows, dirpath: str) -> None:
     pq.write_table(tbl, f"{dirpath}/documents.parquet")
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=n_examples(5, 1), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     rows=st.lists(
@@ -288,7 +289,7 @@ MM_QUERY_NAMES = (
 )
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=n_examples(5, 2), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     rows=st.lists(
@@ -386,7 +387,7 @@ _MM_BINARY_ORACLES = {
 }
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=n_examples(5, 2), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(payloads=st.lists(_payload, min_size=1, max_size=12))
 def test_multimodal_operators_match_oracles_on_raw_binary(spark, payloads):
@@ -470,7 +471,7 @@ def _write_embeddings(vecs, dirpath: str) -> None:
     pq.write_table(tbl, f"{dirpath}/embeddings.parquet")
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=n_examples(5, 1), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(vecs=st.lists(_vec, min_size=2, max_size=14))
 def test_embeddings_queries_match_oracles_on_random_data(spark, vecs):
@@ -668,7 +669,7 @@ def _write_relational(orders, lines, dirpath: str) -> None:
     )
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=n_examples(5, 1), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     orders=st.lists(_order, min_size=1, max_size=14),

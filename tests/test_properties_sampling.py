@@ -21,8 +21,10 @@ import hashlib
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._fuzz import n_examples
+
 SETTINGS = dict(
-    max_examples=8,
+    max_examples=n_examples(8, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -27,10 +27,12 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._fuzz import n_examples
+
 from solace_apache_beam_spark.llm.similarity import QUANT, brute_force_topk
 
 SETTINGS = dict(
-    max_examples=8,
+    max_examples=n_examples(8, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -21,6 +21,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._fuzz import n_examples
+
 from pyspark.sql import functions as F
 
 from solace_apache_beam_spark.operators.text import (
@@ -35,7 +37,7 @@ from solace_apache_beam_spark.streaming.pipelines import (
 )
 
 SETTINGS = dict(
-    max_examples=5,
+    max_examples=n_examples(5, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

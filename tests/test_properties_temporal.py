@@ -29,6 +29,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._fuzz import n_examples
+
 from solace_apache_beam_spark.operators.relational import exact_percentiles
 from solace_apache_beam_spark.operators.temporal import (
     asof_join,
@@ -37,7 +39,7 @@ from solace_apache_beam_spark.operators.temporal import (
 )
 
 SETTINGS = dict(
-    max_examples=8,
+    max_examples=n_examples(8, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

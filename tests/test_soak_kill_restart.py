@@ -7,7 +7,13 @@ dupes-after-dedup after an UNCLEAN kill (process group SIGKILL, JVM
 included) — cannot silently rot between rounds. The script asserts the
 contract itself (SolaceIOLifecycleDataflowIT.java:349-350 is the
 reference); the test checks the orchestrator exits green and the
-accounting line says what it must."""
+accounting line says what it must.
+
+Soak tier (VERDICT r8 Next #4): these two tests spawn 4 JVMs each and
+dominated the inner-loop suite (~170 s of the wall), so by default they
+SKIP visibly; SPARK_GRAFT_SOAK=1 runs them (scripts/preflight and the
+round-close verification set it — the contracts are still exercised
+every round, just not on every pytest invocation)."""
 
 from __future__ import annotations
 
@@ -16,9 +22,17 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+soak_tier = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SOAK") != "1",
+    reason="soak tier: set SPARK_GRAFT_SOAK=1 (preflight/round-close do)",
+)
 
+
+@soak_tier
 def test_kill_restart_conservation():
     r = subprocess.run(
         [
@@ -37,5 +51,33 @@ def test_kill_restart_conservation():
     out = json.loads(line)
     assert out["distinct_payloads"] == 4000
     assert out["rows_at_sink"] - out["distinct_payloads"] == out["replay_duplicates"]
+    assert out["epochs_at_kill"] >= 3
+    assert out["acked"] >= 4000
+
+
+@soak_tier
+def test_stateful_kill_restart_state_restored_exactly():
+    """The stateful sibling (VERDICT r8 Next #6): running_counts
+    (applyInPandasWithState) sits between the source and the idempotent
+    sink, so the SIGKILL lands on live state-store versions. The script
+    asserts the per-key lifetime totals equal the broker log's ground
+    truth EXACTLY — lost state undercounts, double-applied replay
+    overcounts, either fails."""
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_soak.py"),
+            "4000",
+            "2",
+            "--stateful",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["per_key_totals_exact"] is True
     assert out["epochs_at_kill"] >= 3
     assert out["acked"] >= 4000
