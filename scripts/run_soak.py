@@ -172,7 +172,12 @@ def stateful_drain_phase(work: str, k: int, max_per_batch: int) -> None:
         spark, broker_dir, queues, max_records_per_batch=max_per_batch
     )
     q = (
-        running_counts(stream)
+        # dedupe_by=message_id: the source is at-least-once across an
+        # unclean restart (broker replays delivered-but-unacked
+        # messages — S4/S6), so raw counting overcounts by exactly the
+        # redelivered batch; the hwm state skips redeliveries (the
+        # 500k soak found this — see running_counts' docstring)
+        running_counts(stream, dedupe_by="message_id")
         .writeStream.outputMode("update")
         .foreachBatch(make_idempotent_appender(os.path.join(work, "sink")))
         .option("checkpointLocation", os.path.join(work, "cp"))

@@ -492,7 +492,11 @@ def neardup_auto_route(
     the 64-block default). Above the horizon returns ``"lsh"``: the
     same verify arithmetic runs inside LSH buckets only, so total work
     scales with sum(bucket_blocks^2) ~ N * bucket/block^2 instead of
-    N^2, at a MEASURED recall (see ``neardup_pairs_lsh``)."""
+    N^2, at a MEASURED recall (see ``neardup_pairs_lsh``).
+
+    Reference contract being scaled: the dedup-by-content sample
+    (SolaceRecordTest.java:143-147) — near-duplicate removal must stay
+    runnable as the corpus grows past what exact pairing can touch."""
     import math
 
     return (

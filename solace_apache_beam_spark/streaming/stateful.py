@@ -14,6 +14,18 @@ SURVEY.md §2.5 W6).
 State is per-key and lives in the state store (RocksDB/HDFS-backed on a
 cluster): bounded by the number of live keys, evicted on timeout —
 no unbounded driver or executor memory at 100 TB.
+
+At-least-once caveat (found by the round-9 500k kill-restart soak):
+the source deliberately replays from the broker's ACKED position after
+a restart (S4 — JCSMP rebind; acks trail commits by up to an epoch),
+so a committed-but-unacked range can be REDELIVERED into live state.
+Stateful accumulations that must be replay-exact need an idempotence
+key: ``running_counts(dedupe_by="message_id")`` shows the high-water-
+mark pattern (per-key message ids are monotone broker log positions).
+``sessionize``'s bounds-merge absorbs replayed events' timestamps but
+its ``n_events`` counter, like ``funnel_progress``'s timestamps, is
+replay-sensitive the same way raw ``running_counts`` is — apply the
+same hwm pattern where exactness through unclean restarts is required.
 """
 
 from __future__ import annotations
@@ -42,29 +54,76 @@ _COUNTS_OUT = StructType(
 _COUNTS_STATE = StructType(
     [StructField("count", LongType()), StructField("bytes", LongType())]
 )
+_COUNTS_STATE_HWM = StructType(
+    [
+        StructField("count", LongType()),
+        StructField("bytes", LongType()),
+        StructField("hwm", LongType()),
+    ]
+)
 
 
-def running_counts(stream: DataFrame, key_col: str = "destination") -> DataFrame:
+def running_counts(
+    stream: DataFrame,
+    key_col: str = "destination",
+    dedupe_by: str | None = None,
+) -> DataFrame:
     """Per-key lifetime (count, payload bytes) — one updated row per key
-    per microbatch. Use outputMode('update')."""
+    per microbatch. Use outputMode('update').
+
+    ``dedupe_by``: name of a per-key MONOTONE id column (the source's
+    ``message_id`` — each queue's broker log position) that makes the
+    counts effectively exactly-once over an AT-LEAST-ONCE source. The
+    source deliberately replays delivered-but-unacked messages after an
+    unclean restart (S4/S6: acks trail commits by one epoch, exactly
+    like the JCSMP client contract) — the state store alone cannot see
+    that a REDELIVERED message was already counted in a committed
+    batch, because it arrives under a fresh offset. With ``dedupe_by``
+    the state carries a high-water mark and counts only ids above it:
+    a replayed uncommitted batch re-applies to the pre-batch state
+    version (ids above the restored hwm — counted once), while
+    broker-redelivered older messages fall at-or-below the hwm and are
+    skipped. Found by the 500k kill-restart soak, where raw counting
+    overcounted by exactly one batch of redeliveries; the fixed run's
+    totals match the broker log exactly (PLANS.md round 9)."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        count, nbytes = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            count += len(pdf)
-            nbytes += int(pdf["payload"].str.encode("utf-8").str.len().fillna(0).sum())
-        state.update((count, nbytes))
+        if dedupe_by is None:
+            count, nbytes = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                count += len(pdf)
+                nbytes += int(
+                    pdf["payload"].str.encode("utf-8").str.len().fillna(0).sum()
+                )
+            state.update((count, nbytes))
+        else:
+            count, nbytes, hwm = state.get if state.exists else (0, 0, -1)
+            for pdf in pdfs:
+                fresh = pdf[pdf[dedupe_by] > hwm]
+                if len(fresh) == 0:
+                    continue
+                count += len(fresh)
+                nbytes += int(
+                    fresh["payload"].str.encode("utf-8").str.len().fillna(0).sum()
+                )
+                hwm = int(fresh[dedupe_by].max())
+            state.update((count, nbytes, hwm))
         yield pd.DataFrame(
             {"key": [key[0]], "total_count": [count], "total_bytes": [nbytes]}
         )
 
+    cols = [key_col, "payload"] + ([dedupe_by] if dedupe_by else [])
     return (
-        stream.select(key_col, "payload")
+        stream.select(*cols)
         .groupBy(key_col)
         .applyInPandasWithState(
-            update, _COUNTS_OUT, _COUNTS_STATE, "update", GroupStateTimeout.NoTimeout
+            update,
+            _COUNTS_OUT,
+            _COUNTS_STATE if dedupe_by is None else _COUNTS_STATE_HWM,
+            "update",
+            GroupStateTimeout.NoTimeout,
         )
     )
 

@@ -305,3 +305,84 @@ def test_funnel_progress_nullable_inputs_match_batch_semantics(spark, tmp_path):
         ).collect()
     }
     assert got == {"u1": 2, "u2": 0, "u3": 2, "u4": 1}
+
+
+def test_running_counts_dedupe_by_id_survives_ack_lag_replay(
+    spark, broker, tmp_path
+):
+    """The 500k kill-restart soak's overcount, reproduced
+    deterministically. The source replays from the broker's ACKED
+    position after a restart (S4: the checkpoint is deliberately
+    ignored — JCSMP rebind semantics, the broker is the replay log), so
+    when acks lag the committed frontier (the unclean-kill window:
+    commit(N)'s ack never ran), a restarted query's offsets REGRESS and
+    an already-counted committed range is redelivered. Raw counting
+    overcounts by exactly the replayed range; dedupe_by='message_id'
+    carries a per-key high-water mark in state and must stay exact.
+
+    Here: 12 messages drain in 4-message epochs, acks are rewound to 4
+    (simulating the kill window), 4 more are published, and the query
+    restarts from the same checkpoint — the replan delivers [8,12)
+    twice. Expected exact totals: 16 messages, 38 payload bytes."""
+    import os as _os
+
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+
+    import duckdb
+
+    def totals(sink):
+        rows = duckdb.connect().execute(
+            f"""SELECT key, max(total_count), max(total_bytes)
+                FROM read_parquet('{sink}/*/*.parquet', hive_partitioning=1)
+                GROUP BY key"""
+        ).fetchall()
+        return {r[0]: (r[1], r[2]) for r in rows}
+
+    def run_once(cp, sink, queue, **kw):
+        stream = open_stream(spark, broker, [queue], max_records_per_batch=4)
+        q = (
+            running_counts(stream, **kw)
+            .writeStream.foreachBatch(make_idempotent_appender(sink))
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def rewind_acks(queue, n):
+        ack_file = _os.path.join(fake_broker.queue_dir(broker, queue), "acked")
+        with open(ack_file, "w") as f:
+            f.write(str(n))
+
+    # one queue per scenario: acking DELETES from the broker, so the
+    # scenarios must not share a message log
+    fake_broker.create_queue(broker, "q3")
+    for mode, queue, kw in (
+        ("raw", "q1", {}),
+        ("hwm", "q2", {"dedupe_by": "message_id"}),
+    ):
+        fake_broker.publish(broker, queue, [f"m{i}" for i in range(12)])
+        cp = str(tmp_path / f"cp_{mode}")
+        sink = str(tmp_path / f"sink_{mode}")
+        run_once(cp, sink, queue, **kw)
+        # the kill window: acks trail the committed frontier
+        rewind_acks(queue, 4)
+        run_once(cp, sink, queue, **kw)
+        got = totals(sink)[queue]
+        if mode == "raw":
+            # pins the at-least-once semantic the hwm exists for: the
+            # replayed committed range is counted again
+            assert got[0] > 12, f"expected replay overcount, got {got}"
+        else:
+            assert got == (12, 26), f"hwm mode diverged: {got}"
+    # and with genuinely new data after the rewind, hwm counts exactly
+    # the union: replayed ids are skipped, fresh ids are counted once
+    cp = str(tmp_path / "cp_hwm2")
+    sink = str(tmp_path / "sink_hwm2")
+    fake_broker.publish(broker, "q3", [f"m{i}" for i in range(12)])
+    run_once(cp, sink, "q3", dedupe_by="message_id")
+    rewind_acks("q3", 4)
+    fake_broker.publish(broker, "q3", [f"m{i}" for i in range(12, 16)])
+    run_once(cp, sink, "q3", dedupe_by="message_id")
+    assert totals(sink)["q3"] == (16, 38)
