@@ -79,7 +79,13 @@ _PRIORITY: tuple[str, ...] = (
     #    dedup_simhash_pairs_auto, proves the route derivation
     "embedding_neardup_auto",
     # 1. newest driver row: round 7 — refresh (alphabetical; all 23
-    #    fit the ~50-row snapshot window together with set 0)
+    #    fit the ~50-row snapshot window together with set 0). Round-9
+    #    close audit: the three queries whose ORACLES changed in-round
+    #    (multimodal_features / multimodal_frame_sample — plan changed
+    #    too, md5-over-hex — / multimodal_resize, all restated over
+    #    hex) already sit in this set, so lockstep holds with no extra
+    #    entries; no other registered query's plan or oracle changed
+    #    after this rotation was set.
     "bm25_components",
     "cube_order_stats",
     "customers_without_orders",

@@ -21,11 +21,18 @@ a restart (S4 — JCSMP rebind; acks trail commits by up to an epoch),
 so a committed-but-unacked range can be REDELIVERED into live state.
 Stateful accumulations that must be replay-exact need an idempotence
 key: ``running_counts(dedupe_by="message_id")`` shows the high-water-
-mark pattern (per-key message ids are monotone broker log positions).
-``sessionize``'s bounds-merge absorbs replayed events' timestamps but
-its ``n_events`` counter, like ``funnel_progress``'s timestamps, is
-replay-sensitive the same way raw ``running_counts`` is — apply the
-same hwm pattern where exactness through unclean restarts is required.
+mark pattern. The single-long hwm is sound ONLY because its state key
+is the queue itself (message ids are monotone broker log positions
+PER QUEUE — delivery order within a queue matches id order, so
+"id <= hwm" exactly characterizes "already counted"). ``sessionize``'s
+``n_events`` counter and ``funnel_progress``'s out-of-order corner
+(a replayed straggler above the stage frontier) are replay-sensitive
+the same way raw counting is, but their keys (user, session key) span
+queues, where a single hwm is WRONG — a replayed q1 id can sit below a
+hwm set by q2. Exactness there needs a per-(key, queue) hwm map in the
+state tuple; left documented rather than half-fixed (the 4k/500k soaks
+gate the queue-keyed path, which is the one the reference's samples
+exercise).
 """
 
 from __future__ import annotations
