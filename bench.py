@@ -156,9 +156,15 @@ def main() -> None:
     def _warm_arrow(it):
         yield from it
 
-    spark.range(8).mapInPandas(_warm_arrow, "id long").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm the WHOLE Python worker pool, not one worker: 32 one-row
+    # partitions spawn all local[32] workers concurrently (reuse=true
+    # keeps them). The sf1.0 trend run showed the cold tail is real at
+    # scale — dedup_simhash measured 9.5 s behind a cold pool vs 2.9 s
+    # sustained (PLANS.md round 9) — and min-of-2 cannot hide a tail
+    # longer than one run.
+    spark.range(0, 32, 1, 32).mapInPandas(_warm_arrow, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     def run_once(name: str) -> float:
         # drop persisted frames from the previous run/query: the

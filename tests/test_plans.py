@@ -268,3 +268,34 @@ def test_rescue_composition_joins_never_static_broadcast(spark, sf_dir):
         if "BroadcastHashJoin" in line:
             assert "LeftSemi" in line, line
     assert "SortMergeJoin" in plan
+
+
+def test_neardup_lsh_bucket_join_is_sort_merge_never_broadcast(spark, sf_dir):
+    """The LSH route's reason to exist vs the exact route is its JOIN
+    SHAPE: candidates pair on the equi-key (bucket, blk<=blk), which
+    must plan as a spillable sort-merge join — both sides are packed
+    corpus matrices (rows carry ~block_size x dim doubles) whose
+    static estimates are garbage, and a misplanned broadcast build of
+    a packed side is exactly the OOM class the ngram 10x campaign hit.
+    The exact route's non-equi pairing (blk_a <= blk_b alone) can ONLY
+    be a nested loop with one side broadcast — acceptable there because
+    the auto route caps it at 64 blocks. Pin both shapes."""
+    from solace_apache_beam_spark.llm.similarity import (
+        neardup_pairs,
+        neardup_pairs_lsh,
+    )
+    from solace_apache_beam_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = neardup_pairs_lsh(emb, n_planes=3, n_tables=2)
+    plan = _plan(spark, lsh)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the packed-matrix frames must never be a broadcast build side
+    assert "BroadcastHashJoin" not in plan
+    lsh.plan_caches.unpersist()
+
+    exact = neardup_pairs(emb)
+    eplan = _plan(spark, exact)
+    assert "BroadcastNestedLoopJoin" in eplan  # the documented exact shape
+    exact.plan_caches.unpersist()

@@ -386,3 +386,106 @@ def test_running_counts_dedupe_by_id_survives_ack_lag_replay(
     fake_broker.publish(broker, "q3", [f"m{i}" for i in range(12, 16)])
     run_once(cp, sink, "q3", dedupe_by="message_id")
     assert totals(sink)["q3"] == (16, 38)
+
+
+def test_funnel_progress_replay_semantics(spark, broker, tmp_path):
+    """Broker replay (ack-lag rewind, same checkpoint) through the
+    funnel stage machine — pins BOTH halves of the documented
+    at-least-once story (streaming/stateful.py header):
+
+    1. In-order history replay is a NO-OP: every replayed event is
+       either at-or-below the stage frontier or of a non-expected
+       type, so a completed funnel stays exactly where it was (the
+       natural idempotence that makes the machine safe on the common
+       path without an hwm).
+    2. The out-of-order corner DIVERGES, by design of the monotone
+       machine: an event that was skipped at stage k (its type wasn't
+       yet expected) and whose (ts, id) sits above the eventual
+       frontier re-arrives in the replayed suffix and now advances the
+       machine. This pin documents the artifact the header tells
+       user-keyed exactness-critical pipelines to engineer around
+       (per-(key,queue) hwm); if the operator ever grows that hwm,
+       the final assertion flips to 2."""
+    import duckdb
+    import os as _os
+    import time
+
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.stateful import funnel_progress
+
+    base_us = 1_700_000_000_000_000
+
+    def run_once(cp, sink, queue):
+        # max_records_per_batch=1: broker replay is a SUFFIX below the
+        # committed frontier starting at acked + batch cap (the 500k
+        # soak's WAL anatomy) — the cap makes that suffix nontrivial
+        # at this scale
+        stream = open_stream(
+            spark, broker, [queue], max_records_per_batch=1
+        ).select(
+            F.split("payload", ":")[0].alias("user"),
+            F.split("payload", ":")[1].alias("stage_name"),
+            "event_time",
+            "message_id",
+        )
+        q = (
+            funnel_progress(stream, ("view", "click", "purchase"), key_col="user")
+            .writeStream.foreachBatch(make_idempotent_appender(sink))
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        # the capped latestOffset can report no growth for one poll
+        # (the run_soak drain gotcha) — processAllAvailable alone is
+        # not a full drain at batch cap 1; spin a few rounds
+        for _ in range(8):
+            q.processAllAvailable()
+            time.sleep(0.05)
+        q.stop()
+
+    def rewind_acks(queue):
+        with open(
+            _os.path.join(fake_broker.queue_dir(broker, queue), "acked"), "w"
+        ) as f:
+            f.write("0")
+
+    def stages(sink):
+        rows = duckdb.connect().execute(
+            f"""SELECT key, max(stage_reached)
+                FROM read_parquet('{sink}/*/*.parquet', hive_partitioning=1)
+                GROUP BY key"""
+        ).fetchall()
+        return {r[0]: r[1] for r in rows}
+
+    # 1: completed in-order funnel survives full-history replay
+    fake_broker.publish(
+        broker,
+        "q1",
+        ["u1:view", "u1:click", "u1:purchase"],
+        sender_timestamp_us=[base_us, base_us + 1_000_000, base_us + 2_000_000],
+    )
+    cp, sink = str(tmp_path / "cp_inorder"), str(tmp_path / "sink_inorder")
+    run_once(cp, sink, "q1")
+    rewind_acks("q1")
+    run_once(cp, sink, "q1")
+    assert stages(sink)["u1"] == 3
+
+    # 2: the out-of-order corner — delivery order view@t2 (stage 1),
+    # purchase@t9 (skipped: click expected), click@t5 (stage 2,
+    # frontier (t5, id2)). The no-replay machine holds at 2 forever —
+    # purchase@t9 is gone. The replayed suffix [acked+cap, frontier)
+    # re-delivers purchase(id1)@t9 at stage 2, where it is now the
+    # expected type above the frontier: the machine advances to 3.
+    fake_broker.create_queue(broker, "qo")
+    cp, sink = str(tmp_path / "cp_ooo"), str(tmp_path / "sink_ooo")
+    for payload, ts in (
+        ("u2:view", base_us + 2_000_000),
+        ("u2:purchase", base_us + 9_000_000),
+        ("u2:click", base_us + 5_000_000),
+    ):
+        fake_broker.publish(broker, "qo", [payload], sender_timestamp_us=[ts])
+        run_once(cp, sink, "qo")
+    assert stages(sink)["u2"] == 2  # monotone machine: straggler gone
+    rewind_acks("qo")
+    run_once(cp, sink, "qo")
+    assert stages(sink)["u2"] == 3  # the documented replay divergence
