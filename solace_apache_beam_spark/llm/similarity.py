@@ -397,6 +397,49 @@ def _bucketed_all_pairs_topk(
 # visible at call sites (VERDICT r6 Next #5).
 _ANN_MEASURED_RECALL = {1: 0.952, 2: 0.997, 4: 1.0}
 
+# neardup_pairs_lsh presets: n_tables -> measured recall vs exact truth
+# (scripts/measure_neardup_recall.py, round 9; threshold 0.4; full
+# exact truth at 20k/200k, vec_id%100-sampled truth at 2M — estimator
+# validated against full truth at 20k). Hyperplane LSH is ANGULAR:
+# the dedup-actionable >=0.8-cosine band holds at every scale while
+# boundary-band recall decays with the derived plane count exactly as
+# 1-(1-p^planes)^L predicts. Keys: (n_tables, corpus) -> (overall,
+# band_08_10). The full banded table lives in PLANS.md round 9.
+_NEARDUP_MEASURED_RECALL = {
+    (2, 20_000): (0.809, 0.9997),
+    (4, 20_000): (0.941, 1.0),
+    (2, 200_000): (0.272, 0.9978),
+    (4, 200_000): (0.420, 1.0),
+    (2, 2_000_000): (0.064, 0.9954),
+    (4, 2_000_000): (0.117, 1.0),
+}
+
+
+def neardup_recall_info(n_tables: int = 4, n_vectors: int | None = None) -> dict:
+    """Recall metadata for a ``neardup_pairs_lsh`` table count — the
+    neardup sibling of :func:`ann_recall_info`, so the angular recall
+    trade is programmatic at call sites instead of buried in PLANS.md.
+    Returns the measured point nearest the given corpus size (measured
+    at 20k / 200k / 2M vectors): overall recall at threshold 0.4 and
+    recall on the >=0.8-cosine band (the pairs dedup acts on). Tables
+    counts without a measured point report the high band of the
+    nearest measured L below them (OR-construction is monotone in L)."""
+    sizes = sorted({s for _, s in _NEARDUP_MEASURED_RECALL})
+    n = n_vectors if n_vectors is not None else sizes[-1]
+    nearest = min(sizes, key=lambda s: abs(s - n))
+    ls = sorted({l for l, _ in _NEARDUP_MEASURED_RECALL})
+    l_eff = max((l for l in ls if l <= n_tables), default=ls[0])
+    overall, high = _NEARDUP_MEASURED_RECALL[(l_eff, nearest)]
+    out = {
+        "preset": f"{n_tables}-table",
+        "measured_at": nearest,
+        "recall_band_08_10": high,
+        "recall_overall_t04": overall,
+    }
+    if l_eff != n_tables:
+        out["preset"] += f" (floor: measured at L={l_eff}; monotone in L)"
+    return out
+
 
 def ann_recall_info(n_tables: int = 1) -> dict:
     """Recall metadata for an ``ann_lsh_topk`` table count: measured

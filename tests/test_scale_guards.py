@@ -594,3 +594,23 @@ def test_neardup_auto_dispatches_both_sides_of_the_horizon(spark):
     assert e == b and e == a and len(e) > 0
     for h in (exact, below, above):
         h.plan_caches.unpersist()
+
+
+def test_neardup_recall_info_surfaces_measured_points():
+    """The angular-recall trade must be programmatic at call sites
+    (the ann_recall_info pattern): nearest measured corpus point,
+    >=0.8-band recall (the dedup-actionable contract: 99.5-100 % at
+    every measured scale), and an explicit floor marker when the table
+    count has no measured point of its own."""
+    from solace_apache_beam_spark.llm.similarity import neardup_recall_info
+
+    r = neardup_recall_info(4, 150_000)
+    assert r["measured_at"] == 200_000
+    assert r["recall_band_08_10"] == 1.0
+    assert r["recall_overall_t04"] == 0.420
+    r2 = neardup_recall_info(2, 2_500_000)
+    assert r2["measured_at"] == 2_000_000
+    assert r2["recall_band_08_10"] == 0.9954
+    # unmeasured L floors to the nearest measured L below (monotone)
+    r3 = neardup_recall_info(8, 20_000)
+    assert "floor" in r3["preset"] and r3["recall_band_08_10"] == 1.0
