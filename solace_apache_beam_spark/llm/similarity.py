@@ -421,14 +421,18 @@ def neardup_recall_info(n_tables: int = 4, n_vectors: int | None = None) -> dict
     trade is programmatic at call sites instead of buried in PLANS.md.
     Returns the measured point nearest the given corpus size (measured
     at 20k / 200k / 2M vectors): overall recall at threshold 0.4 and
-    recall on the >=0.8-cosine band (the pairs dedup acts on). Tables
-    counts without a measured point report the high band of the
-    nearest measured L below them (OR-construction is monotone in L)."""
+    recall on the >=0.8-cosine band (the pairs dedup acts on).
+    Recall is monotone in L (OR-construction), so a table count above
+    the largest measured L reports the largest measured L's numbers as
+    a FLOOR; a count below the smallest measured L reports the
+    smallest's as a CEILING — the direction is in the label either
+    way, never silently wrong."""
     sizes = sorted({s for _, s in _NEARDUP_MEASURED_RECALL})
     n = n_vectors if n_vectors is not None else sizes[-1]
     nearest = min(sizes, key=lambda s: abs(s - n))
     ls = sorted({l for l, _ in _NEARDUP_MEASURED_RECALL})
-    l_eff = max((l for l in ls if l <= n_tables), default=ls[0])
+    below = [l for l in ls if l <= n_tables]
+    l_eff = max(below) if below else min(ls)
     overall, high = _NEARDUP_MEASURED_RECALL[(l_eff, nearest)]
     out = {
         "preset": f"{n_tables}-table",
@@ -437,7 +441,8 @@ def neardup_recall_info(n_tables: int = 4, n_vectors: int | None = None) -> dict
         "recall_overall_t04": overall,
     }
     if l_eff != n_tables:
-        out["preset"] += f" (floor: measured at L={l_eff}; monotone in L)"
+        bound = "floor" if below else "ceiling"
+        out["preset"] += f" ({bound}: measured at L={l_eff}; monotone in L)"
     return out
 
 

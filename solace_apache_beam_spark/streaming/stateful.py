@@ -106,16 +106,24 @@ def running_counts(
                 )
             state.update((count, nbytes))
         else:
-            count, nbytes, hwm = state.get if state.exists else (0, 0, -1)
+            count, nbytes, hwm0 = state.get if state.exists else (0, 0, -1)
+            # filter every chunk against the PRE-BATCH hwm: chunks of
+            # one batch arrive in no guaranteed order, and a running
+            # hwm raised by an earlier chunk would wrongly skip a later
+            # chunk's lower-id rows — all of a batch's ids are distinct
+            # (one contiguous log range per queue) and none were
+            # counted before, so the pre-batch mark is the only correct
+            # filter; the mark advances once, after the batch
+            hwm = hwm0
             for pdf in pdfs:
-                fresh = pdf[pdf[dedupe_by] > hwm]
+                fresh = pdf[pdf[dedupe_by] > hwm0]
                 if len(fresh) == 0:
                     continue
                 count += len(fresh)
                 nbytes += int(
                     fresh["payload"].str.encode("utf-8").str.len().fillna(0).sum()
                 )
-                hwm = int(fresh[dedupe_by].max())
+                hwm = max(hwm, int(fresh[dedupe_by].max()))
             state.update((count, nbytes, hwm))
         yield pd.DataFrame(
             {"key": [key[0]], "total_count": [count], "total_bytes": [nbytes]}

@@ -614,3 +614,17 @@ def test_neardup_recall_info_surfaces_measured_points():
     # unmeasured L floors to the nearest measured L below (monotone)
     r3 = neardup_recall_info(8, 20_000)
     assert "floor" in r3["preset"] and r3["recall_band_08_10"] == 1.0
+
+
+def test_neardup_recall_info_bounds_are_directional():
+    """A table count OUTSIDE the measured L range must label the
+    direction of the bound: below the smallest measured L the reported
+    numbers are a CEILING (recall is monotone in L), above the largest
+    a FLOOR — reporting L=2's recall for L=1 as a floor would overstate
+    the single-table preset."""
+    from solace_apache_beam_spark.llm.similarity import neardup_recall_info
+
+    r1 = neardup_recall_info(1, 20_000)
+    assert "ceiling" in r1["preset"] and "L=2" in r1["preset"]
+    r8 = neardup_recall_info(8, 20_000)
+    assert "floor" in r8["preset"] and "L=4" in r8["preset"]
