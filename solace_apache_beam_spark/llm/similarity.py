@@ -102,6 +102,16 @@ def _to_matrix(vecs: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
 
 
+def _blk_expr(id_col: str, block_size: int):
+    """Block assignment shared by the exact pack kernel and the
+    auto-route counter — id-range blocks (id // block_size). The router
+    MUST count THIS expression's population, not rows: a block holds at
+    most ``block_size`` distinct ids, so the row count is only a LOWER
+    bound on block count, and sparse/non-dense ids produce far more
+    blocks than ceil(n/block_size) (ADVICE r9, medium)."""
+    return (F.col(id_col) / F.lit(block_size)).cast("long")
+
+
 def _pack_blocks(
     df: DataFrame, vec_col: str, id_col: str, block_size: int
 ) -> DataFrame:
@@ -122,7 +132,7 @@ def _pack_blocks(
     return (
         df.select(F.col(id_col), F.col(vec_col))
         .filter(F.col(vec_col).isNotNull())  # undecoded rows carry no vector
-        .withColumn("_blk", (F.col(id_col) / F.lit(block_size)).cast("long"))
+        .withColumn("_blk", _blk_expr(id_col, block_size))
         .groupBy("_blk")
         .applyInPandas(pack, _PACKED_SCHEMA)
     )
@@ -516,22 +526,32 @@ def ann_lsh_topk(
 
 # neardup_pairs auto-route horizon: the exact block-nested-loop is the
 # right plan while the block-pair count B*(B+1)/2 stays small — at 64
-# blocks (262,144 vectors at the default block size) that is 2,080
-# matmul tasks, comfortably a single wide stage; at 10x the corpus it
-# would be ~205k tasks growing quadratically from there (sf1.0 measured
-# the family at 9.1x wall for 10x data — the suite's worst ratio).
+# blocks (262,144 vectors at the default block size IF ids are dense;
+# the router counts the kernel's real id-range block population, so
+# sparse ids hit the horizon at proportionally fewer rows) that is
+# 2,080 matmul tasks, comfortably a single wide stage; at 10x the
+# corpus it would be ~205k tasks growing quadratically from there
+# (sf1.0 measured the family at 9.1x wall for 10x data — the suite's
+# worst ratio).
 NEARDUP_MAX_EXACT_BLOCKS = 64
 
 
 def neardup_auto_route(
-    n_vectors: int,
-    block_size: int = 4096,
+    n_blocks: int,
     max_exact_blocks: int = NEARDUP_MAX_EXACT_BLOCKS,
 ) -> str:
     """Route decision for :func:`neardup_pairs` — the EXECUTABLE form
     of the scale escape that was previously a docstring (VERDICT r8
     Next #1), mirroring ``simhash_auto_bands``: a pure function of the
-    vector population, pinned by tests at its switch points.
+    BLOCK population, pinned by tests at its switch points.
+
+    ``n_blocks`` is the number of id-range blocks the exact kernel
+    would actually materialize — ``countDistinct(id // block_size)``
+    over the non-null-vector rows (:func:`neardup_corpus_stats`), NOT
+    ceil(rows / block_size): rows only lower-bound blocks, and
+    sparse/non-dense ids can pack 262k rows into thousands of
+    near-empty blocks whose pairwise matmuls are exactly the quadratic
+    blow-up the escape exists to avoid (ADVICE r9, medium).
 
     Returns ``"exact"`` while the corpus packs into at most
     ``max_exact_blocks`` blocks — the exact all-pairs plan costs
@@ -545,13 +565,29 @@ def neardup_auto_route(
     Reference contract being scaled: the dedup-by-content sample
     (SolaceRecordTest.java:143-147) — near-duplicate removal must stay
     runnable as the corpus grows past what exact pairing can touch."""
-    import math
+    return "exact" if n_blocks <= max_exact_blocks else "lsh"
 
-    return (
-        "exact"
-        if math.ceil(n_vectors / max(1, block_size)) <= max_exact_blocks
-        else "lsh"
+
+def neardup_corpus_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_size: int = 4096,
+) -> tuple[int, int]:
+    """(n_vectors, n_blocks) for the auto route, in ONE aggregate job.
+    ``n_blocks`` counts the exact kernel's own block expression
+    (:func:`_blk_expr`) so routing can never diverge from what
+    ``_pack_blocks`` materializes; countDistinct over the
+    low-cardinality block id is a cheap partial-aggregated shuffle."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(_blk_expr(id_col, block_size)).alias("n_blocks"),
+        )
+        .first()
     )
+    return int(row["n"]), int(row["n_blocks"])
 
 
 def neardup_pairs(
@@ -571,15 +607,17 @@ def neardup_pairs(
     ``route`` picks the plan: ``"exact"`` (the O(B^2) baseline, right
     for bounded batches), ``"lsh"`` (bucketed candidates — the corpus
     scale path, see :func:`neardup_pairs_lsh`), or ``"auto"``, which
-    counts the vector population once and switches at
-    :func:`neardup_auto_route`'s horizon (262,144 vectors at the
-    default block size). Below the horizon the auto route returns the
-    exact path's output verbatim — the derivation is gate-provable
-    against the exact oracle, the same contract
-    ``dedup_simhash_pairs_auto`` pins for band derivation."""
+    counts the BLOCK population once (the exact kernel's own
+    ``id // block_size`` expression, so sparse ids route honestly —
+    ADVICE r9) and switches at :func:`neardup_auto_route`'s 64-block
+    horizon (262,144 vectors at the default block size when ids are
+    dense; fewer rows suffice when ids are sparse). Below the horizon
+    the auto route returns the exact path's output verbatim — the
+    derivation is gate-provable against the exact oracle, the same
+    contract ``dedup_simhash_pairs_auto`` pins for band derivation."""
     if route == "auto":
-        n = df.filter(F.col(vec_col).isNotNull()).count()
-        route = neardup_auto_route(n, block_size)
+        n, n_blocks = neardup_corpus_stats(df, vec_col, id_col, block_size)
+        route = neardup_auto_route(n_blocks)
         if route == "lsh":
             return neardup_pairs_lsh(
                 df,

@@ -61,54 +61,48 @@ def _load() -> None:
 # declared "no re-pin entries follow").  Refresh this comment at round
 # close so it states the rotation actually in force.
 #
-# Round-9 rotation (VERDICT r8 Next #3: keep every gate row <= 1 round
-# old — the 23 queries whose newest driver row is r07 lead; in-round
-# lockstep additions stack ABOVE them in the same commit as the change):
-#   0. this round's semantics/oracle changes (lockstep rule above);
-#   1. the 23 queries whose newest driver row is r07.
+# Round-10 rotation (standing rule from VERDICT r8 Next #3: keep every
+# gate row <= 1 round old — the 24 queries whose newest driver row is
+# r08 lead; in-round lockstep additions stack ABOVE them in the same
+# commit as the change):
+#   0. this round's semantics changes (lockstep rule above);
+#   1. the 24 queries whose newest driver row is r08.
 _PRIORITY: tuple[str, ...] = (
-    # 0. lockstep: training_shuffle_manifest — NULL-id rows are now
-    #    FILTERED on both engines (ADVICE r8: multiple NULL-key rows
-    #    all hash to NULL shard/NULL h, making row_number over (h, id)
-    #    nondeterministic — the 'reproducible permutation' contract
-    #    cannot hold for rows with no key identity); oracle gained
-    #    WHERE doc_id IS NOT NULL in the same commit
-    "training_shuffle_manifest",
-    #    newly gated round-9 operator (first driver row): the auto-
-    #    routed neardup escape — same-oracle aliasing as
-    #    dedup_simhash_pairs_auto, proves the route derivation
+    # 0. lockstep: embedding_neardup_auto — the auto route now counts
+    #    the kernel's real id-range BLOCK population instead of
+    #    ceil(rows/block_size) (ADVICE r9 medium: sparse ids made the
+    #    row bound undercount blocks and keep the quadratic exact plan
+    #    past its horizon). Oracle unchanged (gate scale stays below
+    #    the horizon either way); the derivation the gate proves
+    #    end-to-end changed, so the row must be re-pinned.
     "embedding_neardup_auto",
-    # 1. newest driver row: round 7 — refresh (alphabetical; all 23
-    #    fit the ~50-row snapshot window together with set 0). Round-9
-    #    close audit: the three queries whose ORACLES changed in-round
-    #    (multimodal_features / multimodal_frame_sample — plan changed
-    #    too, md5-over-hex — / multimodal_resize, all restated over
-    #    hex) already sit in this set, so lockstep holds with no extra
-    #    entries; no other registered query's plan or oracle changed
-    #    after this rotation was set.
-    "bm25_components",
-    "cube_order_stats",
-    "customers_without_orders",
-    "data_quality_events",
-    "decontamination_report",
-    "dedup_exact",
-    "multimodal_features",
-    "multimodal_metadata",
-    "multimodal_resize",
-    "observed_metrics",
-    "orders_above_customer_avg",
-    "pivot_linestatus",
-    "range_join_error_clicks",
-    "rollup_pricing",
-    "salted_revenue_by_segment",
-    "set_ops_custkeys",
-    "sliding_window_count",
-    "suppliers_with_large_parts",
-    "text_repetition",
-    "top_customers_per_segment",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "vocab_top_words",
+    # 1. newest driver row: round 8 — refresh (alphabetical; all 24
+    #    fit the ~50-row snapshot window together with set 0; the
+    #    lockstep entry above also lives in this set).
+    "ann_ivf_cosine",
+    "ann_lsh_cosine",
+    "asof_click_view",
+    "chunk_documents",
+    "corpus_stats",
+    "dedup_clusters",
+    "dedup_rate_report",
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_auto",
+    "embedding_neardup",
+    "expectation_report_lineitem",
+    "funnel_view_click_purchase",
+    "hypertable_rollup_events",
+    "kmv_distinct_parts",
+    "knn_brute_cosine",
+    "multimodal_frame_sample",
+    "percentiles_event_value",
+    "sample_documents_10pct",
+    "sequence_packing",
+    "split_train_val_test",
+    "stratified_sample_lineitem",
+    "text_normalize",
+    "text_pii_redact",
+    "training_shard_stats",
 )
 
 

@@ -91,14 +91,26 @@ def make_distributed_log_sink(line_logger=None):
 
 def write_training_shards(
     df: DataFrame, path: str, id_col: str, n_shards: int = 8, salt: str = "shuffle"
-) -> None:
+) -> dict:
     """Training-export writer: rows land in `shard=K/` partition
     directories in the deterministic pseudorandom order of
     training_shuffle (ORDER BY pos within each shard) — a reader
     streaming shard files in row order replays the canonical
     permutation. One shuffle (partitionBy shard) + per-shard sort;
     every shard is written by exactly one task (repartition on the
-    shard column), so file contents are run-to-run identical."""
+    shard column), so file contents are run-to-run identical.
+
+    Returns ``{"rows_written": N, "rows_dropped_null_id": M}`` so the
+    NULL-id exclusion below is OBSERVABLE, not silent (ADVICE r9: an
+    export sink losing rows with no metric is easy to miss). The counts
+    ride the write job itself via ``DataFrame.observe`` — no second
+    scan; if metric retrieval fails (very large AQE plans have a known
+    row-conversion issue, see dedup telemetry), a column-pruned
+    id-only count is the fallback. A nonzero drop count additionally
+    emits a ``UserWarning``."""
+    import warnings
+
+    from pyspark.sql import Observation
     from pyspark.sql.window import Window
 
     from solace_apache_beam_spark.functions.hashing import h64
@@ -113,10 +125,16 @@ def write_training_shards(
     # NULL-id rows excluded, mirroring training_shuffle exactly — the
     # written order must replay the canonical permutation, and rows
     # with no key identity have no deterministic position in it
+    obs = Observation("write_training_shards")
     h = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     w = Window.partitionBy("shard").orderBy("h", id_col)
     out = (
-        df.filter(F.col(id_col).isNotNull())
+        df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(id_col).isNull().cast("long")).alias("n_null_id"),
+        )
+        .filter(F.col(id_col).isNotNull())
         .withColumn("h", h)
         .withColumn("shard", F.col("h") % n_shards)
         .withColumn("pos", F.row_number().over(w).cast("long"))
@@ -129,6 +147,26 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    try:
+        n_rows = int(obs.get["n_rows"] or 0)
+        n_dropped = int(obs.get["n_null_id"] or 0)
+    except Exception:
+        # fallback: id-only scans — column-pruned, cheap vs the export
+        n_dropped = df.filter(F.col(id_col).isNull()).count()
+        n_rows = df.count()
+    stats = {
+        "rows_written": n_rows - n_dropped,
+        "rows_dropped_null_id": n_dropped,
+    }
+    if n_dropped:
+        warnings.warn(
+            f"write_training_shards({path!r}): dropped {n_dropped} "
+            f"NULL-{id_col} row(s) from the export (no deterministic "
+            "position in the canonical permutation)",
+            UserWarning,
+            stacklevel=2,
+        )
+    return stats
 
 
 COMPACTED_EPOCH = -1

@@ -92,7 +92,14 @@ def running_counts(
     broker-redelivered older messages fall at-or-below the hwm and are
     skipped. Found by the 500k kill-restart soak, where raw counting
     overcounted by exactly one batch of redeliveries; the fixed run's
-    totals match the broker log exactly (PLANS.md round 9)."""
+    totals match the broker log exactly (PLANS.md round 9).
+
+    The ``dedupe_by`` column must be NON-NULL on every row: it is a
+    broker log position, so a NULL id means the stream is mis-wired,
+    and a NULL would otherwise fail the ``> hwm`` comparison and
+    silently drop the row from the counts (a divergence from raw mode
+    that raw callers would never see — ADVICE r9). The updater raises
+    on the first NULL id, failing the query loudly instead."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -116,7 +123,15 @@ def running_counts(
             # filter; the mark advances once, after the batch
             hwm = hwm0
             for pdf in pdfs:
-                fresh = pdf[pdf[dedupe_by] > hwm0]
+                ids = pdf[dedupe_by]
+                if ids.isna().any():
+                    raise ValueError(
+                        f"running_counts(dedupe_by={dedupe_by!r}): NULL id "
+                        f"for key {key[0]!r} — the dedupe column is a broker "
+                        "log position and must be non-null; a NULL row would "
+                        "be silently uncounted (diverging from raw mode)"
+                    )
+                fresh = pdf[ids > hwm0]
                 if len(fresh) == 0:
                     continue
                 count += len(fresh)

@@ -10,11 +10,18 @@ harness arms on adversarial data, and scripts/preflight (which sets
 the flag) before every snapshot — so the quick tier keeps only the
 cheap rows-only/entry smokes and the default suite stops paying ~45 s
 for a fourth copy of the fixed-corpus comparison on every inner-loop
-run."""
+run.
+
+Quick tier keeps an ALWAYS-ON rotating parity smoke (ADVICE r9: a
+bare `pytest tests/` must not silently lose the primary correctness
+gate): a deterministic day-keyed window of _SMOKE_N queries runs the
+real compare unconditionally, cycling through the whole registry every
+~9 days of calendar time while costing ~1/9 of the full sweep."""
 
 from __future__ import annotations
 
 import os
+from datetime import date
 
 import pytest
 
@@ -23,6 +30,14 @@ from tests.oracle import compare, duckdb_con
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
+
+_ALL = sorted(ORACLES)
+_SMOKE_N = 8
+# day-keyed deterministic rotation: stable within a day (reruns compare
+# the same subset), advances by a full window per day so the cycle
+# covers every query in ceil(len/_SMOKE_N) days
+_OFF = (date.today().toordinal() * _SMOKE_N) % max(1, len(_ALL))
+SMOKE = [_ALL[(_OFF + i) % len(_ALL)] for i in range(min(_SMOKE_N, len(_ALL)))]
 
 full_tier = pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_FUZZ_FULL") != "1",
@@ -40,6 +55,14 @@ def con(sf_dir):
 @full_tier
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, sf_dir, con):
+    df = QUERIES[name](spark, sf_dir)
+    compare(df, con, ORACLES[name])
+
+
+@pytest.mark.parametrize("name", SMOKE)
+def test_query_matches_oracle_smoke(name, spark, sf_dir, con):
+    """Always-on rotating subset of the parity sweep — the quick tier's
+    unconditional correctness gate (ADVICE r9)."""
     df = QUERIES[name](spark, sf_dir)
     compare(df, con, ORACLES[name])
 

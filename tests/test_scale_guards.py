@@ -471,21 +471,53 @@ def test_bm25_duplicate_doc_ids_fail_loudly(spark):
 def test_neardup_auto_route_thresholds():
     """The executable route rule for neardup_pairs (VERDICT r8 Next #1
     — the last prose-only scale escape): exact while the corpus packs
-    into <= 64 blocks, LSH above. The horizon is exact integer
-    arithmetic (ceil(n / block_size)), so pin the switch points."""
+    into <= 64 id-range blocks, LSH above. The input is the BLOCK
+    population the kernel would materialize (ADVICE r9: rows only
+    lower-bound blocks under sparse ids), so pin the switch points in
+    block units."""
     from solace_apache_beam_spark.llm.similarity import neardup_auto_route
 
-    horizon = 64 * 4096  # 262_144 at the default block size
     assert neardup_auto_route(0) == "exact"
-    assert neardup_auto_route(500) == "exact"          # gate scale
-    assert neardup_auto_route(2_000) == "exact"        # sf0.1 scale
-    assert neardup_auto_route(200_000) == "exact"      # 100x stress scale
-    assert neardup_auto_route(horizon) == "exact"
-    assert neardup_auto_route(horizon + 1) == "lsh"
-    assert neardup_auto_route(5_000_000) == "lsh"
-    # the horizon is in BLOCKS, not rows: a smaller block size lowers it
-    assert neardup_auto_route(300, block_size=4) == "lsh"  # 75 blocks
-    assert neardup_auto_route(256, block_size=4) == "exact"  # 64 blocks
+    assert neardup_auto_route(1) == "exact"      # gate scale (500 dense ids)
+    assert neardup_auto_route(49) == "exact"     # 100x stress (200k dense)
+    assert neardup_auto_route(64) == "exact"     # the horizon itself
+    assert neardup_auto_route(65) == "lsh"
+    assert neardup_auto_route(1221) == "lsh"     # 1000x stress (5M dense)
+    # the horizon is configurable for kernels with other block budgets
+    assert neardup_auto_route(75, max_exact_blocks=80) == "exact"
+    assert neardup_auto_route(81, max_exact_blocks=80) == "lsh"
+
+
+def test_neardup_corpus_stats_counts_real_blocks(spark):
+    """ADVICE r9 (medium): the router must count the blocks the exact
+    kernel ACTUALLY packs, not ceil(rows/block_size). Sparse ids — one
+    id per block_size-wide range — make every row its own block, so a
+    row count that says "1 block" hides a B^2 = rows^2 task explosion.
+    Also pins that the counter ignores NULL-vector rows (they carry no
+    vector, _pack_blocks filters them) and that the auto route flips to
+    LSH on the sparse corpus while staying exact on the dense twin."""
+    from solace_apache_beam_spark.llm.similarity import (
+        neardup_auto_route,
+        neardup_corpus_stats,
+    )
+
+    bs = 4096
+    dense = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)]
+        + [(100, None)],  # NULL vector: excluded from both counts
+        "vec_id long, embedding array<double>",
+    )
+    n, blocks = neardup_corpus_stats(dense, block_size=bs)
+    assert (n, blocks) == (100, 1)
+    assert neardup_auto_route(blocks) == "exact"
+
+    sparse = spark.createDataFrame(
+        [(i * bs, [float(i), 1.0]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    n, blocks = neardup_corpus_stats(sparse, block_size=bs)
+    assert (n, blocks) == (100, 100)  # rows bound says 1; reality is 100
+    assert neardup_auto_route(blocks) == "lsh"
 
 
 def _neardup_corpus(spark):

@@ -473,7 +473,8 @@ def test_write_training_shards_canonical_order(spark, tmp_path):
         F.col("id").alias("doc_id"), (F.col("id") * 7).alias("payload")
     )
     out = str(tmp_path / "shards")
-    write_training_shards(df, out, "doc_id", n_shards=4)
+    stats = write_training_shards(df, out, "doc_id", n_shards=4)
+    assert stats == {"rows_written": 200, "rows_dropped_null_id": 0}
 
     import os
 
@@ -487,6 +488,27 @@ def test_write_training_shards_canonical_order(spark, tmp_path):
     got = {(r.shard, r.pos): r.doc_id for r in back.collect()}
     assert got == manifest
     assert back.count() == 200
+
+
+def test_write_training_shards_null_drop_observable(spark, tmp_path):
+    """ADVICE r9: the NULL-id exclusion must be observable — the writer
+    returns written/dropped counts (measured on the write job itself,
+    no second scan) and warns when rows were dropped."""
+    import warnings
+
+    from solace_apache_beam_spark.sinks.warehouse import write_training_shards
+
+    df = spark.range(50).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("doc_id"),
+        (F.col("id") * 7).alias("payload"),
+    )
+    out = str(tmp_path / "shards_null")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        stats = write_training_shards(df, out, "doc_id", n_shards=4)
+    assert stats == {"rows_written": 45, "rows_dropped_null_id": 5}
+    assert any("dropped 5" in str(w.message) for w in caught)
+    assert spark.read.parquet(out).count() == 45
 
 
 def test_compact_epochs_preserves_rows(spark, tmp_path):

@@ -388,6 +388,39 @@ def test_running_counts_dedupe_by_id_survives_ack_lag_replay(
     assert totals(sink)["q3"] == (16, 38)
 
 
+def test_running_counts_null_dedupe_id_fails_loudly(spark, tmp_path):
+    """ADVICE r9: in dedupe_by mode a NULL id would fail the `> hwm`
+    comparison and be silently uncounted — a divergence from raw mode
+    with no signal. The dedupe column is a broker log position, so a
+    NULL means the stream is mis-wired: the updater must fail the query
+    loudly, not drop the row."""
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "4")
+        .load()
+        .select(
+            F.lit("k").alias("destination"),
+            F.lit("p").alias("payload"),
+            F.lit(None).cast("long").alias("message_id"),
+        )
+    )
+    q = (
+        running_counts(stream, dedupe_by="message_id")
+        .writeStream.format("memory")
+        .queryName("null_dedupe_ids")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_null_ids"))
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="NULL id"):
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        q.stop()
+
+
 def test_funnel_progress_replay_semantics(spark, broker, tmp_path):
     """Broker replay (ack-lag rewind, same checkpoint) through the
     funnel stage machine — pins BOTH halves of the documented
