@@ -29,14 +29,22 @@ PER QUEUE — delivery order within a queue matches id order, so
 (a replayed straggler above the stage frontier) are replay-sensitive
 the same way raw counting is, but their keys (user, session key) span
 queues, where a single hwm is WRONG — a replayed q1 id can sit below a
-hwm set by q2. Exactness there needs a per-(key, queue) hwm map in the
-state tuple; left documented rather than half-fixed (the 4k/500k soaks
-gate the queue-keyed path, which is the one the reference's samples
-exercise).
+hwm set by q2. Both operators therefore take
+``dedupe_by=(queue_col, id_col)`` (round 10): the state tuple carries
+a PER-QUEUE hwm map (JSON-encoded — queues per key are few, the map is
+bytes), each batch is filtered against the PRE-batch map (same
+chunk-ordering argument as running_counts), and the map advances once
+after the batch. funnel state lives for the key's lifetime, so its map
+does too; sessionize state is EVICTED on session close, so the close
+leaves an hwm TOMBSTONE that survives ``dedupe_retention_seconds`` of
+event time before final eviction — replay hits within the retention
+window (acks trail commits by at most an epoch, i.e. seconds) are
+dropped, and state stays bounded by live keys.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -50,6 +58,39 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+
+def _hwm_filter(
+    pdf: pd.DataFrame,
+    queue_col: str,
+    id_col: str,
+    hwm0: dict,
+    hwm_new: dict,
+    op: str,
+) -> pd.DataFrame:
+    """Drop rows at-or-below the PRE-batch per-queue high-water mark and
+    advance ``hwm_new`` (mutated in place) to the batch's per-queue max.
+    Filtering against ``hwm0`` — not the running map — is what makes
+    unordered chunk arrival safe: all of a batch's ids are distinct (one
+    contiguous log range per queue) and none were applied before, so
+    the pre-batch mark is the only correct cut (see running_counts).
+    NULL ids fail loudly: the id is a broker log position, a NULL means
+    the stream is mis-wired and the row would otherwise be silently
+    dropped (ADVICE r9)."""
+    ids = pdf[id_col]
+    if ids.isna().any():
+        raise ValueError(
+            f"{op}(dedupe_by=({queue_col!r}, {id_col!r})): NULL id — the "
+            "dedupe column is a broker log position and must be non-null"
+        )
+    keep = pd.Series(True, index=pdf.index)
+    for q, grp in pdf.groupby(queue_col, sort=False):
+        qk = str(q)
+        keep.loc[grp.index] = grp[id_col] > hwm0.get(qk, -1)
+        mx = int(grp[id_col].max())
+        if mx > hwm_new.get(qk, -1):
+            hwm_new[qk] = mx
+    return pdf[keep]
 
 _COUNTS_OUT = StructType(
     [
@@ -173,6 +214,14 @@ _SESSION_STATE = StructType(
         StructField("n", LongType()),
     ]
 )
+_SESSION_STATE_HWM = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+        StructField("hwm_json", StringType()),
+    ]
+)
 
 
 def sessionize(
@@ -181,6 +230,8 @@ def sessionize(
     ts_col: str = "event_time",
     gap_seconds: int = 30,
     watermark: str = "0 seconds",
+    dedupe_by: tuple[str, str] | None = None,
+    dedupe_retention_seconds: int = 300,
 ) -> DataFrame:
     """Close a key's session once the watermark passes last_event + gap;
     emit the closed session exactly once. Use outputMode('append').
@@ -192,7 +243,25 @@ def sessionize(
     only separate sessions across batches). Null timestamps are
     dropped (a NaT would otherwise poison the bounds with the int64
     sentinel). Late events older than the open session merge into it
-    (same tolerance the watermark grants)."""
+    (same tolerance the watermark grants).
+
+    ``dedupe_by=(queue_col, id_col)`` makes the session exact over the
+    AT-LEAST-ONCE source (module header): the state carries a per-queue
+    hwm map; broker-replayed events (id at-or-below the queue's mark)
+    are dropped before they can inflate ``n_events``, re-extend an open
+    session, or resurrect a closed one. On session close the state
+    degrades to an hwm TOMBSTONE (n=0) retained for
+    ``dedupe_retention_seconds`` of event time, then evicted — replay
+    exposure is bounded by the ack lag (<= one epoch), so a short
+    retention covers it while state stays bounded by live keys.
+
+    Interaction with the watermark (measured while pinning this): at
+    the default 0-second delay the ENGINE's late-row filter already
+    drops broker replay — replayed events are by construction at or
+    below the restored max event time. Any nonzero ``watermark`` delay
+    (the realistic late-data setting) reopens the window: replayed
+    events within the delay pass the filter and reach live state, which
+    is exactly where the hwm map catches them."""
     gap_us = gap_seconds * 1_000_000
 
     def _emit(sessions: list) -> pd.DataFrame:
@@ -211,22 +280,60 @@ def sessionize(
             }
         )
 
+    retention_ms = dedupe_retention_seconds * 1000
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            start_us, end_us, n = state.get
-            state.remove()
+            if dedupe_by is None:
+                start_us, end_us, n = state.get
+                state.remove()
+                yield _emit([(start_us, end_us, n, key[0])])
+                return
+            start_us, end_us, n, hwm_json = state.get
+            if n == 0:
+                # the hwm tombstone's retention elapsed: final eviction
+                state.remove()
+                yield _emit([])
+                return
+            # close the session but RETAIN the hwm map as a tombstone —
+            # a broker replay within the retention window must not
+            # resurrect the session (module header)
+            state.update((end_us, end_us, 0, hwm_json))
+            state.setTimeoutTimestamp(
+                end_us // 1000 + gap_seconds * 1000 + retention_ms
+            )
             yield _emit([(start_us, end_us, n, key[0])])
             return
         ts_us: list[int] = []
-        for pdf in pdfs:
-            ts = pd.to_datetime(pdf[ts_col]).dropna()
-            ts_us.extend((ts.astype("int64") // 1000).tolist())
+        if dedupe_by is None:
+            cur = list(state.get) if state.exists else None
+            hwm0: dict = {}
+            hwm = hwm0
+            for pdf in pdfs:
+                ts = pd.to_datetime(pdf[ts_col]).dropna()
+                ts_us.extend((ts.astype("int64") // 1000).tolist())
+        else:
+            queue_col, id_col = dedupe_by
+            prev_end_us = None
+            if state.exists:
+                start0, end0, n0, hwm_json = state.get
+                cur = [start0, end0, n0] if n0 > 0 else None
+                prev_end_us = end0
+                hwm0 = json.loads(hwm_json)
+            else:
+                cur, hwm0 = None, {}
+            hwm = dict(hwm0)
+            for pdf in pdfs:
+                fresh = _hwm_filter(
+                    pdf, queue_col, id_col, hwm0, hwm, "sessionize"
+                )
+                ts = pd.to_datetime(fresh[ts_col]).dropna()
+                ts_us.extend((ts.astype("int64") // 1000).tolist())
         closed: list = []
         if ts_us:
             ts_us.sort()
-            cur = list(state.get) if state.exists else None
             for t in ts_us:
                 if cur is None:
                     cur = [t, t, 1]
@@ -237,19 +344,54 @@ def sessionize(
                     cur[0] = min(cur[0], t)
                     cur[1] = max(cur[1], t)
                     cur[2] += 1
-            state.update((cur[0], cur[1], cur[2]))
-            # event-time timeout: fires when watermark > end + gap
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+        if dedupe_by is None:
+            if ts_us:
+                state.update((cur[0], cur[1], cur[2]))
+                # event-time timeout: fires when watermark > end + gap
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+        else:
+            # state must be (re)written even when every row was a
+            # replayed duplicate: the hwm map may have advanced, and an
+            # EventTimeTimeout is cleared on each invocation unless
+            # re-registered
+            wm_ms = state.getCurrentWatermarkMs()
+            if cur is not None:
+                state.update((cur[0], cur[1], cur[2], json.dumps(hwm)))
+                state.setTimeoutTimestamp(
+                    max(cur[1] // 1000 + gap_seconds * 1000, wm_ms + 1)
+                )
+            else:
+                # replayed-only (or all-null-ts) batch with no open
+                # session: tombstone carrying the map. closed is
+                # necessarily empty here (a close always leaves cur
+                # open on the new session), so the base is the prior
+                # tombstone's end, falling back to the watermark for a
+                # brand-new key
+                last_end_ms = (
+                    prev_end_us // 1000 if prev_end_us is not None else wm_ms
+                )
+                state.update(
+                    (last_end_ms * 1000, last_end_ms * 1000, 0, json.dumps(hwm))
+                )
+                state.setTimeoutTimestamp(
+                    max(
+                        last_end_ms + gap_seconds * 1000 + retention_ms,
+                        wm_ms + 1,
+                    )
+                )
         yield _emit(closed)
 
+    cols = list(
+        dict.fromkeys([key_col, ts_col] + (list(dedupe_by) if dedupe_by else []))
+    )
     return (
         stream.withWatermark(ts_col, watermark)
-        .select(key_col, ts_col)
+        .select(*cols)
         .groupBy(key_col)
         .applyInPandasWithState(
             update,
             _SESSION_OUT,
-            _SESSION_STATE,
+            _SESSION_STATE if dedupe_by is None else _SESSION_STATE_HWM,
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
@@ -269,6 +411,14 @@ _FUNNEL_STATE = StructType(
         StructField("last_id", LongType()),
     ]
 )
+_FUNNEL_STATE_HWM = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("last_id", LongType()),
+        StructField("hwm_json", StringType()),
+    ]
+)
 
 
 def funnel_progress(
@@ -278,6 +428,7 @@ def funnel_progress(
     type_col: str = "stage_name",
     ts_col: str = "event_time",
     id_col: str = "message_id",
+    dedupe_by: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Streaming funnel: per key, advance a stage machine as qualifying
     events arrive — stage k+1 requires an event of stages[k] strictly
@@ -299,28 +450,60 @@ def funnel_progress(
     frontier join drops). A null EVENT ID still qualifies — by
     strictly-later timestamp only — and once it is the frontier,
     same-ts events never beat it (SQL's `id > NULL` is NULL), encoded
-    by storing the +inf frontier sentinel."""
+    by storing the +inf frontier sentinel.
+
+    ``dedupe_by=(queue_col, id_col)`` closes the documented replay
+    divergence (module header; pinned by
+    test_funnel_progress_replay_semantics): the state carries a
+    per-queue hwm map and broker-replayed events are dropped before
+    the stage machine, so a straggler that was rightly skipped when
+    first delivered can never advance the machine on redelivery — the
+    online funnel stays exact w.r.t. its own no-replay semantics. In
+    dedupe mode NULL dedupe ids fail loudly (they are broker log
+    positions); the FUNNEL id column's null contract above is
+    unchanged when the two columns differ."""
     n_stages = len(stages)
     stage_of = {s: i for i, s in enumerate(stages)}
     # same-ts events never beat a null-id frontier (SQL: id > NULL is
     # NULL) -> store +inf for it; only a strictly later ts advances
     null_id_frontier = 1 << 62
+    ev_cols = list(
+        dict.fromkeys(
+            [type_col, ts_col, id_col] + (list(dedupe_by) if dedupe_by else [])
+        )
+    )
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        stage, ts_us, last_id = (
-            state.get if state.exists else (0, -(1 << 62), -1)
-        )
-        parts = [pdf[[type_col, ts_col, id_col]] for pdf in pdfs]
-        ev = pd.concat(parts) if parts else pd.DataFrame(
-            columns=[type_col, ts_col, id_col]
-        )
+        if dedupe_by is None:
+            stage, ts_us, last_id = (
+                state.get if state.exists else (0, -(1 << 62), -1)
+            )
+            hwm: dict = {}
+        else:
+            stage, ts_us, last_id, hwm_json = (
+                state.get if state.exists else (0, -(1 << 62), -1, "{}")
+            )
+            hwm = json.loads(hwm_json)
+        parts = [pdf[ev_cols] for pdf in pdfs]
+        ev = pd.concat(parts) if parts else pd.DataFrame(columns=ev_cols)
+        if dedupe_by is not None and len(ev):
+            # one contiguous log range per queue per batch: the
+            # concatenated frame can be cut against the pre-batch map
+            # in one pass (hwm advances in place)
+            ev = _hwm_filter(
+                ev, dedupe_by[0], dedupe_by[1], dict(hwm), hwm, "funnel_progress"
+            )
         if len(ev):
             # NaN ids sort LAST at equal ts (pandas default), matching
             # the batch frontier's nulls-last tie-break preference
             ev = ev.sort_values([ts_col, id_col])
-            for typ, ts, mid in ev.itertuples(index=False):
+            # project to the machine's three columns — ev may carry a
+            # dedupe queue column the unpack must not see
+            for typ, ts, mid in ev[[type_col, ts_col, id_col]].itertuples(
+                index=False
+            ):
                 if stage >= n_stages or stage_of.get(typ) != stage:
                     continue
                 t_us = pd.Timestamp(ts).value // 1000
@@ -333,14 +516,27 @@ def funnel_progress(
                 elif (t_us, int(mid)) > (ts_us, last_id):
                     stage += 1
                     ts_us, last_id = t_us, int(mid)
-        state.update((stage, ts_us, last_id))
+        if dedupe_by is None:
+            state.update((stage, ts_us, last_id))
+        else:
+            state.update((stage, ts_us, last_id, json.dumps(hwm)))
         yield pd.DataFrame({"key": [key[0]], "stage_reached": [stage]})
 
+    cols = list(
+        dict.fromkeys(
+            [key_col, type_col, ts_col, id_col]
+            + (list(dedupe_by) if dedupe_by else [])
+        )
+    )
     return (
-        stream.select(key_col, type_col, ts_col, id_col)
+        stream.select(*cols)
         .filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
-            update, _FUNNEL_OUT, _FUNNEL_STATE, "update", GroupStateTimeout.NoTimeout
+            update,
+            _FUNNEL_OUT,
+            _FUNNEL_STATE if dedupe_by is None else _FUNNEL_STATE_HWM,
+            "update",
+            GroupStateTimeout.NoTimeout,
         )
     )

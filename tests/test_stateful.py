@@ -388,6 +388,188 @@ def test_running_counts_dedupe_by_id_survives_ack_lag_replay(
     assert totals(sink)["q3"] == (16, 38)
 
 
+def test_sessionize_dedupe_by_survives_ack_lag_replay(spark, broker, tmp_path):
+    """Broker replay through sessionize (round 10, the module-header
+    hardening made executable): after an ack-rewind restart the source
+    redelivers the already-sessionized range. Raw mode merges the
+    replayed events into the open session and inflates n_events —
+    pinning the at-least-once semantic the hwm exists for — while
+    dedupe_by=(queue, id) drops them against the per-queue hwm map in
+    state and the closed session is exact. The close happens via the
+    in-batch gap split (a much-later event after the replayed range),
+    so the assertion does not depend on timeout scheduling.
+
+    Replay anatomy is the running_counts recipe: 12 messages drain in
+    4-message epochs, acks rewound to 4, restart from the same
+    checkpoint — the capped latestOffset re-bases on the broker's acked
+    position, regresses below the committed frontier, and the
+    committed-but-unacked range [8,12) redelivers.
+
+    The watermark delay is 120s, NOT the default 0: with delay 0 the
+    engine's own late-row filter (ts < restored watermark) happens to
+    absorb broker replay, because replayed events are by construction
+    older than the max event time already seen. Any nonzero lateness
+    tolerance — the realistic setting — reopens the window: replayed
+    events within the delay pass the filter and reach live state, which
+    is exactly where the hwm map must catch them."""
+    import os as _os
+    import time
+
+    import duckdb
+
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+
+    base_us = 1_700_000_000_000_000
+
+    def run_once(cp, sink, queue, **kw):
+        stream = open_stream(spark, broker, [queue], max_records_per_batch=4)
+        q = (
+            sessionize(stream, gap_seconds=30, watermark="120 seconds", **kw)
+            .writeStream.foreachBatch(make_idempotent_appender(sink))
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        # capped latestOffset can stall one poll (run_soak drain gotcha)
+        for _ in range(8):
+            q.processAllAvailable()
+            time.sleep(0.05)
+        q.stop()
+
+    def rewind_acks(queue, n):
+        with open(
+            _os.path.join(fake_broker.queue_dir(broker, queue), "acked"), "w"
+        ) as f:
+            f.write(str(n))
+
+    def closed_counts(sink):
+        rows = duckdb.connect().execute(
+            f"""SELECT n_events FROM
+                read_parquet('{sink}/*/*.parquet', hive_partitioning=1)
+                ORDER BY session_start"""
+        ).fetchall()
+        return [r[0] for r in rows]
+
+    for mode, queue, kw in (
+        ("raw", "q1", {}),
+        ("hwm", "q2", {"dedupe_by": ("destination", "message_id")}),
+    ):
+        # 12 events 1s apart: one open session (gap 30s), n_events=12
+        fake_broker.publish(
+            broker,
+            queue,
+            [f"m{i}" for i in range(12)],
+            sender_timestamp_us=[base_us + i * 1_000_000 for i in range(12)],
+        )
+        cp = str(tmp_path / f"cp_sess_{mode}")
+        sink = str(tmp_path / f"sink_sess_{mode}")
+        run_once(cp, sink, queue, **kw)  # session opens, nothing closed
+        rewind_acks(queue, 4)  # the kill window: acks trail commits
+        # the closer event: far beyond the gap -> the in-batch split
+        # closes the first session once it arrives after the replay
+        fake_broker.publish(
+            broker, queue, ["z"], sender_timestamp_us=[base_us + 100_000_000]
+        )
+        run_once(cp, sink, queue, **kw)
+        got = closed_counts(sink)
+        if mode == "raw":
+            # replayed [8,12) merged into the open session: 12 + 4 = 16
+            assert got == [16], f"expected raw replay overcount, got {got}"
+        else:
+            assert got == [12], f"hwm mode diverged: {got}"
+
+
+def test_funnel_progress_dedupe_by_stays_exact_on_replay(spark, broker, tmp_path):
+    """With dedupe_by=(queue, id) the out-of-order replay corner pinned
+    by test_funnel_progress_replay_semantics is CLOSED: the replayed
+    straggler sits at-or-below its queue's hwm and is dropped before
+    the stage machine, so the online funnel stays exact w.r.t. its own
+    no-replay semantics (stage 2, not 3). The completed in-order funnel
+    is unaffected by replay either way (stays 3) — the hwm drops
+    events that would have been no-ops anyway."""
+    import os as _os
+    import time
+
+    import duckdb
+
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.stateful import funnel_progress
+
+    base_us = 1_700_000_000_000_000
+
+    def run_once(cp, sink, queue):
+        stream = open_stream(
+            spark, broker, [queue], max_records_per_batch=1
+        ).select(
+            F.split("payload", ":")[0].alias("user"),
+            F.split("payload", ":")[1].alias("stage_name"),
+            "event_time",
+            "message_id",
+            "destination",
+        )
+        q = (
+            funnel_progress(
+                stream,
+                ("view", "click", "purchase"),
+                key_col="user",
+                dedupe_by=("destination", "message_id"),
+            )
+            .writeStream.foreachBatch(make_idempotent_appender(sink))
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        for _ in range(8):
+            q.processAllAvailable()
+            time.sleep(0.05)
+        q.stop()
+
+    def rewind_acks(queue):
+        with open(
+            _os.path.join(fake_broker.queue_dir(broker, queue), "acked"), "w"
+        ) as f:
+            f.write("0")
+
+    def stages(sink):
+        rows = duckdb.connect().execute(
+            f"""SELECT key, max(stage_reached)
+                FROM read_parquet('{sink}/*/*.parquet', hive_partitioning=1)
+                GROUP BY key"""
+        ).fetchall()
+        return {r[0]: r[1] for r in rows}
+
+    # in-order complete funnel: replay is a no-op, stage stays 3
+    fake_broker.publish(
+        broker,
+        "q1",
+        ["u1:view", "u1:click", "u1:purchase"],
+        sender_timestamp_us=[base_us, base_us + 1_000_000, base_us + 2_000_000],
+    )
+    cp, sink = str(tmp_path / "cp_dd_in"), str(tmp_path / "sink_dd_in")
+    run_once(cp, sink, "q1")
+    rewind_acks("q1")
+    run_once(cp, sink, "q1")
+    assert stages(sink)["u1"] == 3
+
+    # the out-of-order corner: delivery view@t2, purchase@t9 (skipped),
+    # click@t5 -> stage 2. The replayed purchase(id1)@t9 is <= hwm and
+    # must be DROPPED: stage stays 2 (the raw machine advances to 3 —
+    # the divergence the sibling test pins)
+    fake_broker.create_queue(broker, "qd")
+    cp, sink = str(tmp_path / "cp_dd_ooo"), str(tmp_path / "sink_dd_ooo")
+    for payload, ts in (
+        ("u2:view", base_us + 2_000_000),
+        ("u2:purchase", base_us + 9_000_000),
+        ("u2:click", base_us + 5_000_000),
+    ):
+        fake_broker.publish(broker, "qd", [payload], sender_timestamp_us=[ts])
+        run_once(cp, sink, "qd")
+    assert stages(sink)["u2"] == 2
+    rewind_acks("qd")
+    run_once(cp, sink, "qd")
+    assert stages(sink)["u2"] == 2  # replay dropped by the hwm map
+
+
 def test_running_counts_null_dedupe_id_fails_loudly(spark, tmp_path):
     """ADVICE r9: in dedupe_by mode a NULL id would fail the `> hwm`
     comparison and be silently uncounted — a divergence from raw mode
@@ -435,10 +617,10 @@ def test_funnel_progress_replay_semantics(spark, broker, tmp_path):
        machine: an event that was skipped at stage k (its type wasn't
        yet expected) and whose (ts, id) sits above the eventual
        frontier re-arrives in the replayed suffix and now advances the
-       machine. This pin documents the artifact the header tells
-       user-keyed exactness-critical pipelines to engineer around
-       (per-(key,queue) hwm); if the operator ever grows that hwm,
-       the final assertion flips to 2."""
+       machine. This pin documents the artifact of the DEFAULT raw
+       machine; the opt-in fix is dedupe_by=(queue, id) — see
+       test_funnel_progress_dedupe_by_stays_exact_on_replay, where the
+       same scenario holds at 2."""
     import duckdb
     import os as _os
     import time
