@@ -570,6 +570,96 @@ def test_funnel_progress_dedupe_by_stays_exact_on_replay(spark, broker, tmp_path
     assert stages(sink)["u2"] == 2  # replay dropped by the hwm map
 
 
+def test_funnel_dedupe_hwm_is_per_queue(spark, broker, tmp_path):
+    """The hwm must be a PER-QUEUE map, not a single long (module
+    header: message ids are monotone broker log positions PER QUEUE,
+    so id ranges OVERLAP across queues). A user funnel spanning two
+    queues pins both directions:
+
+    - q2's id 0 arrives while q1's hwm is already 1: a single-long hwm
+      would wrongly drop it as replay; the map counts it (stage 2).
+    - q1's replayed out-of-order straggler (purchase id 1, above the
+      eventual frontier — the event that advances the RAW machine to 3
+      in the sibling replay-semantics test) is dropped by q1's OWN
+      mark even though q2's mark is lower: the machine holds at 2."""
+    import os as _os
+    import time
+
+    import duckdb
+
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.stateful import funnel_progress
+
+    base_us = 1_700_000_000_000_000
+    cp = str(tmp_path / "cp_xq")
+    sink = str(tmp_path / "sink_xq")
+
+    def run_once():
+        # cap 1: lets the ack rewind regress the planned offset below
+        # the committed frontier (the replay anatomy — see
+        # test_funnel_progress_replay_semantics)
+        stream = open_stream(
+            spark, broker, ["q1", "q2"], max_records_per_batch=1
+        ).select(
+            F.split("payload", ":")[0].alias("user"),
+            F.split("payload", ":")[1].alias("stage_name"),
+            "event_time",
+            "message_id",
+            "destination",
+        )
+        q = (
+            funnel_progress(
+                stream,
+                ("view", "click", "purchase"),
+                key_col="user",
+                dedupe_by=("destination", "message_id"),
+            )
+            .writeStream.foreachBatch(make_idempotent_appender(sink))
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        for _ in range(8):
+            q.processAllAvailable()
+            time.sleep(0.05)
+        q.stop()
+
+    def stage():
+        return duckdb.connect().execute(
+            f"""SELECT max(stage_reached)
+                FROM read_parquet('{sink}/*/*.parquet', hive_partitioning=1)"""
+        ).fetchone()[0]
+
+    # q1: view@t2 (id 0) -> stage 1; purchase@t9 (id 1) skipped (click
+    # expected); q1 hwm = 1
+    fake_broker.publish(
+        broker, "q1", ["u1:view"], sender_timestamp_us=[base_us + 2_000_000]
+    )
+    run_once()
+    assert stage() == 1
+    fake_broker.publish(
+        broker, "q1", ["u1:purchase"], sender_timestamp_us=[base_us + 9_000_000]
+    )
+    run_once()
+    assert stage() == 1
+    # q2 id 0: the single-long-hwm trap — 0 <= q1's mark (1) but on a
+    # DIFFERENT queue; the map must count it -> stage 2, frontier t5
+    fake_broker.publish(
+        broker, "q2", ["u1:click"], sender_timestamp_us=[base_us + 5_000_000]
+    )
+    run_once()
+    assert stage() == 2
+    # replay q1: the redelivered purchase(id 1)@t9 is now the expected
+    # type above the frontier — the RAW machine advances to 3 (sibling
+    # test); q1's own mark drops it and the machine holds
+    with open(
+        _os.path.join(fake_broker.queue_dir(broker, "q1"), "acked"), "w"
+    ) as f:
+        f.write("0")
+    run_once()
+    assert stage() == 2
+
+
 def test_running_counts_null_dedupe_id_fails_loudly(spark, tmp_path):
     """ADVICE r9: in dedupe_by mode a NULL id would fail the `> hwm`
     comparison and be silently uncounted — a divergence from raw mode
