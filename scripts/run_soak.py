@@ -319,6 +319,210 @@ def stateful_kill_restart_soak(n: int, k: int) -> None:
     print(json.dumps(out))
 
 
+# sessionize soak constants — the session structure IS the ground
+# truth, so both the publisher and the verifier derive from these
+_SESS_BASE_US = 1_700_000_000_000_000
+_SESS_G = 50  # events per session
+_SESS_JUMP_S = 130  # inter-session jump (> gap 30 -> in-batch split)
+
+
+def _sess_ts_us(i: int) -> int:
+    """Event-time of the i-th message in a queue's session stream:
+    1 s apart within a session, a 130 s jump between sessions."""
+    return _SESS_BASE_US + (i + (i // _SESS_G) * _SESS_JUMP_S) * 1_000_000
+
+
+def _publish_sessions(broker: str, queues: list[str], per_q: int) -> None:
+    for q in queues:
+        fake_broker.create_queue(broker, q)
+        fake_broker.publish(
+            broker,
+            q,
+            [f"{q} msg {i}" for i in range(per_q)],
+            sender_timestamp_us=[_sess_ts_us(i) for i in range(per_q)],
+        )
+
+
+def sessionize_drain_phase(work: str, k: int, max_per_batch: int) -> None:
+    """Child process for the SESSIONIZE soak (round 10): the graph
+    carries the EventTimeTimeout sessionizer with the per-(key,queue)
+    hwm map, at the nonzero watermark delay where broker replay
+    actually reaches live state (see sessionize's docstring). Closed
+    sessions flow append-mode to the idempotent sink."""
+    import uuid
+
+    from solace_apache_beam_spark.session import get_spark
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.pipelines import open_stream
+    from solace_apache_beam_spark.streaming.stateful import sessionize
+
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    broker_dir = os.path.join(work, "broker")
+    spark = get_spark("soak_sessionize_phase")
+    stream = open_stream(
+        spark, broker_dir, queues, max_records_per_batch=max_per_batch
+    )
+    q = (
+        sessionize(
+            stream,
+            gap_seconds=30,
+            watermark="120 seconds",
+            dedupe_by=("destination", "message_id"),
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(make_idempotent_appender(os.path.join(work, "sink")))
+        .option("checkpointLocation", os.path.join(work, "cp"))
+        .start()
+    )
+
+    def _undelivered() -> int:
+        return sum(
+            fake_broker.message_count(broker_dir, qq)
+            - fake_broker.delivered_watermark(broker_dir, qq)
+            for qq in queues
+        )
+
+    t0 = time.monotonic()
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    # flush far beyond the last session: closes it via in-batch split
+    # AND finalizes the last data epoch's deferred acks
+    tag = uuid.uuid4().hex[:8]
+    per_q_published = fake_broker.message_count(broker_dir, queues[0])
+    flush_us = _sess_ts_us(per_q_published) + 10_000 * 1_000_000
+    for qq in queues:
+        fake_broker.publish(
+            broker_dir,
+            qq,
+            [f"__flush__ {qq} {tag}"],
+            sender_timestamp_us=[flush_us],
+        )
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    elapsed = time.monotonic() - t0
+    q.stop()
+    with open(os.path.join(work, "DONE"), "w") as f:
+        f.write(str(round(elapsed, 2)))
+
+
+def sessionize_kill_restart_soak(n: int, k: int) -> None:
+    """Kill-restart soak THROUGH the hwm sessionizer. The evidence is
+    session-level exactness: every queue's closed sessions must EXACTLY
+    match the arithmetic session partition of its published stream —
+    same starts, same ends, same n_events, no duplicates, no misses.
+    A replayed range applied to live state would inflate n_events or
+    resurrect a closed session; lost state would drop or fragment one.
+    Runs at watermark delay 120 s, where the engine's late-row filter
+    does NOT absorb the replay (the realistic late-data setting)."""
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    per_q = n // k
+    work = tempfile.mkdtemp(prefix="soak_sess_")
+    broker = os.path.join(work, "broker")
+    _publish_sessions(broker, queues, per_q)
+    sink = os.path.join(work, "sink")
+    max_per_batch = max(1, per_q // 25)
+
+    def _spawn() -> subprocess.Popen:
+        return subprocess.Popen(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--phase-sessionize",
+                work,
+                str(k),
+                str(max_per_batch),
+            ],
+            start_new_session=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def _epochs() -> int:
+        try:
+            return len(
+                [d for d in os.listdir(sink) if d.startswith("_epoch_id=")]
+            )
+        except FileNotFoundError:
+            return 0
+
+    t_all = time.monotonic()
+    p1 = _spawn()
+    deadline = time.monotonic() + 600
+    while time.monotonic() < deadline:
+        if os.path.exists(os.path.join(work, "DONE")):
+            raise SystemExit(
+                "drain finished before the kill — lower max_per_batch"
+            )
+        if _epochs() >= 3:
+            break
+        time.sleep(0.2)
+    epochs_at_kill = _epochs()
+    os.killpg(os.getpgid(p1.pid), signal.SIGKILL)
+    p1.wait()
+
+    p2 = _spawn()
+    rc = p2.wait(timeout=600)
+    assert rc == 0, f"restart phase failed rc={rc}"
+    assert os.path.exists(os.path.join(work, "DONE"))
+    total_s = time.monotonic() - t_all
+
+    # expected closed sessions per queue, from the publishing arithmetic
+    # (the flush closes the last real session; the flush's own
+    # 1-event session stays open and must NOT appear at the sink)
+    n_sessions = (per_q + _SESS_G - 1) // _SESS_G
+    expected = set()
+    for qq in queues:
+        for s in range(n_sessions):
+            lo, hi = s * _SESS_G, min((s + 1) * _SESS_G, per_q)
+            expected.add(
+                (qq, _sess_ts_us(lo), _sess_ts_us(hi - 1), hi - lo)
+            )
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"""SELECT key, CAST(epoch_us(session_start) AS BIGINT),
+                       CAST(epoch_us(session_end) AS BIGINT),
+                       CAST(n_events AS BIGINT), count(*) AS emitted
+                FROM read_parquet('{sink}/*/*.parquet', hive_partitioning=1)
+                GROUP BY 1, 2, 3, 4"""
+        )
+        .fetchall()
+    )
+    got = {tuple(r[:4]) for r in rows}
+    dupes = [r for r in rows if r[4] > 1]
+    acked = sum(fake_broker.acked_count(broker, qq) for qq in queues)
+    out = {
+        "mode": "sessionize",
+        "messages": per_q * k,
+        "queues": k,
+        "epochs_at_kill": epochs_at_kill,
+        "sessions_expected": len(expected),
+        "sessions_at_sink": len(got),
+        "duplicate_rows": len(dupes),
+        "sessions_exact": got == expected,
+        "acked": acked,
+        "total_s": round(total_s, 2),
+        "msg_per_s": round(per_q * k / total_s),
+    }
+    assert not dupes, f"duplicate session emissions: {dupes[:3]}"
+    assert got == expected, (
+        f"sessions diverged: missing={list(expected - got)[:3]} "
+        f"extra={list(got - expected)[:3]}"
+    )
+    for qq in queues:
+        a = fake_broker.acked_count(broker, qq)
+        assert a >= per_q, f"{qq}: only {a}/{per_q} real messages acked"
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def kill_restart_soak(n: int, k: int) -> None:
     queues = [f"q{i}" for i in range(1, k + 1)]
     per_q = n // k
@@ -439,11 +643,19 @@ def main() -> None:
             sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3])
         )
         return
+    if "--phase-sessionize" in sys.argv:
+        i = sys.argv.index("--phase-sessionize")
+        sessionize_drain_phase(
+            sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3])
+        )
+        return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 100_000
     k = int(args[1]) if len(args) > 1 else 4
     if "--stateful" in sys.argv:
         stateful_kill_restart_soak(n, k)
+    elif "--sessionize" in sys.argv:
+        sessionize_kill_restart_soak(n, k)
     elif "--kill-restart" in sys.argv:
         kill_restart_soak(n, k)
     else:
