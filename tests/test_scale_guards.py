@@ -628,6 +628,38 @@ def test_neardup_auto_dispatches_both_sides_of_the_horizon(spark):
         h.plan_caches.unpersist()
 
 
+def test_neardup_auto_routes_sparse_ids_to_lsh_end_to_end(spark):
+    """The ADVICE r9 medium scenario, end-to-end: 70 vectors whose ids
+    sit one per default-block-size range — the ROW count says 1 block
+    (the old routing would stay exact and pack 70 near-empty blocks:
+    2,485 matmul tasks for 70 vectors), the real block population is 70
+    > 64, so auto must dispatch to LSH. The derived plane count at this
+    corpus size is 0 (one global bucket), so the LSH-side output is
+    provably exact and the dispatch verifies with no recall noise —
+    including that _bucketed_threshold_pairs' row_number sub-blocking
+    is indifferent to the sparse id domain."""
+    import numpy as np
+
+    from solace_apache_beam_spark.llm.similarity import neardup_pairs
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(0, 1, (14, 8))
+    rows = [
+        ((5 * i + j) * 4096, (base[i] + rng.normal(0, 0.05, 8)).tolist())
+        for i in range(14)
+        for j in range(5)
+    ]  # 70 vectors, ids 0, 4096, 8192, ... — one per id-range block
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = neardup_pairs(df, threshold=0.4)
+    auto = neardup_pairs(df, threshold=0.4, route="auto")
+    e = sorted(map(tuple, exact.collect()))
+    a = sorted(map(tuple, auto.collect()))
+    assert e == a and len(e) > 0
+    exact.plan_caches.unpersist()
+    auto.plan_caches.unpersist()
+
+
 def test_neardup_recall_info_surfaces_measured_points():
     """The angular-recall trade must be programmatic at call sites
     (the ann_recall_info pattern): nearest measured corpus point,
