@@ -163,3 +163,78 @@ def test_streaming_dedup_matches_batch_distinct(spark, n_q1, n_q2):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# ---------------------------------------------------------------------------
+# Pure-pandas property: the per-(key,queue) hwm filter algebra (round 10)
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=n_examples(200, 40),
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.data())
+def test_hwm_filter_exactly_once_under_replay_and_chunk_shuffle(data):
+    """Model-checks the hwm-map algebra shared by running_counts /
+    sessionize / funnel_progress (streaming/stateful._hwm_filter)
+    against its exactly-once contract, with no Spark in the loop:
+
+    per queue the broker delivers a monotone id log; epochs deliver
+    contiguous ranges; a replay REWINDS the next delivery position to
+    any earlier point (the ack-lag anatomy — redelivering a suffix of
+    already-delivered ids before fresh ones); within an epoch the rows
+    arrive as arbitrarily split, arbitrarily ORDERED chunks (the
+    unordered-chunk property the pre-batch filter exists for). The
+    filtered union must apply every delivered id EXACTLY once."""
+    import pandas as pd
+
+    from solace_apache_beam_spark.streaming.stateful import _hwm_filter
+
+    rng = data.draw(st.randoms(use_true_random=False))
+    queues = data.draw(st.integers(min_value=1, max_value=3))
+    n_epochs = data.draw(st.integers(min_value=1, max_value=6))
+
+    next_pos = {f"q{i}": 0 for i in range(queues)}
+    hwm: dict = {}
+    applied: dict[str, list[int]] = {f"q{i}": [] for i in range(queues)}
+
+    for _ in range(n_epochs):
+        # build this epoch's delivery: per queue, optionally rewind
+        # (replay), then deliver a contiguous range from the position
+        rows = []
+        for q in next_pos:
+            if next_pos[q] > 0 and data.draw(st.booleans()):
+                start = data.draw(
+                    st.integers(min_value=0, max_value=next_pos[q] - 1)
+                )
+            else:
+                start = next_pos[q]
+            count = data.draw(st.integers(min_value=0, max_value=8))
+            end = max(next_pos[q], start + count)
+            rows += [(q, i) for i in range(start, max(end, start))]
+            next_pos[q] = end
+        if not rows:
+            continue
+        # arbitrary chunk split + arbitrary chunk order
+        rng.shuffle(rows)
+        n_chunks = data.draw(st.integers(min_value=1, max_value=4))
+        chunks = [rows[i::n_chunks] for i in range(n_chunks)]
+        hwm0 = dict(hwm)
+        hwm_new = dict(hwm0)
+        for chunk in chunks:
+            if not chunk:
+                continue
+            pdf = pd.DataFrame(chunk, columns=["queue", "mid"])
+            fresh = _hwm_filter(pdf, "queue", "mid", hwm0, hwm_new, "prop")
+            for q, i in fresh.itertuples(index=False):
+                applied[q].append(int(i))
+        hwm = hwm_new
+
+    for q, ids in applied.items():
+        assert sorted(ids) == list(range(next_pos[q])), (
+            f"{q}: applied {sorted(ids)} != exactly-once "
+            f"[0, {next_pos[q]})"
+        )
+        assert hwm.get(q, -1) == next_pos[q] - 1
