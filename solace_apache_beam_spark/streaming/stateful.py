@@ -299,10 +299,16 @@ def sessionize(
                 return
             # close the session but RETAIN the hwm map as a tombstone —
             # a broker replay within the retention window must not
-            # resurrect the session (module header)
+            # resurrect the session (module header). Clamp above the
+            # watermark: by the time this timeout fires the watermark
+            # may already sit past end+gap+retention, and Spark rejects
+            # a timeout at-or-below it
             state.update((end_us, end_us, 0, hwm_json))
             state.setTimeoutTimestamp(
-                end_us // 1000 + gap_seconds * 1000 + retention_ms
+                max(
+                    end_us // 1000 + gap_seconds * 1000 + retention_ms,
+                    state.getCurrentWatermarkMs() + 1,
+                )
             )
             yield _emit([(start_us, end_us, n, key[0])])
             return

@@ -570,6 +570,77 @@ def test_funnel_progress_dedupe_by_stays_exact_on_replay(spark, broker, tmp_path
     assert stages(sink)["u2"] == 2  # replay dropped by the hwm map
 
 
+def test_sessionize_dedupe_timeout_close_and_tombstone_eviction(spark, broker, tmp_path):
+    """The EventTimeTimeout close path in dedupe mode, with a SHORT
+    retention so both tombstone transitions run:
+
+    1. q2 traffic advances the global watermark past q1's end+gap; the
+       timed-out close must emit q1's session once and leave the hwm
+       tombstone. With retention=1s the tombstone's natural timeout
+       (end+gap+retention) is ALREADY at-or-below the watermark at
+       close time — Spark rejects such a timestamp, so this pins the
+       watermark clamp in the hasTimedOut branch (unclamped: the close
+       batch crashes the query).
+    2. further q2 traffic fires the tombstone's own timeout (n=0):
+       final eviction, no emission — exactly one q1 row ever lands."""
+    base_us = 1_700_000_000_000_000
+    fake_broker.publish(
+        broker,
+        "q1",
+        ["a", "b", "c"],
+        sender_timestamp_us=[base_us, base_us + 1_000_000, base_us + 2_000_000],
+    )
+    stream = open_stream(spark, broker, ["q1", "q2"])
+    q = (
+        sessionize(
+            stream,
+            gap_seconds=30,
+            watermark="120 seconds",
+            dedupe_by=("destination", "message_id"),
+            dedupe_retention_seconds=1,
+        )
+        .writeStream.format("memory")
+        .queryName("sess_tomb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_tomb"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM sess_tomb").count() == 0  # open
+    # wm -> (t0+155)-120 = t0+35 > q1 end+gap (t0+32); the next batch
+    # evaluates q1's timeout: close + tombstone, clamp exercised
+    # (t0+33 <= wm)
+    fake_broker.publish(
+        broker, "q2", ["w1"], sender_timestamp_us=[base_us + 155_000_000]
+    )
+    q.processAllAvailable()
+    fake_broker.publish(
+        broker, "q2", ["w2"], sender_timestamp_us=[base_us + 156_000_000]
+    )
+    q.processAllAvailable()
+    assert q.exception() is None
+    rows = spark.sql(
+        "SELECT n_events FROM sess_tomb WHERE key = 'q1'"
+    ).collect()
+    assert [r.n_events for r in rows] == [3]
+    # advance further: the tombstone's own timeout fires -> eviction,
+    # nothing new emitted for q1
+    fake_broker.publish(
+        broker, "q2", ["w3"], sender_timestamp_us=[base_us + 400_000_000]
+    )
+    q.processAllAvailable()
+    fake_broker.publish(
+        broker, "q2", ["w4"], sender_timestamp_us=[base_us + 401_000_000]
+    )
+    q.processAllAvailable()
+    assert q.exception() is None
+    q.stop()
+    assert (
+        spark.sql("SELECT count(*) c FROM sess_tomb WHERE key = 'q1'").collect()[0].c
+        == 1
+    )
+
+
 def test_funnel_dedupe_hwm_is_per_queue(spark, broker, tmp_path):
     """The hwm must be a PER-QUEUE map, not a single long (module
     header: message ids are monotone broker log positions PER QUEUE,
