@@ -76,12 +76,21 @@ def _hwm_filter(
     the pre-batch mark is the only correct cut (see running_counts).
     NULL ids fail loudly: the id is a broker log position, a NULL means
     the stream is mis-wired and the row would otherwise be silently
-    dropped (ADVICE r9)."""
+    dropped (ADVICE r9). NULL queues fail for the symmetric reason —
+    pandas' groupby silently drops NaN groups, so a NULL-queue row
+    would BYPASS dedup entirely (kept, never filtered, never advancing
+    any mark)."""
     ids = pdf[id_col]
     if ids.isna().any():
         raise ValueError(
             f"{op}(dedupe_by=({queue_col!r}, {id_col!r})): NULL id — the "
             "dedupe column is a broker log position and must be non-null"
+        )
+    if pdf[queue_col].isna().any():
+        raise ValueError(
+            f"{op}(dedupe_by=({queue_col!r}, {id_col!r})): NULL queue — "
+            "the queue column names the broker log the id positions into "
+            "and must be non-null"
         )
     keep = pd.Series(True, index=pdf.index)
     for q, grp in pdf.groupby(queue_col, sort=False):

@@ -238,3 +238,23 @@ def test_hwm_filter_exactly_once_under_replay_and_chunk_shuffle(data):
             f"[0, {next_pos[q]})"
         )
         assert hwm.get(q, -1) == next_pos[q] - 1
+
+
+def test_hwm_filter_rejects_null_queue_and_null_id():
+    """Both dedupe columns fail loudly on NULLs: a NULL id would be
+    silently uncounted (ADVICE r9), and a NULL queue would silently
+    BYPASS dedup (pandas groupby drops NaN groups — the row would stay
+    kept, never filtered, never advancing any mark)."""
+    import pandas as pd
+    import pytest
+
+    from solace_apache_beam_spark.streaming.stateful import _hwm_filter
+
+    with pytest.raises(ValueError, match="NULL id"):
+        _hwm_filter(
+            pd.DataFrame({"q": ["a"], "mid": [None]}), "q", "mid", {}, {}, "t"
+        )
+    with pytest.raises(ValueError, match="NULL queue"):
+        _hwm_filter(
+            pd.DataFrame({"q": [None], "mid": [1]}), "q", "mid", {}, {}, "t"
+        )
