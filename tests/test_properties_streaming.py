@@ -258,3 +258,119 @@ def test_hwm_filter_rejects_null_queue_and_null_id():
         _hwm_filter(
             pd.DataFrame({"q": [None], "mid": [1]}), "q", "mid", {}, {}, "t"
         )
+
+
+# ---------------------------------------------------------------------------
+# Randomized sessionize differential vs a pure-Python gap partition
+# ---------------------------------------------------------------------------
+
+
+def _gap_partition(ts_list: list[int], gap: int) -> list[tuple[int, int, int]]:
+    """Reference sessionization: (start, end, n) per session of a
+    SORTED per-key timestamp list with the operator's gap rule
+    (strictly more than `gap` seconds apart -> new session)."""
+    out = []
+    cur = None
+    for t in sorted(ts_list):
+        if cur is None:
+            cur = [t, t, 1]
+        elif t > cur[1] + gap:
+            out.append(tuple(cur))
+            cur = [t, t, 1]
+        else:
+            cur[1] = t
+            cur[2] += 1
+    if cur is not None:
+        out.append(tuple(cur))
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    offsets=st.lists(
+        st.tuples(
+            st.sampled_from(["q1", "q2"]),  # key == queue (2 keys)
+            st.integers(0, 300),  # event time, seconds
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    dedupe=st.booleans(),
+)
+def test_streaming_sessionize_matches_gap_partition(spark, offsets, dedupe):
+    """Randomized differential for sessionize (round 10): random event
+    streams over two keys, delivered in per-key time order across TWO
+    microbatches, against an independent pure-Python gap partition.
+
+    Closure semantics bound the comparison deterministically: every
+    non-final session of a key is guaranteed closed (a later same-key
+    event sits > gap after it — split close), a key's FINAL session may
+    or may not have closed via timeout depending on batch scheduling,
+    so: split_closed ⊆ emitted ⊆ all_sessions, with exact
+    (start, end, n_events) on everything emitted and no duplicates.
+
+    `dedupe` runs the same stream through the hwm-map path — without
+    replay the filter must be a provable no-op (same differential)."""
+    from solace_apache_beam_spark.streaming.stateful import sessionize
+
+    tmp = tempfile.mkdtemp(prefix="propsess_")
+    per_key: dict[str, list[int]] = {"q1": [], "q2": []}
+    for k, t in offsets:
+        per_key[k].append(t)
+    for k in per_key:
+        per_key[k].sort()  # delivered in time order per key
+        fake_broker.create_queue(tmp, k)
+
+    # wave 1 = first half of each key's stream, wave 2 = the rest —
+    # sessions must merge/split identically across the batch boundary
+    def publish(wave: int) -> None:
+        for k, ts in per_key.items():
+            half = (len(ts) + 1) // 2
+            chunk = ts[:half] if wave == 0 else ts[half:]
+            if chunk:
+                fake_broker.publish(
+                    tmp,
+                    k,
+                    [f"m{t}" for t in chunk],
+                    sender_timestamp_us=[
+                        _BASE_US + t * 1_000_000 for t in chunk
+                    ],
+                )
+
+    publish(0)
+    stream = open_stream(spark, tmp, ["q1", "q2"], use_sender_timestamp=True)
+    kw = {"dedupe_by": ("destination", "message_id")} if dedupe else {}
+    name = f"propsess_{next(_seq)}"
+    q = (
+        sessionize(stream, gap_seconds=30, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    publish(1)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql(
+        f"SELECT key, session_start, session_end, n_events FROM {name}"
+    ).collect()
+    emitted: dict[str, list[tuple[int, int, int]]] = {"q1": [], "q2": []}
+    for r in rows:
+        emitted[r.key].append(
+            (
+                int(r.session_start.timestamp() - _BASE_US / 1_000_000),
+                int(r.session_end.timestamp() - _BASE_US / 1_000_000),
+                r.n_events,
+            )
+        )
+    for k, ts in per_key.items():
+        want = _gap_partition(ts, 30)
+        got = sorted(emitted[k])
+        assert len(got) == len(set(got)), f"{k}: duplicate sessions {got}"
+        must_close = want[:-1]  # every non-final session splits closed
+        assert set(must_close) <= set(got) <= set(want), (
+            f"{k}: emitted {got}, required {must_close}, allowed {want}"
+        )
