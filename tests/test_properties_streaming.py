@@ -302,12 +302,14 @@ def test_streaming_sessionize_matches_gap_partition(spark, offsets, dedupe):
     streams over two keys, delivered in per-key time order across TWO
     microbatches, against an independent pure-Python gap partition.
 
-    Closure semantics bound the comparison deterministically: every
-    non-final session of a key is guaranteed closed (a later same-key
-    event sits > gap after it — split close), a key's FINAL session may
-    or may not have closed via timeout depending on batch scheduling,
-    so: split_closed ⊆ emitted ⊆ all_sessions, with exact
-    (start, end, n_events) on everything emitted and no duplicates.
+    The watermark delay (600 s) exceeds the whole event-time domain
+    (300 s), which makes the comparison EXACT: the engine's late-row
+    filter can never drop a cross-batch event (found by this very
+    differential at delay 0 — a wave-2 event at ts == the restored
+    watermark is engine-dropped before the operator sees it), and no
+    timeout can fire (wm = max-600 < any end+gap), so the emitted set
+    is precisely the split-closed sessions: every session of a key
+    except its final one, with exact (start, end, n_events).
 
     `dedupe` runs the same stream through the hwm-map path — without
     replay the filter must be a provable no-op (same differential)."""
@@ -342,7 +344,7 @@ def test_streaming_sessionize_matches_gap_partition(spark, offsets, dedupe):
     kw = {"dedupe_by": ("destination", "message_id")} if dedupe else {}
     name = f"propsess_{next(_seq)}"
     q = (
-        sessionize(stream, gap_seconds=30, **kw)
+        sessionize(stream, gap_seconds=30, watermark="600 seconds", **kw)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -369,8 +371,7 @@ def test_streaming_sessionize_matches_gap_partition(spark, offsets, dedupe):
     for k, ts in per_key.items():
         want = _gap_partition(ts, 30)
         got = sorted(emitted[k])
-        assert len(got) == len(set(got)), f"{k}: duplicate sessions {got}"
         must_close = want[:-1]  # every non-final session splits closed
-        assert set(must_close) <= set(got) <= set(want), (
-            f"{k}: emitted {got}, required {must_close}, allowed {want}"
+        assert got == must_close, (
+            f"{k}: emitted {got}, expected exactly {must_close} (of {want})"
         )
