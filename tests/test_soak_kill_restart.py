@@ -81,3 +81,34 @@ def test_stateful_kill_restart_state_restored_exactly():
     assert out["per_key_totals_exact"] is True
     assert out["epochs_at_kill"] >= 3
     assert out["acked"] >= 4000
+
+
+@soak_tier
+def test_sessionize_kill_restart_sessions_exact():
+    """The sessionize sibling (round 10): the EventTimeTimeout
+    sessionizer with the per-(key,queue) hwm map sits between the
+    source and the idempotent sink at a nonzero watermark delay (the
+    setting where broker replay actually reaches live state). The
+    script recomputes every expected (key, start, end, n_events) from
+    its publishing arithmetic — exact set equality, zero duplicate
+    emissions, through a mid-drain process-group SIGKILL."""
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_soak.py"),
+            "4000",
+            "2",
+            "--sessionize",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["sessions_exact"] is True
+    assert out["duplicate_rows"] == 0
+    assert out["sessions_at_sink"] == out["sessions_expected"] == 80
+    assert out["epochs_at_kill"] >= 3
+    assert out["acked"] >= 4000
