@@ -590,6 +590,33 @@ def neardup_corpus_stats(
     return int(row["n"]), int(row["n_blocks"])
 
 
+def neardup_route_info(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_size: int = 4096,
+    n_tables: int = 4,
+) -> dict:
+    """One-call observability for the auto route (the planner's
+    ``EXPLAIN`` for near-dup): what ``neardup_pairs(route="auto")``
+    will decide for THIS corpus, what the exact plan would cost in
+    block-pair matmuls, and — on the LSH route — the measured angular
+    recall contract the escape buys (:func:`neardup_recall_info`).
+    Costs the same single aggregate job the auto route itself pays."""
+    n, n_blocks = neardup_corpus_stats(df, vec_col, id_col, block_size)
+    route = neardup_auto_route(n_blocks)
+    info = {
+        "n_vectors": n,
+        "n_blocks": n_blocks,
+        "route": route,
+        "exact_block_pairs": n_blocks * (n_blocks + 1) // 2,
+        "horizon_blocks": NEARDUP_MAX_EXACT_BLOCKS,
+    }
+    if route == "lsh":
+        info["recall"] = neardup_recall_info(n_tables, n)
+    return info
+
+
 def neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -692,3 +692,28 @@ def test_neardup_recall_info_bounds_are_directional():
     assert "ceiling" in r1["preset"] and "L=2" in r1["preset"]
     r8 = neardup_recall_info(8, 20_000)
     assert "floor" in r8["preset"] and "L=4" in r8["preset"]
+
+
+def test_neardup_route_info_surfaces_decision_and_recall(spark):
+    """The route's EXPLAIN surface: stats + decision + exact-plan cost,
+    and on the LSH route the measured recall contract — programmatic at
+    call sites like ann_recall_info / neardup_recall_info."""
+    from solace_apache_beam_spark.llm.similarity import neardup_route_info
+
+    bs = 4096
+    dense = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    info = neardup_route_info(dense, block_size=bs)
+    assert info["route"] == "exact" and info["n_blocks"] == 1
+    assert info["exact_block_pairs"] == 1 and "recall" not in info
+
+    sparse = spark.createDataFrame(
+        [(i * bs, [1.0, float(i)]) for i in range(70)],
+        "vec_id long, embedding array<double>",
+    )
+    info = neardup_route_info(sparse, block_size=bs, n_tables=4)
+    assert info["route"] == "lsh" and info["n_blocks"] == 70
+    assert info["exact_block_pairs"] == 70 * 71 // 2
+    assert info["recall"]["recall_band_08_10"] >= 0.99
