@@ -1,7 +1,16 @@
 """Stateful streaming operator tests (applyInPandasWithState) driven
-through the fake broker + solace source end-to-end."""
+through the fake broker + solace source end-to-end.
+
+The three heaviest replay differentials (~130 s combined: each drives
+multiple full query restarts at batch cap 1-4) run in the FULL tier
+(SPARK_GRAFT_FUZZ_FULL=1 — scripts/preflight sets it, so they are
+exercised before every snapshot); the quick tier keeps the cheap pins
+of the same machinery (hwm algebra property, NULL-id/queue loud
+failures, timeout/tombstone path, raw running_counts replay)."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -9,6 +18,12 @@ from pyspark.sql import functions as F
 from solace_apache_beam_spark.sources import fake_broker
 from solace_apache_beam_spark.streaming.pipelines import open_stream
 from solace_apache_beam_spark.streaming.stateful import running_counts, sessionize
+
+
+full_tier = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FUZZ_FULL") != "1",
+    reason="full tier: set SPARK_GRAFT_FUZZ_FULL=1 (preflight does)",
+)
 
 
 @pytest.fixture()
@@ -388,6 +403,7 @@ def test_running_counts_dedupe_by_id_survives_ack_lag_replay(
     assert totals(sink)["q3"] == (16, 38)
 
 
+@full_tier
 def test_sessionize_dedupe_by_survives_ack_lag_replay(spark, broker, tmp_path):
     """Broker replay through sessionize (round 10, the module-header
     hardening made executable): after an ack-rewind restart the source
@@ -479,6 +495,7 @@ def test_sessionize_dedupe_by_survives_ack_lag_replay(spark, broker, tmp_path):
             assert got == [12], f"hwm mode diverged: {got}"
 
 
+@full_tier
 def test_funnel_progress_dedupe_by_stays_exact_on_replay(spark, broker, tmp_path):
     """With dedupe_by=(queue, id) the out-of-order replay corner pinned
     by test_funnel_progress_replay_semantics is CLOSED: the replayed
@@ -641,6 +658,7 @@ def test_sessionize_dedupe_timeout_close_and_tombstone_eviction(spark, broker, t
     )
 
 
+@full_tier
 def test_funnel_dedupe_hwm_is_per_queue(spark, broker, tmp_path):
     """The hwm must be a PER-QUEUE map, not a single long (module
     header: message ids are monotone broker log positions PER QUEUE,
