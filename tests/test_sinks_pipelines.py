@@ -624,3 +624,26 @@ def test_compact_epochs_keeps_epochs_committed_during_compaction(
     back = spark.read.parquet(table)
     assert sorted(r.v for r in back.collect()) == list(range(40))
     assert not os.path.exists(table + ".bak")
+
+
+def test_write_training_shards_observation_fallback(spark, tmp_path, monkeypatch):
+    """The stats must survive Observation.get failing (the known
+    large-AQE-plan row-conversion issue): the fallback recomputes both
+    counts from column-pruned id-only scans and reports identically."""
+    import pyspark.sql.observation as obs_mod
+
+    from solace_apache_beam_spark.sinks.warehouse import write_training_shards
+
+    monkeypatch.setattr(
+        obs_mod.Observation,
+        "get",
+        property(lambda self: (_ for _ in ()).throw(AssertionError("boom"))),
+    )
+    df = spark.range(40).select(
+        F.when(F.col("id") % 8 == 0, None).otherwise(F.col("id")).alias("doc_id"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "shards_fb")
+    stats = write_training_shards(df, out, "doc_id", n_shards=2)
+    assert stats == {"rows_written": 35, "rows_dropped_null_id": 5}
+    assert spark.read.parquet(out).count() == 35
