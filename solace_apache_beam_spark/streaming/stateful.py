@@ -364,6 +364,24 @@ def sessionize(
                 state.update((cur[0], cur[1], cur[2]))
                 # event-time timeout: fires when watermark > end + gap
                 state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+            elif state.exists:
+                # defense-in-depth: GroupState's contract resets a
+                # key's timeout on every invocation, so an invocation
+                # with no usable timestamps (all-null ts) must
+                # re-register it or the open session never closes.
+                # Measured (test_sessionize_timeout_survives_null_ts_
+                # batch): the engine's watermark filter already drops
+                # null-ts rows before a WATERMARKED stateful operator
+                # (the lateness predicate is NULL), so this branch is
+                # unreachable through sessionize's own plan — kept
+                # because the contract is per-invocation, not per-plan
+                _, end0, _ = state.get
+                state.setTimeoutTimestamp(
+                    max(
+                        end0 // 1000 + gap_seconds * 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
         else:
             # state must be (re)written even when every row was a
             # replayed duplicate: the hwm map may have advanced, and an

@@ -883,3 +883,53 @@ def test_funnel_progress_replay_semantics(spark, broker, tmp_path):
     rewind_acks("qo")
     run_once(cp, sink, "qo")
     assert stages(sink)["u2"] == 3  # the documented replay divergence
+
+
+def test_sessionize_timeout_survives_null_ts_batch(spark, tmp_path):
+    """Observable contract (round-10 review): a batch whose rows for a
+    key all carry NULL timestamps must not prevent the key's open
+    session from closing. Two layers deliver it, and this pins the
+    outcome whichever fires: the engine's watermark filter drops
+    null-ts rows before any WATERMARKED stateful operator (the
+    lateness predicate is NULL — measured: this test passes with the
+    updater's re-register branch disabled, i.e. the poison invocation
+    never happens through sessionize's own plan), and the updater
+    re-registers the timeout on any no-usable-timestamp invocation as
+    defense-in-depth (GroupState's contract resets timeouts per
+    invocation). Driven through a file stream — the broker source
+    cannot produce null event times."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "destination string, event_time timestamp"
+    src = str(tmp_path / "sess_nullts_src")
+
+    def wave(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    wave([("k1", t0), ("k1", t0 + dt.timedelta(seconds=2))])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionize(stream, gap_seconds=30)
+        .writeStream.format("memory")
+        .queryName("sess_nullts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_nullts"))
+        .start()
+    )
+    q.processAllAvailable()
+    # the poison batch: k1's only rows have NULL ts (the invocation
+    # that used to clear its timeout); k2 advances the watermark
+    wave([("k1", None), ("k2", t0 + dt.timedelta(seconds=3600))])
+    q.processAllAvailable()
+    # next batch evaluates k1's (re-registered) timeout vs the advanced
+    # watermark
+    wave([("k2", t0 + dt.timedelta(seconds=3601))])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT n_events FROM sess_nullts WHERE key = 'k1'"
+    ).collect()
+    assert [r.n_events for r in rows] == [2]
