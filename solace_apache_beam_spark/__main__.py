@@ -3,15 +3,92 @@
     python -m solace_apache_beam_spark --list
     python -m solace_apache_beam_spark QUERY [--sf-dir DIR] [--out PATH]
         [--cpus N] [--show N]
+    python -m solace_apache_beam_spark --demo-stream [--cpus N]
 
 Writes parquet when --out is given, otherwise prints the first --show
 rows. The same registry the driver/bench use backs the CLI, so every
-operator in COVERAGE.md is runnable from a shell."""
+operator in COVERAGE.md is runnable from a shell. --demo-stream runs
+the streaming surface end-to-end without any external broker: a
+file-backed fake broker is populated, the "solace" DataSource reads
+it, and the windowed wordcount plus the replay-exact sessionizer
+(dedupe_by high-water marks, DELIVERY.md) print their results."""
 
 from __future__ import annotations
 
 import argparse
 import sys
+
+
+def _demo_stream(cpus: int) -> int:
+    import tempfile
+
+    from solace_apache_beam_spark.session import get_spark
+    from solace_apache_beam_spark.sources import fake_broker
+    from solace_apache_beam_spark.streaming.pipelines import (
+        open_stream,
+        windowed_word_count,
+    )
+    from solace_apache_beam_spark.streaming.stateful import sessionize
+
+    base_us = 1_700_000_000_000_000
+    work = tempfile.mkdtemp(prefix="solace_demo_")
+    broker = f"{work}/broker"
+    for q in ("orders", "clicks"):
+        fake_broker.create_queue(broker, q)
+    # two bursts >gap apart on each queue -> one closed session each
+    fake_broker.publish(
+        broker,
+        "orders",
+        ["alpha beta", "beta gamma", "alpha alpha"],
+        sender_timestamp_us=[base_us, base_us + 1_000_000, base_us + 2_000_000],
+    )
+    fake_broker.publish(
+        broker,
+        "clicks",
+        ["gamma delta", "delta"],
+        sender_timestamp_us=[base_us + 5_000_000, base_us + 6_000_000],
+    )
+    for q in ("orders", "clicks"):
+        fake_broker.publish(
+            broker, q, ["closer"], sender_timestamp_us=[base_us + 600_000_000]
+        )
+
+    spark = get_spark("demo-stream", cpus=cpus)
+    stream = open_stream(spark, broker, ["orders", "clicks"])
+    wc = (
+        windowed_word_count(stream)
+        .writeStream.format("memory")
+        .queryName("demo_wordcount")
+        .outputMode("update")
+        .option("checkpointLocation", f"{work}/cp_wc")
+        .start()
+    )
+    sess = (
+        sessionize(
+            open_stream(spark, broker, ["orders", "clicks"]),
+            gap_seconds=30,
+            dedupe_by=("destination", "message_id"),
+        )
+        .writeStream.format("memory")
+        .queryName("demo_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/cp_sess")
+        .start()
+    )
+    wc.processAllAvailable()
+    sess.processAllAvailable()
+    wc.stop()
+    sess.stop()
+    print("== windowed wordcount (10 s event-time windows) ==")
+    spark.sql(
+        "SELECT * FROM demo_wordcount ORDER BY window_start, word"
+    ).show(50, truncate=False)
+    print("== closed sessions (30 s gap, replay-exact via hwm map) ==")
+    spark.sql(
+        "SELECT * FROM demo_sessions ORDER BY key, session_start"
+    ).show(50, truncate=False)
+    print(f"broker + checkpoints under {work} (safe to delete)")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -24,7 +101,15 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--out", default=None, help="write result parquet here")
     parser.add_argument("--cpus", type=int, default=8)
     parser.add_argument("--show", type=int, default=20)
+    parser.add_argument(
+        "--demo-stream",
+        action="store_true",
+        help="run the broker->source->stateful streaming demo and exit",
+    )
     args = parser.parse_args(argv)
+
+    if args.demo_stream:
+        return _demo_stream(args.cpus)
 
     from solace_apache_beam_spark.registry import all_queries
 

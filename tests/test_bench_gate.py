@@ -134,3 +134,22 @@ def test_cli_lists_and_runs(tmp_path, spark):
     assert spark.read.parquet(out).count() > 0
 
     assert main(["no_such_query"]) == 2
+
+
+def test_cli_demo_stream_runs(spark):
+    """--demo-stream drives broker -> source -> windowed wordcount +
+    hwm sessionize end-to-end from the CLI (the user-runnable streaming
+    surface): returns 0 and prints both result tables with the expected
+    content markers."""
+    import contextlib
+    import io
+
+    from solace_apache_beam_spark.__main__ import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--demo-stream", "--cpus", "8"]) == 0
+    out = buf.getvalue()
+    assert "windowed wordcount" in out and "closed sessions" in out
+    assert "alpha: 3" in out  # wordcount content, not just headers
+    assert "orders" in out and "clicks" in out  # one session per queue
