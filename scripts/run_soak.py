@@ -523,6 +523,224 @@ def sessionize_kill_restart_soak(n: int, k: int) -> None:
     print(json.dumps(out))
 
 
+# funnel soak constants: every user's event-TYPE sequence is one of two
+# fixed patterns cycled (user parity picks it), so the expected final
+# stage is a pure function of the pattern — computable without
+# replicating batching. Delivery is in (ts, id) order per user, where
+# the online monotone machine EQUALS greedy earliest-match (the batch
+# oracle), so the ground truth is batching-independent.
+_FUNNEL_STAGES = ("view", "click", "purchase")
+_PATTERN_ODD = ("view", "click", "noise", "purchase")  # completes: stage 3
+_PATTERN_EVEN = ("click", "view", "noise", "view")  # stalls: stage 1
+
+
+def _funnel_expected(pattern: tuple[str, ...]) -> int:
+    stage = 0
+    for t in pattern:
+        if stage < len(_FUNNEL_STAGES) and t == _FUNNEL_STAGES[stage]:
+            stage += 1
+    return stage
+
+
+def _publish_funnel(broker: str, queues: list[str], per_q: int, users: int) -> None:
+    base_us = 1_700_000_000_000_000
+    for q in queues:
+        fake_broker.create_queue(broker, q)
+        fake_broker.publish(
+            broker,
+            q,
+            [
+                f"{q}_u{i % users}:"
+                f"{(_PATTERN_ODD if (i % users) % 2 else _PATTERN_EVEN)[(i // users) % 4]}"
+                for i in range(per_q)
+            ],
+            sender_timestamp_us=[base_us + i * 1_000_000 for i in range(per_q)],
+        )
+
+
+def funnel_drain_phase(work: str, k: int, max_per_batch: int) -> None:
+    """Child process for the FUNNEL soak (round 10): the per-user stage
+    machine with the per-(key,queue) hwm map sits between the source
+    and the idempotent sink, so the SIGKILL lands on live funnel state
+    across ~10k users."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.session import get_spark
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.pipelines import open_stream
+    from solace_apache_beam_spark.streaming.stateful import funnel_progress
+
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    broker_dir = os.path.join(work, "broker")
+    spark = get_spark("soak_funnel_phase")
+    stream = open_stream(
+        spark, broker_dir, queues, max_records_per_batch=max_per_batch
+    ).select(
+        F.split("payload", ":")[0].alias("user"),
+        F.split("payload", ":")[1].alias("stage_name"),
+        "event_time",
+        "message_id",
+        "destination",
+    )
+    q = (
+        funnel_progress(
+            stream,
+            _FUNNEL_STAGES,
+            key_col="user",
+            dedupe_by=("destination", "message_id"),
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(make_idempotent_appender(os.path.join(work, "sink")))
+        .option("checkpointLocation", os.path.join(work, "cp"))
+        .start()
+    )
+
+    def _undelivered() -> int:
+        return sum(
+            fake_broker.message_count(broker_dir, qq)
+            - fake_broker.delivered_watermark(broker_dir, qq)
+            for qq in queues
+        )
+
+    t0 = time.monotonic()
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    tag = uuid.uuid4().hex[:8]
+    for qq in queues:
+        fake_broker.publish(broker_dir, qq, [f"__flush__{qq}:{tag}"])
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    elapsed = time.monotonic() - t0
+    q.stop()
+    with open(os.path.join(work, "DONE"), "w") as f:
+        f.write(str(round(elapsed, 2)))
+
+
+def funnel_kill_restart_soak(n: int, k: int) -> None:
+    """Kill-restart soak THROUGH the funnel stage machine. Ground truth
+    is per-user exact: user parity picks the event-type pattern, so
+    every odd user must finish at stage 3 and every even user at stage
+    1 — a lost state version undercounts a stage, a replay-advanced
+    straggler or double-applied batch overcounts one, and with HALF the
+    population pinned below the top stage an overcount is visible (an
+    all-users-complete design would hide it at the cap)."""
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    per_q = n // k
+    users = max(2, per_q // 8)  # 8 events/user: two full pattern cycles
+    work = tempfile.mkdtemp(prefix="soak_fun_")
+    broker = os.path.join(work, "broker")
+    _publish_funnel(broker, queues, per_q, users)
+    sink = os.path.join(work, "sink")
+    max_per_batch = max(1, per_q // 25)
+
+    def _spawn() -> subprocess.Popen:
+        return subprocess.Popen(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--phase-funnel",
+                work,
+                str(k),
+                str(max_per_batch),
+            ],
+            start_new_session=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def _epochs() -> int:
+        try:
+            return len(
+                [d for d in os.listdir(sink) if d.startswith("_epoch_id=")]
+            )
+        except FileNotFoundError:
+            return 0
+
+    t_all = time.monotonic()
+    p1 = _spawn()
+    deadline = time.monotonic() + 600
+    while time.monotonic() < deadline:
+        if os.path.exists(os.path.join(work, "DONE")):
+            raise SystemExit(
+                "drain finished before the kill — lower max_per_batch"
+            )
+        if _epochs() >= 3:
+            break
+        time.sleep(0.2)
+    epochs_at_kill = _epochs()
+    os.killpg(os.getpgid(p1.pid), signal.SIGKILL)
+    p1.wait()
+
+    p2 = _spawn()
+    rc = p2.wait(timeout=600)
+    assert rc == 0, f"restart phase failed rc={rc}"
+    assert os.path.exists(os.path.join(work, "DONE"))
+    total_s = time.monotonic() - t_all
+
+    # a user's event-type sequence is the pattern CYCLED (8 events =
+    # 2 cycles), and later cycles can legitimately advance the machine
+    # (the even pattern's second-cycle "click" follows a first-cycle
+    # "view" -> stage 2) — replay the FULL sequence, not one cycle
+    cycles = (per_q // users) // len(_PATTERN_ODD)
+    exp_odd = _funnel_expected(_PATTERN_ODD * cycles)
+    exp_even = _funnel_expected(_PATTERN_EVEN * cycles)
+    assert exp_even < len(_FUNNEL_STAGES), (
+        "ground-truth design: half the population must sit below the "
+        "top stage or an overcount is invisible at the cap"
+    )
+    expected = {
+        f"{q}_u{i}": (exp_odd if i % 2 else exp_even)
+        for q in queues
+        for i in range(users)
+    }
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"""SELECT key, max(stage_reached)
+                FROM read_parquet('{sink}/*/*.parquet', hive_partitioning=1)
+                WHERE key NOT LIKE '__flush__%'
+                GROUP BY key"""
+        )
+        .fetchall()
+    )
+    got = {r[0]: r[1] for r in rows}
+    acked = sum(fake_broker.acked_count(broker, qq) for qq in queues)
+    diverged = {
+        u: (got.get(u), expected[u])
+        for u in expected
+        if got.get(u) != expected[u]
+    }
+    out = {
+        "mode": "funnel",
+        "messages": per_q * k,
+        "queues": k,
+        "users": users * k,
+        "epochs_at_kill": epochs_at_kill,
+        "stages_exact": not diverged,
+        "n_diverged": len(diverged),
+        "acked": acked,
+        "total_s": round(total_s, 2),
+        "msg_per_s": round(per_q * k / total_s),
+    }
+    assert not diverged, f"funnel diverged for {len(diverged)} users: " + str(
+        dict(list(diverged.items())[:3])
+    )
+    for qq in queues:
+        a = fake_broker.acked_count(broker, qq)
+        assert a >= per_q, f"{qq}: only {a}/{per_q} real messages acked"
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def kill_restart_soak(n: int, k: int) -> None:
     queues = [f"q{i}" for i in range(1, k + 1)]
     per_q = n // k
@@ -649,6 +867,12 @@ def main() -> None:
             sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3])
         )
         return
+    if "--phase-funnel" in sys.argv:
+        i = sys.argv.index("--phase-funnel")
+        funnel_drain_phase(
+            sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3])
+        )
+        return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 100_000
     k = int(args[1]) if len(args) > 1 else 4
@@ -656,6 +880,8 @@ def main() -> None:
         stateful_kill_restart_soak(n, k)
     elif "--sessionize" in sys.argv:
         sessionize_kill_restart_soak(n, k)
+    elif "--funnel" in sys.argv:
+        funnel_kill_restart_soak(n, k)
     elif "--kill-restart" in sys.argv:
         kill_restart_soak(n, k)
     else:

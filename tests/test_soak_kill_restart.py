@@ -112,3 +112,31 @@ def test_sessionize_kill_restart_sessions_exact():
     assert out["sessions_at_sink"] == out["sessions_expected"] == 80
     assert out["epochs_at_kill"] >= 3
     assert out["acked"] >= 4000
+
+
+@soak_tier
+def test_funnel_kill_restart_stages_exact():
+    """The funnel sibling (round 10): the per-user stage machine with
+    the per-(key,queue) hwm map under a mid-drain SIGKILL. Ground truth
+    is per-user exact from the publishing pattern (user parity picks a
+    completing or stalling event sequence — half the population sits
+    below the top stage, so overcounts are visible, not hidden at the
+    cap)."""
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_soak.py"),
+            "4000",
+            "2",
+            "--funnel",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["stages_exact"] is True and out["n_diverged"] == 0
+    assert out["epochs_at_kill"] >= 3
+    assert out["acked"] >= 4000
