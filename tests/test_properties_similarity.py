@@ -29,7 +29,12 @@ from hypothesis import strategies as st
 
 from tests._fuzz import n_examples
 
-from solace_apache_beam_spark.llm.similarity import QUANT, brute_force_topk
+from solace_apache_beam_spark.llm.similarity import (
+    QUANT,
+    brute_force_topk,
+    neardup_pairs,
+    neardup_pairs_lsh,
+)
 
 SETTINGS = dict(
     max_examples=n_examples(8, 2),
@@ -94,6 +99,56 @@ def test_brute_force_topk_matches_reference(spark, vec_lists, k):
         (r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in out.collect()
     }
     assert got == _reference_topk(vecs, k)
+
+
+def _reference_pairs(vecs: dict[int, list[float]], threshold: float):
+    ids = sorted(vecs)
+    q = {
+        i: np.floor(np.abs(np.array(vecs[i])) * QUANT + 0.5)
+        * np.sign(np.array(vecs[i]))
+        for i in ids
+    }
+    rows = set()
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            denom = float(
+                np.sqrt((q[a] ** 2).sum()) * np.sqrt((q[b] ** 2).sum())
+            )
+            if denom == 0.0:
+                continue  # zero-norm: non-finite, excluded
+            r = _round6_half_up(float(q[a] @ q[b]) / denom)
+            if r >= threshold:
+                rows.add((a, b, r))
+    return rows
+
+
+@settings(**SETTINGS)
+@given(
+    vec_lists=st.lists(
+        st.lists(_component, min_size=3, max_size=3),
+        min_size=2,
+        max_size=12,
+    ),
+    route=st.sampled_from(["exact", "auto", "lsh0"]),
+)
+def test_neardup_pairs_matches_reference(spark, vec_lists, route):
+    """Randomized differential for the near-dup family (round 10): the
+    exact route, the auto route (dense small corpus -> provably exact),
+    and the degenerate single-bucket LSH route must all emit exactly
+    the reference pair set — same quantize/round mirrors as the top-k
+    reference, fuzzing the 0.4 threshold boundary, zero vectors, and
+    duplicate vectors (cos exactly 1)."""
+    vecs = dict(enumerate(vec_lists))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    if route == "lsh0":
+        out = neardup_pairs_lsh(df, threshold=0.4, n_planes=0)
+    else:
+        out = neardup_pairs(df, threshold=0.4, route=route)
+    got = {(r.id_a, r.id_b, r.cos_sim) for r in out.collect()}
+    assert got == _reference_pairs(vecs, 0.4)
+    out.plan_caches.unpersist()
 
 
 if __name__ == "__main__":
