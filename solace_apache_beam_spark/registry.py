@@ -61,48 +61,40 @@ def _load() -> None:
 # declared "no re-pin entries follow").  Refresh this comment at round
 # close so it states the rotation actually in force.
 #
-# Round-10 rotation (standing rule from VERDICT r8 Next #3: keep every
+# Round-11 rotation (standing rule from VERDICT r8 Next #3: keep every
 # gate row <= 1 round old — the 24 queries whose newest driver row is
-# r08 lead; in-round lockstep additions stack ABOVE them in the same
+# r09 lead; in-round lockstep additions stack ABOVE them in the same
 # commit as the change):
-#   0. this round's semantics changes (lockstep rule above);
-#   1. the 24 queries whose newest driver row is r08.
+#   0. this round's semantics changes / new registrations (lockstep
+#      rule above);
+#   1. the 24 queries whose newest driver row is r09.
 _PRIORITY: tuple[str, ...] = (
-    # 0. lockstep: embedding_neardup_auto — the auto route now counts
-    #    the kernel's real id-range BLOCK population instead of
-    #    ceil(rows/block_size) (ADVICE r9 medium: sparse ids made the
-    #    row bound undercount blocks and keep the quadratic exact plan
-    #    past its horizon). Oracle unchanged (gate scale stays below
-    #    the horizon either way); the derivation the gate proves
-    #    end-to-end changed, so the row must be re-pinned.
-    "embedding_neardup_auto",
-    # 1. newest driver row: round 8 — refresh (alphabetical; all 24
-    #    fit the ~50-row snapshot window together with set 0; the
-    #    lockstep entry above also lives in this set).
-    "ann_ivf_cosine",
-    "ann_lsh_cosine",
-    "asof_click_view",
-    "chunk_documents",
-    "corpus_stats",
-    "dedup_clusters",
-    "dedup_rate_report",
-    "dedup_simhash_pairs",
-    "dedup_simhash_pairs_auto",
-    "embedding_neardup",
-    "expectation_report_lineitem",
-    "funnel_view_click_purchase",
-    "hypertable_rollup_events",
-    "kmv_distinct_parts",
-    "knn_brute_cosine",
-    "multimodal_frame_sample",
-    "percentiles_event_value",
-    "sample_documents_10pct",
-    "sequence_packing",
-    "split_train_val_test",
-    "stratified_sample_lineitem",
-    "text_normalize",
-    "text_pii_redact",
-    "training_shard_stats",
+    # 1. newest driver row: round 9 — refresh (alphabetical; all 24
+    #    fit the ~50-row snapshot window together with set 0).
+    "bm25_components",
+    "decontamination_report",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_rescue",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_coverage",
+    "incremental_dedup",
+    "ivf_kmeans_assign",
+    "minhash_band_hashes",
+    "multimodal_features",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "range_join_error_clicks",
+    "source_quality_gate",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality",
+    "text_repetition",
+    "text_token_counts",
+    "training_data_pipeline",
+    "training_shuffle_manifest",
+    "vocab_top_words",
 )
 
 

@@ -79,7 +79,12 @@ def _hwm_filter(
     dropped (ADVICE r9). NULL queues fail for the symmetric reason —
     pandas' groupby silently drops NaN groups, so a NULL-queue row
     would BYPASS dedup entirely (kept, never filtered, never advancing
-    any mark)."""
+    any mark). The index is normalized at entry: ``keep.loc[grp.index]``
+    is label-based, so duplicate labels (e.g. a caller concatenating
+    Arrow chunks without ignore_index) would silently cross-corrupt
+    groups instead of erroring (ADVICE r10)."""
+    if not pdf.index.is_unique:
+        pdf = pdf.reset_index(drop=True)
     ids = pdf[id_col]
     if ids.isna().any():
         raise ValueError(
@@ -520,7 +525,15 @@ def funnel_progress(
             )
             hwm = json.loads(hwm_json)
         parts = [pdf[ev_cols] for pdf in pdfs]
-        ev = pd.concat(parts) if parts else pd.DataFrame(columns=ev_cols)
+        # ignore_index: each Arrow chunk arrives with its own RangeIndex,
+        # so a bare concat would carry duplicate labels into _hwm_filter's
+        # label-based keep assignment — a later queue group could
+        # overwrite an earlier group's flags at shared labels (ADVICE r10)
+        ev = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(columns=ev_cols)
+        )
         if dedupe_by is not None and len(ev):
             # one contiguous log range per queue per batch: the
             # concatenated frame can be cut against the pre-batch map

@@ -223,10 +223,19 @@ def test_hwm_filter_exactly_once_under_replay_and_chunk_shuffle(data):
         chunks = [rows[i::n_chunks] for i in range(n_chunks)]
         hwm0 = dict(hwm)
         hwm_new = dict(hwm0)
-        for chunk in chunks:
-            if not chunk:
-                continue
-            pdf = pd.DataFrame(chunk, columns=["queue", "mid"])
+        if data.draw(st.booleans()):
+            # funnel_progress-shaped misuse (ADVICE r10): concatenate the
+            # chunks WITHOUT ignore_index so the frame carries duplicate
+            # index labels — the kernel must normalize, not cross-corrupt
+            frames = [
+                pd.DataFrame(c, columns=["queue", "mid"]) for c in chunks if c
+            ]
+            calls = [pd.concat(frames)] if frames else []
+        else:
+            calls = [
+                pd.DataFrame(c, columns=["queue", "mid"]) for c in chunks if c
+            ]
+        for pdf in calls:
             fresh = _hwm_filter(pdf, "queue", "mid", hwm0, hwm_new, "prop")
             for q, i in fresh.itertuples(index=False):
                 applied[q].append(int(i))
