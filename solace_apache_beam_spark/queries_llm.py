@@ -1117,6 +1117,70 @@ def embedding_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "cos_sim")
 
 
+def _table_bucket_sql(t: int, n_planes: int) -> str:
+    """Bucket id of multi-table neardup LSH table ``t`` — sign bits of
+    the quantized vector's integer projections onto planes
+    [t*n_planes, (t+1)*n_planes) (the plane_offset stream of
+    similarity._plane_coeffs), offset by t << n_planes exactly like
+    neardup_pairs_lsh's table union."""
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_dot(t * n_planes + p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"CAST({bits} + {t << n_planes} AS BIGINT)"
+
+
+_NEARDUP_LSH_PLANES, _NEARDUP_LSH_TABLES = 4, 2
+
+# The LSH route's own gate (VERDICT r10 Next #1): unlike _NEARDUP_ORACLE
+# (exact all-pairs truth the below-horizon routes must reproduce), this
+# oracle REPLAYS the scale path's candidate generation — per table,
+# bucket on the seeded hyperplane signs; pairs must collide in >= 1
+# table (OR-construction, DISTINCT collapses multi-table hits exactly
+# like the kernel's dedup_pairs distinct); in-bucket scoring is the
+# same integer-quantized cosine. Deterministic because the planes are
+# an md5 stream, so the approximate route is value-hash reproducible —
+# the same replay pattern dedup_minhash_lsh's oracle proves for
+# MinHash banding. Sub-blocking inside a bucket is batching only and
+# cannot change the output.
+_NEARDUP_LSH_ORACLE = f"""
+    WITH {_QE},
+    bucketed AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, q, n2, {_table_bucket_sql(t, _NEARDUP_LSH_PLANES)} AS bucket FROM qn"
+        for t in range(_NEARDUP_LSH_TABLES)
+      )}
+    )
+    -- n2 > 0: zero-norm guard matching the kernel's isfinite mask
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {_QCOS} AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE a.n2 > 0 AND b.n2 > 0 AND {_QCOS} >= 0.4
+    """
+
+
+@query("embedding_neardup_lsh", oracle=_NEARDUP_LSH_ORACLE)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs through the LSH-bucketed corpus-scale
+    route ITSELF (threshold 0.4, pinned 4 planes x 2 tables — 16 real
+    buckets per table at gate scale, so the plan genuinely takes the
+    bucketed branch rather than the single-bucket degenerate form).
+    The auto gate (embedding_neardup_auto) proves the routing
+    derivation below the horizon; this row proves the above-horizon
+    path's own semantics against a DuckDB replay of the hyperplane
+    bucketing + in-bucket integer-quantized cosine (VERDICT r10 Next
+    #1 — previously verified only by differentials and measured
+    recall)."""
+    from solace_apache_beam_spark.llm.similarity import neardup_pairs_lsh
+
+    return neardup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_planes=_NEARDUP_LSH_PLANES,
+        n_tables=_NEARDUP_LSH_TABLES,
+    ).select("id_a", "id_b", "cos_sim")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

@@ -69,6 +69,12 @@ def _load() -> None:
 #      rule above);
 #   1. the 24 queries whose newest driver row is r09.
 _PRIORITY: tuple[str, ...] = (
+    # 0. lockstep: embedding_neardup_lsh — NEW registration this round
+    #    (VERDICT r10 Next #1: the LSH neardup route's own gate; the
+    #    oracle replays the seeded hyperplane bucketing + in-bucket
+    #    quantized cosine, so the above-horizon scale path gets a
+    #    driver value-hash row).
+    "embedding_neardup_lsh",
     # 1. newest driver row: round 9 — refresh (alphabetical; all 24
     #    fit the ~50-row snapshot window together with set 0).
     "bm25_components",
