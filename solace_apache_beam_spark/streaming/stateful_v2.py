@@ -21,13 +21,19 @@ transformWithState requires the RocksDB state store provider
 ``...state.RocksDBStateStoreProvider``) — set it on the session before
 starting the query; the HDFS-backed default provider rejects v2 state.
 
-ENVIRONMENT GATE: the v2 Python runner talks to the JVM state server
-over protobuf, so executing this operator needs ``google.protobuf`` —
+ENVIRONMENT GATE — verification status, stated exactly: the v2 Python
+runner talks to the JVM state server over protobuf, so the ENGINE path
+(``transformWithStateInPandas`` + RocksDB) needs ``google.protobuf`` —
 absent in this container (the same absence operators/protobuf_ops.py
-works around with its own wire codec; installs are out of scope). The
-tests probe for it and skip with a reason when missing; the replay
-algebra itself stays fully verified through the SHARED ``_hwm_filter``
-kernel and the v1 operators' end-to-end replay suite.
+works around with its own wire codec; installs are out of scope) — and
+its end-to-end tests skip with that reason (test_stateful_v2). The
+processor's OWN code, however, EXECUTES in this container:
+test_stateful_v2_local drives init/handleInputRows against a faithful
+fake of the handle API (same tuple-shaped ValueState/MapState
+signatures) with randomized replay + mid-sequence restart
+differentials, and the replay algebra is additionally verified through
+the SHARED ``_hwm_filter`` kernel and the v1 operators' end-to-end
+replay suite.
 """
 
 from __future__ import annotations
