@@ -25,6 +25,27 @@ duplicates that payload-level dedup removes. Asserted conservation law
     acked                    == published
 
     python scripts/run_soak.py 100000 4 --kill-restart
+
+--stateful / --sessionize / --funnel run the kill-restart scenario
+through the stateful operators (running_counts / sessionize /
+funnel_progress with dedupe_by replay marks) and assert per-entity
+exactness against arithmetic ground truth. --skew R (sessionize /
+funnel only, VERDICT r10 Next #3) concentrates the stream on one hot
+key: sessionize gives the first queue R x every other queue's
+messages (the key IS the queue); funnel gives one user per queue half
+that queue's events (realized ratio per_q/16 : 1, asserted >= R).
+
+    python scripts/run_soak.py 500000 4 --sessionize --skew 100
+    python scripts/run_soak.py 500000 2 --funnel --skew 100
+
+--incdedup (VERDICT r10 Next #7) runs the streaming composition of the
+LLM-ingestion shape: build_corpus_index persisted as parquet tables,
+every microbatch screened by incremental_dedup against the read-back
+index inside foreachBatch, statuses into the idempotent sink; after a
+mid-drain SIGKILL + restart, the DISTINCT per-doc rows must equal the
+batch operator's output over the full replayed log.
+
+    python scripts/run_soak.py 50000 2 --incdedup
 """
 from __future__ import annotations
 
@@ -147,9 +168,10 @@ def drain_phase(work: str, k: int, max_per_batch: int) -> None:
         time.sleep(0.1)
         q.processAllAvailable()
     elapsed = time.monotonic() - t0
+    peak_state = _peak_state_rows(q)
     q.stop()
     with open(os.path.join(work, "DONE"), "w") as f:
-        f.write(str(round(elapsed, 2)))
+        json.dump({"elapsed": round(elapsed, 2), "state_rows_peak": peak_state}, f)
 
 
 def stateful_drain_phase(work: str, k: int, max_per_batch: int) -> None:
@@ -204,9 +226,10 @@ def stateful_drain_phase(work: str, k: int, max_per_batch: int) -> None:
         time.sleep(0.1)
         q.processAllAvailable()
     elapsed = time.monotonic() - t0
+    peak_state = _peak_state_rows(q)
     q.stop()
     with open(os.path.join(work, "DONE"), "w") as f:
-        f.write(str(round(elapsed, 2)))
+        json.dump({"elapsed": round(elapsed, 2), "state_rows_peak": peak_state}, f)
 
 
 def stateful_kill_restart_soak(n: int, k: int) -> None:
@@ -332,15 +355,41 @@ def _sess_ts_us(i: int) -> int:
     return _SESS_BASE_US + (i + (i // _SESS_G) * _SESS_JUMP_S) * 1_000_000
 
 
-def _publish_sessions(broker: str, queues: list[str], per_q: int) -> None:
-    for q in queues:
+def _publish_sessions(broker: str, queues: list[str], counts: list[int]) -> None:
+    """Per-queue session streams; ``counts[i]`` messages into queue i
+    (unequal counts are the hot-key skew case — sessionize keys on the
+    queue, so a 100:1 count ratio IS a 100:1 key skew)."""
+    for q, c in zip(queues, counts):
         fake_broker.create_queue(broker, q)
         fake_broker.publish(
             broker,
             q,
-            [f"{q} msg {i}" for i in range(per_q)],
-            sender_timestamp_us=[_sess_ts_us(i) for i in range(per_q)],
+            [f"{q} msg {i}" for i in range(c)],
+            sender_timestamp_us=[_sess_ts_us(i) for i in range(c)],
         )
+
+
+def _peak_state_rows(q) -> int:
+    """Max stateOperators numRowsTotal across the query's recent
+    progress — the observable peak state footprint of a drain phase."""
+    peak = 0
+    for p in q.recentProgress:
+        if not isinstance(p, dict):
+            p = json.loads(p.json)
+        for so in p.get("stateOperators") or []:
+            peak = max(peak, int(so.get("numRowsTotal") or 0))
+    return peak
+
+
+def _done_state_rows(work: str):
+    """state_rows_peak recorded by the (restarted) drain phase's DONE
+    marker — the restart phase's peak, which includes the restored
+    pre-kill state."""
+    try:
+        with open(os.path.join(work, "DONE")) as f:
+            return json.load(f).get("state_rows_peak")
+    except (OSError, ValueError):
+        return None
 
 
 def sessionize_drain_phase(work: str, k: int, max_per_batch: int) -> None:
@@ -388,9 +437,12 @@ def sessionize_drain_phase(work: str, k: int, max_per_batch: int) -> None:
         time.sleep(0.1)
         q.processAllAvailable()
     # flush far beyond the last session: closes it via in-batch split
-    # AND finalizes the last data epoch's deferred acks
+    # AND finalizes the last data epoch's deferred acks. Max over
+    # queues: under skew the hot queue's stream runs far longer
     tag = uuid.uuid4().hex[:8]
-    per_q_published = fake_broker.message_count(broker_dir, queues[0])
+    per_q_published = max(
+        fake_broker.message_count(broker_dir, qq) for qq in queues
+    )
     flush_us = _sess_ts_us(per_q_published) + 10_000 * 1_000_000
     for qq in queues:
         fake_broker.publish(
@@ -404,12 +456,13 @@ def sessionize_drain_phase(work: str, k: int, max_per_batch: int) -> None:
         time.sleep(0.1)
         q.processAllAvailable()
     elapsed = time.monotonic() - t0
+    peak_state = _peak_state_rows(q)
     q.stop()
     with open(os.path.join(work, "DONE"), "w") as f:
-        f.write(str(round(elapsed, 2)))
+        json.dump({"elapsed": round(elapsed, 2), "state_rows_peak": peak_state}, f)
 
 
-def sessionize_kill_restart_soak(n: int, k: int) -> None:
+def sessionize_kill_restart_soak(n: int, k: int, skew: int = 1) -> None:
     """Kill-restart soak THROUGH the hwm sessionizer. The evidence is
     session-level exactness: every queue's closed sessions must EXACTLY
     match the arithmetic session partition of its published stream —
@@ -417,14 +470,28 @@ def sessionize_kill_restart_soak(n: int, k: int) -> None:
     A replayed range applied to live state would inflate n_events or
     resurrect a closed session; lost state would drop or fragment one.
     Runs at watermark delay 120 s, where the engine's late-row filter
-    does NOT absorb the replay (the realistic late-data setting)."""
+    does NOT absorb the replay (the realistic late-data setting).
+
+    ``skew`` > 1 is the hot-key case (VERDICT r10 Next #3): sessionize
+    keys on the queue, so giving the first queue ``skew``x the messages
+    of every other queue makes one key receive skew:1 of the stream —
+    the reference's own worst case is all load on one exclusive-queue
+    binding (SolaceIOIT.java:148-184). The hot key's
+    applyInPandasWithState group dominates every microbatch and its
+    session count dwarfs the cold keys'; exactness must hold
+    unchanged."""
     queues = [f"q{i}" for i in range(1, k + 1)]
-    per_q = n // k
+    if skew > 1:
+        per_q = max(_SESS_G, n // (skew + k - 1))
+        counts = [per_q * skew] + [per_q] * (k - 1)
+    else:
+        per_q = n // k
+        counts = [per_q] * k
     work = tempfile.mkdtemp(prefix="soak_sess_")
     broker = os.path.join(work, "broker")
-    _publish_sessions(broker, queues, per_q)
+    _publish_sessions(broker, queues, counts)
     sink = os.path.join(work, "sink")
-    max_per_batch = max(1, per_q // 25)
+    max_per_batch = max(1, max(counts) // 25)
 
     def _spawn() -> subprocess.Popen:
         return subprocess.Popen(
@@ -473,11 +540,10 @@ def sessionize_kill_restart_soak(n: int, k: int) -> None:
     # expected closed sessions per queue, from the publishing arithmetic
     # (the flush closes the last real session; the flush's own
     # 1-event session stays open and must NOT appear at the sink)
-    n_sessions = (per_q + _SESS_G - 1) // _SESS_G
     expected = set()
-    for qq in queues:
-        for s in range(n_sessions):
-            lo, hi = s * _SESS_G, min((s + 1) * _SESS_G, per_q)
+    for qq, c in zip(queues, counts):
+        for s in range((c + _SESS_G - 1) // _SESS_G):
+            lo, hi = s * _SESS_G, min((s + 1) * _SESS_G, c)
             expected.add(
                 (qq, _sess_ts_us(lo), _sess_ts_us(hi - 1), hi - lo)
             )
@@ -500,25 +566,28 @@ def sessionize_kill_restart_soak(n: int, k: int) -> None:
     acked = sum(fake_broker.acked_count(broker, qq) for qq in queues)
     out = {
         "mode": "sessionize",
-        "messages": per_q * k,
+        "messages": sum(counts),
         "queues": k,
+        "skew": skew,
+        "hot_key_events": counts[0],
         "epochs_at_kill": epochs_at_kill,
         "sessions_expected": len(expected),
         "sessions_at_sink": len(got),
         "duplicate_rows": len(dupes),
         "sessions_exact": got == expected,
+        "state_rows_peak": _done_state_rows(work),
         "acked": acked,
         "total_s": round(total_s, 2),
-        "msg_per_s": round(per_q * k / total_s),
+        "msg_per_s": round(sum(counts) / total_s),
     }
     assert not dupes, f"duplicate session emissions: {dupes[:3]}"
     assert got == expected, (
         f"sessions diverged: missing={list(expected - got)[:3]} "
         f"extra={list(got - expected)[:3]}"
     )
-    for qq in queues:
+    for qq, c in zip(queues, counts):
         a = fake_broker.acked_count(broker, qq)
-        assert a >= per_q, f"{qq}: only {a}/{per_q} real messages acked"
+        assert a >= c, f"{qq}: only {a}/{c} real messages acked"
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 
@@ -555,6 +624,41 @@ def _publish_funnel(broker: str, queues: list[str], per_q: int, users: int) -> N
                 for i in range(per_q)
             ],
             sender_timestamp_us=[base_us + i * 1_000_000 for i in range(per_q)],
+        )
+
+
+def _publish_funnel_skew(
+    broker: str, queues: list[str], cold_users: int, hot_mult: int
+) -> None:
+    """Hot-user funnel stream (VERDICT r10 Next #3): per queue,
+    ``cold_users`` users each receive the 8-event parity pattern
+    (exactly like _publish_funnel) while ONE hot user receives
+    ``8 * hot_mult`` events — ``hot_mult``:1 key skew, half the
+    queue's stream on a single funnel key when hot_mult == cold_users.
+    The hot user runs the STALLING pattern cycled, so its expected
+    final stage sits below the cap and a replay-overcount on the hot
+    key itself is visible. Per-user delivery order still follows the
+    pattern (timestamps increase with publish index), so greedy
+    earliest-match ground truth holds."""
+    base_us = 1_700_000_000_000_000
+    for q in queues:
+        msgs: list[str] = []
+        pos_hot = 0
+        for step in range(8):  # two 4-event pattern cycles for cold users
+            for u in range(cold_users):
+                pat = _PATTERN_ODD if u % 2 else _PATTERN_EVEN
+                msgs.append(f"{q}_u{u}:{pat[step % 4]}")
+            for _ in range(hot_mult):
+                msgs.append(f"{q}_hot:{_PATTERN_EVEN[pos_hot % 4]}")
+                pos_hot += 1
+        fake_broker.create_queue(broker, q)
+        fake_broker.publish(
+            broker,
+            q,
+            msgs,
+            sender_timestamp_us=[
+                base_us + i * 1_000_000 for i in range(len(msgs))
+            ],
         )
 
 
@@ -617,25 +721,46 @@ def funnel_drain_phase(work: str, k: int, max_per_batch: int) -> None:
         time.sleep(0.1)
         q.processAllAvailable()
     elapsed = time.monotonic() - t0
+    peak_state = _peak_state_rows(q)
     q.stop()
     with open(os.path.join(work, "DONE"), "w") as f:
-        f.write(str(round(elapsed, 2)))
+        json.dump({"elapsed": round(elapsed, 2), "state_rows_peak": peak_state}, f)
 
 
-def funnel_kill_restart_soak(n: int, k: int) -> None:
+def funnel_kill_restart_soak(n: int, k: int, skew: int = 1) -> None:
     """Kill-restart soak THROUGH the funnel stage machine. Ground truth
     is per-user exact: user parity picks the event-type pattern, so
     every odd user must finish at stage 3 and every even user at stage
     1 — a lost state version undercounts a stage, a replay-advanced
     straggler or double-applied batch overcounts one, and with HALF the
     population pinned below the top stage an overcount is visible (an
-    all-users-complete design would hide it at the cap)."""
+    all-users-complete design would hide it at the cap).
+
+    ``skew`` > 1 requests the hot-user variant: one user per queue
+    receives HALF that queue's events (hot_mult = per_q // 16 events
+    x8, so the realized key-skew ratio is per_q/16 : 1 — asserted
+    >= ``skew``), dominating every microbatch's largest
+    applyInPandasWithState group and its update-mode emission volume.
+    The hot user runs the stalling pattern, so replay overcounts on
+    the hot key itself are visible below the stage cap."""
     queues = [f"q{i}" for i in range(1, k + 1)]
     per_q = n // k
-    users = max(2, per_q // 8)  # 8 events/user: two full pattern cycles
     work = tempfile.mkdtemp(prefix="soak_fun_")
     broker = os.path.join(work, "broker")
-    _publish_funnel(broker, queues, per_q, users)
+    if skew > 1:
+        hot_mult = per_q // 16
+        assert hot_mult >= skew, (
+            f"need n >= {16 * skew * k} for a {skew}:1 hot user "
+            f"(got hot_mult={hot_mult})"
+        )
+        cold_users = hot_mult  # hot user = half of each queue's stream
+        per_q = 8 * (cold_users + hot_mult)
+        users = cold_users
+        _publish_funnel_skew(broker, queues, cold_users, hot_mult)
+    else:
+        hot_mult = 0
+        users = max(2, per_q // 8)  # 8 events/user: two pattern cycles
+        _publish_funnel(broker, queues, per_q, users)
     sink = os.path.join(work, "sink")
     max_per_batch = max(1, per_q // 25)
 
@@ -687,7 +812,7 @@ def funnel_kill_restart_soak(n: int, k: int) -> None:
     # 2 cycles), and later cycles can legitimately advance the machine
     # (the even pattern's second-cycle "click" follows a first-cycle
     # "view" -> stage 2) — replay the FULL sequence, not one cycle
-    cycles = (per_q // users) // len(_PATTERN_ODD)
+    cycles = 2 if skew > 1 else (per_q // users) // len(_PATTERN_ODD)
     exp_odd = _funnel_expected(_PATTERN_ODD * cycles)
     exp_even = _funnel_expected(_PATTERN_EVEN * cycles)
     assert exp_even < len(_FUNNEL_STAGES), (
@@ -699,6 +824,14 @@ def funnel_kill_restart_soak(n: int, k: int) -> None:
         for q in queues
         for i in range(users)
     }
+    if skew > 1:
+        # hot user: the stalling pattern cycled over its whole stream
+        exp_hot = _funnel_expected(_PATTERN_EVEN * (2 * hot_mult))
+        assert exp_hot < len(_FUNNEL_STAGES), (
+            "the hot user must sit below the cap or its overcount hides"
+        )
+        for q in queues:
+            expected[f"{q}_hot"] = exp_hot
 
     import duckdb
 
@@ -723,10 +856,13 @@ def funnel_kill_restart_soak(n: int, k: int) -> None:
         "mode": "funnel",
         "messages": per_q * k,
         "queues": k,
-        "users": users * k,
+        "users": len(expected),
+        "skew_ratio": hot_mult if skew > 1 else 1,
+        "hot_user_events": 8 * hot_mult,
         "epochs_at_kill": epochs_at_kill,
         "stages_exact": not diverged,
         "n_diverged": len(diverged),
+        "state_rows_peak": _done_state_rows(work),
         "acked": acked,
         "total_s": round(total_s, 2),
         "msg_per_s": round(per_q * k / total_s),
@@ -734,6 +870,311 @@ def funnel_kill_restart_soak(n: int, k: int) -> None:
     assert not diverged, f"funnel diverged for {len(diverged)} users: " + str(
         dict(list(diverged.items())[:3])
     )
+    for qq in queues:
+        a = fake_broker.acked_count(broker, qq)
+        assert a >= per_q, f"{qq}: only {a}/{per_q} real messages acked"
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+# incremental-dedup soak constants (VERDICT r10 Next #7): the streaming
+# composition of build_corpus_index + incremental_dedup — source ->
+# per-microbatch near-dup screen against the PERSISTED corpus index ->
+# idempotent warehouse append. Per-doc status is a pure function of
+# (doc, corpus index), so the ground truth is the batch operator run
+# once over the full published log — batching-independent by
+# construction, which is exactly what makes the streaming-vs-batch
+# equality a real exactness contract through a kill-restart.
+_INC_CORPUS = 400  # reference-corpus docs
+_INC_WORDS = 24  # words per doc (3-shingles: 22/doc)
+_INC_PARAMS = dict(shingle_n=3, n_perm=16, n_bands=4, threshold=0.5)
+
+
+def _inc_word(v: int) -> str:
+    """Deterministic all-LETTER word for value v — the shingle
+    tokenizer splits on [^\\p{L}]+ (hashing.words_expr), so words must
+    carry their identity in letters, not digits."""
+    v %= 17576  # 26^3
+    return "".join(
+        "abcdefghijklmnopqrstuvwxyz"[(v // 26**p) % 26] for p in range(3)
+    )
+
+
+def _inc_corpus_text(c: int) -> str:
+    # corpus word values stay < 997 — disjoint from the >=1000 range
+    # unique docs and mutations draw from, so 'unique' is guaranteed
+    return " ".join(
+        _inc_word((c * 13 + j * 7) % 997) for j in range(_INC_WORDS)
+    )
+
+
+def _inc_doc_text(i: int) -> str:
+    """Incoming doc i: 25% exact corpus dups, 25% one-word-mutated near
+    dups (shingle jaccard ~0.76 — above threshold; LSH banding may
+    still miss some, and the batch reference misses the SAME ones),
+    50% unique (letter-words from the disjoint value range — zero
+    shingle overlap with the corpus)."""
+    kind = i % 4
+    if kind == 0:
+        return _inc_corpus_text((i * 7) % _INC_CORPUS)
+    if kind == 1:
+        words = _inc_corpus_text((i * 11) % _INC_CORPUS).split()
+        words[i % _INC_WORDS] = _inc_word(1000 + i % 16000)
+        return " ".join(words)
+    return " ".join(
+        _inc_word(1000 + (i * 29 + j) % 16000) for j in range(_INC_WORDS)
+    )
+
+
+def _publish_incdedup(broker: str, queues: list[str], per_q: int) -> None:
+    """Payload = "<doc_id>|<text>"; doc ids globally unique across
+    queues so the sink's per-doc rows key cleanly."""
+    for qi, q in enumerate(queues):
+        fake_broker.create_queue(broker, q)
+        fake_broker.publish(
+            broker,
+            q,
+            [
+                f"{qi * per_q + j}|{_inc_doc_text(qi * per_q + j)}"
+                for j in range(per_q)
+            ],
+        )
+
+
+def _inc_index_paths(work: str) -> dict:
+    return {
+        name: os.path.join(work, "index", name)
+        for name in ("hashes", "shingles", "bands")
+    }
+
+
+def _ensure_inc_index(work: str, spark) -> dict:
+    """Build-and-persist the corpus index artifacts if this work dir
+    doesn't have them yet (the killed first phase may have died
+    mid-build: every artifact is written mode=overwrite and the marker
+    lands only after all three, so a restart rebuilds cleanly).
+    Returns the read-back frames — the production table shape."""
+    from pyspark.sql import Row
+
+    from solace_apache_beam_spark.llm.dedup import build_corpus_index
+
+    paths = _inc_index_paths(work)
+    marker = os.path.join(work, "index", "_BUILT")
+    if not os.path.exists(marker):
+        corpus = spark.createDataFrame(
+            [
+                Row(doc_id=c, text=_inc_corpus_text(c))
+                for c in range(_INC_CORPUS)
+            ]
+        )
+        idx = build_corpus_index(
+            corpus,
+            shingle_n=_INC_PARAMS["shingle_n"],
+            n_perm=_INC_PARAMS["n_perm"],
+            n_bands=_INC_PARAMS["n_bands"],
+        )
+        for name, path in paths.items():
+            idx[name].write.mode("overwrite").parquet(path)
+        idx.unpersist()
+        with open(marker, "w") as f:
+            f.write("ok")
+    return {name: spark.read.parquet(path) for name, path in paths.items()}
+
+
+def incdedup_drain_phase(
+    work: str, k: int, max_per_batch: int, per_q: int
+) -> None:
+    """Child process for the incremental-dedup soak: every microbatch
+    is screened against the persisted corpus index (exact md5 stage +
+    LSH band-join + shingle-Jaccard verify — the full
+    incremental_dedup graph) inside foreachBatch, statuses land in the
+    idempotent per-epoch sink. After the drain the SAME process writes
+    the batch reference: incremental_dedup over the entire published
+    log as ONE batch, against the SAME read-back index."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.dedup import incremental_dedup
+    from solace_apache_beam_spark.session import get_spark
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.pipelines import open_stream
+
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    broker_dir = os.path.join(work, "broker")
+    spark = get_spark("soak_incdedup_phase")
+    index = _ensure_inc_index(work, spark)
+    appender = make_idempotent_appender(os.path.join(work, "sink"))
+
+    def screen(batch_df, epoch_id: int) -> None:
+        docs = (
+            batch_df.filter(~F.col("payload").startswith("__flush__"))
+            .select(
+                F.split("payload", "\\|", 2).getItem(0).cast("long").alias("doc_id"),
+                F.split("payload", "\\|", 2).getItem(1).alias("text"),
+            )
+        )
+        out = incremental_dedup(docs, corpus_index=index, **_INC_PARAMS)
+        appender(out, epoch_id)
+        out.plan_caches.unpersist()
+
+    stream = open_stream(
+        spark, broker_dir, queues, max_records_per_batch=max_per_batch
+    )
+    q = (
+        stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", os.path.join(work, "cp"))
+        .start()
+    )
+
+    def _undelivered() -> int:
+        return sum(
+            fake_broker.message_count(broker_dir, qq)
+            - fake_broker.delivered_watermark(broker_dir, qq)
+            for qq in queues
+        )
+
+    t0 = time.monotonic()
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    tag = uuid.uuid4().hex[:8]
+    for qq in queues:
+        fake_broker.publish(broker_dir, qq, [f"__flush__ {qq} {tag}"])
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    elapsed = time.monotonic() - t0
+    q.stop()
+
+    # batch reference over the full log (only the surviving process
+    # reaches this; deterministic, so WHO writes it doesn't matter)
+    from pyspark.sql import Row
+
+    all_docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=_inc_doc_text(i))
+            for i in range(per_q * k)
+        ]
+    )
+    ref = incremental_dedup(all_docs, corpus_index=index, **_INC_PARAMS)
+    ref.write.mode("overwrite").parquet(os.path.join(work, "expected"))
+    ref.plan_caches.unpersist()
+    with open(os.path.join(work, "DONE"), "w") as f:
+        json.dump({"elapsed": round(elapsed, 2)}, f)
+
+
+def incdedup_kill_restart_soak(n: int, k: int) -> None:
+    """Kill-restart soak through the STREAMING incremental-dedup
+    composition (VERDICT r10 Next #7 — the LLM-ingestion shape:
+    SolaceRecordTest.java:133-147's dedup sample composed with the
+    BigQuery ingest shape SolaceBigQuery.java:146-211). Exactness
+    contract: DISTINCT per-doc screening rows at the sink equal the
+    batch operator's output over the full replayed log — zero loss,
+    zero invention, per-doc status/match/jaccard all equal — and every
+    doc carries exactly ONE distinct row (replayed epochs may duplicate
+    rows across epochs; the idempotent sink bounds them and they must
+    collapse under DISTINCT with no contradiction)."""
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    per_q = n // k
+    work = tempfile.mkdtemp(prefix="soak_inc_")
+    broker = os.path.join(work, "broker")
+    _publish_incdedup(broker, queues, per_q)
+    sink = os.path.join(work, "sink")
+    max_per_batch = max(1, per_q // 12)
+
+    def _spawn() -> subprocess.Popen:
+        return subprocess.Popen(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--phase-incdedup",
+                work,
+                str(k),
+                str(max_per_batch),
+                str(per_q),
+            ],
+            start_new_session=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def _epochs() -> int:
+        try:
+            return len(
+                [d for d in os.listdir(sink) if d.startswith("_epoch_id=")]
+            )
+        except FileNotFoundError:
+            return 0
+
+    t_all = time.monotonic()
+    p1 = _spawn()
+    deadline = time.monotonic() + 900
+    while time.monotonic() < deadline:
+        if os.path.exists(os.path.join(work, "DONE")):
+            raise SystemExit(
+                "drain finished before the kill — lower max_per_batch"
+            )
+        if _epochs() >= 3:
+            break
+        time.sleep(0.2)
+    epochs_at_kill = _epochs()
+    os.killpg(os.getpgid(p1.pid), signal.SIGKILL)
+    p1.wait()
+
+    p2 = _spawn()
+    rc = p2.wait(timeout=900)
+    assert rc == 0, f"restart phase failed rc={rc}"
+    assert os.path.exists(os.path.join(work, "DONE"))
+    total_s = time.monotonic() - t_all
+
+    import duckdb
+
+    con = duckdb.connect()
+    got_rows = con.execute(
+        f"""SELECT doc_id, status, match_id, jaccard, count(*) AS copies
+            FROM read_parquet('{sink}/*/*.parquet', hive_partitioning=1)
+            GROUP BY 1, 2, 3, 4"""
+    ).fetchall()
+    exp_rows = con.execute(
+        f"""SELECT doc_id, status, match_id, jaccard
+            FROM read_parquet('{work}/expected/*.parquet')"""
+    ).fetchall()
+    got = {tuple(r[:4]) for r in got_rows}
+    expected = set(map(tuple, exp_rows))
+    replay_dupes = sum(r[4] - 1 for r in got_rows)
+    by_status: dict[str, int] = {}
+    for r in exp_rows:
+        by_status[r[1]] = by_status.get(r[1], 0) + 1
+    acked = sum(fake_broker.acked_count(broker, qq) for qq in queues)
+    out = {
+        "mode": "incremental_dedup",
+        "messages": per_q * k,
+        "queues": k,
+        "corpus_docs": _INC_CORPUS,
+        "epochs_at_kill": epochs_at_kill,
+        "docs_screened": len(got),
+        "screen_exact_vs_batch": got == expected,
+        "status_mix": by_status,
+        "replay_duplicate_rows": replay_dupes,
+        "acked": acked,
+        "total_s": round(total_s, 2),
+        "msg_per_s": round(per_q * k / total_s),
+    }
+    assert got == expected, (
+        f"streaming screen diverged from batch reference: "
+        f"missing={list(expected - got)[:3]} extra={list(got - expected)[:3]}"
+    )
+    assert len({r[0] for r in got_rows}) == len(got_rows), (
+        "a doc_id carries two contradictory screening rows"
+    )
+    # the generator guarantees a non-trivial mix — a vacuously-unique
+    # stream would pass the equality without exercising the dup stages
+    assert by_status.get("exact_dup", 0) > 0
+    assert by_status.get("near_dup", 0) > 0
+    assert by_status.get("unique", 0) > 0
     for qq in queues:
         a = fake_broker.acked_count(broker, qq)
         assert a >= per_q, f"{qq}: only {a}/{per_q} real messages acked"
@@ -873,15 +1314,32 @@ def main() -> None:
             sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3])
         )
         return
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--phase-incdedup" in sys.argv:
+        i = sys.argv.index("--phase-incdedup")
+        incdedup_drain_phase(
+            sys.argv[i + 1],
+            int(sys.argv[i + 2]),
+            int(sys.argv[i + 3]),
+            int(sys.argv[i + 4]),
+        )
+        return
+    argv = list(sys.argv[1:])
+    skew = 1
+    if "--skew" in argv:
+        i = argv.index("--skew")
+        skew = int(argv[i + 1])
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     n = int(args[0]) if args else 100_000
     k = int(args[1]) if len(args) > 1 else 4
     if "--stateful" in sys.argv:
         stateful_kill_restart_soak(n, k)
     elif "--sessionize" in sys.argv:
-        sessionize_kill_restart_soak(n, k)
+        sessionize_kill_restart_soak(n, k, skew)
     elif "--funnel" in sys.argv:
-        funnel_kill_restart_soak(n, k)
+        funnel_kill_restart_soak(n, k, skew)
+    elif "--incdedup" in sys.argv:
+        incdedup_kill_restart_soak(n, k)
     elif "--kill-restart" in sys.argv:
         kill_restart_soak(n, k)
     else:

@@ -140,3 +140,94 @@ def test_funnel_kill_restart_stages_exact():
     assert out["stages_exact"] is True and out["n_diverged"] == 0
     assert out["epochs_at_kill"] >= 3
     assert out["acked"] >= 4000
+
+
+@soak_tier
+def test_sessionize_kill_restart_hot_key_skew():
+    """Hot-KEY variant (VERDICT r10 Next #3): sessionize keys on the
+    queue, and the first queue receives 100x every other queue's
+    messages — one applyInPandasWithState group dominates every
+    microbatch through the SIGKILL. Same session-set exactness, plus
+    the skew accounting must show the hot key really carried >=100:1."""
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_soak.py"),
+            "6000",
+            "2",
+            "--sessionize",
+            "--skew",
+            "100",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["sessions_exact"] is True and out["duplicate_rows"] == 0
+    assert out["hot_key_events"] >= 100 * (
+        (out["messages"] - out["hot_key_events"])
+        / max(1, out["queues"] - 1)
+    )
+    assert out["epochs_at_kill"] >= 3
+
+
+@soak_tier
+def test_funnel_kill_restart_hot_user_skew():
+    """Hot-USER variant (VERDICT r10 Next #3): one funnel key per queue
+    receives half that queue's events (realized ratio per_q/16:1,
+    asserted >=100:1 by the script), running the stalling pattern so a
+    replay-overcount on the hot key itself is visible below the stage
+    cap. Per-user stage exactness must hold through the SIGKILL."""
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_soak.py"),
+            "6400",
+            "2",
+            "--funnel",
+            "--skew",
+            "100",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["stages_exact"] is True and out["n_diverged"] == 0
+    assert out["skew_ratio"] >= 100
+    assert out["hot_user_events"] * out["queues"] * 2 == out["messages"]
+    assert out["epochs_at_kill"] >= 3
+
+
+@soak_tier
+def test_incremental_dedup_streaming_matches_batch_through_kill():
+    """The streaming LLM-ingestion composition (VERDICT r10 Next #7):
+    per-microbatch incremental_dedup screening against the persisted
+    corpus index, through a mid-drain SIGKILL + restart. The script
+    asserts DISTINCT per-doc screening rows equal the batch operator
+    over the full replayed log, one row per doc, and that the stream
+    exercised all three statuses (exact_dup / near_dup / unique)."""
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_soak.py"),
+            "1600",
+            "2",
+            "--incdedup",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["screen_exact_vs_batch"] is True
+    assert out["docs_screened"] == 1600
+    assert out["epochs_at_kill"] >= 3
+    assert min(out["status_mix"].values()) > 0
