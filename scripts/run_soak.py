@@ -245,7 +245,10 @@ def stateful_kill_restart_soak(n: int, k: int) -> None:
     broker = os.path.join(work, "broker")
     _publish(broker, queues, per_q)
     sink = os.path.join(work, "sink")
-    max_per_batch = max(1, per_q // 25)
+    # ~10 epochs: enough staggering that the kill lands mid-drain with
+    # >=3 committed (the contract's requirement) without paying 25
+    # per-epoch commit overheads per phase (suite-runtime cap, r11)
+    max_per_batch = max(1, per_q // 10)
 
     def _spawn() -> subprocess.Popen:
         return subprocess.Popen(
@@ -491,7 +494,7 @@ def sessionize_kill_restart_soak(n: int, k: int, skew: int = 1) -> None:
     broker = os.path.join(work, "broker")
     _publish_sessions(broker, queues, counts)
     sink = os.path.join(work, "sink")
-    max_per_batch = max(1, max(counts) // 25)
+    max_per_batch = max(1, max(counts) // 10)
 
     def _spawn() -> subprocess.Popen:
         return subprocess.Popen(
@@ -762,7 +765,10 @@ def funnel_kill_restart_soak(n: int, k: int, skew: int = 1) -> None:
         users = max(2, per_q // 8)  # 8 events/user: two pattern cycles
         _publish_funnel(broker, queues, per_q, users)
     sink = os.path.join(work, "sink")
-    max_per_batch = max(1, per_q // 25)
+    # ~10 epochs: enough staggering that the kill lands mid-drain with
+    # >=3 committed (the contract's requirement) without paying 25
+    # per-epoch commit overheads per phase (suite-runtime cap, r11)
+    max_per_batch = max(1, per_q // 10)
 
     def _spawn() -> subprocess.Popen:
         return subprocess.Popen(
@@ -1083,7 +1089,7 @@ def incdedup_kill_restart_soak(n: int, k: int) -> None:
     broker = os.path.join(work, "broker")
     _publish_incdedup(broker, queues, per_q)
     sink = os.path.join(work, "sink")
-    max_per_batch = max(1, per_q // 12)
+    max_per_batch = max(1, per_q // 8)
 
     def _spawn() -> subprocess.Popen:
         return subprocess.Popen(
@@ -1190,7 +1196,10 @@ def kill_restart_soak(n: int, k: int) -> None:
     _publish(broker, queues, per_q)
     sink = os.path.join(work, "sink")
     # ~25 epochs total: enough staggering that the kill lands mid-drain
-    max_per_batch = max(1, per_q // 25)
+    # ~10 epochs: enough staggering that the kill lands mid-drain with
+    # >=3 committed (the contract's requirement) without paying 25
+    # per-epoch commit overheads per phase (suite-runtime cap, r11)
+    max_per_batch = max(1, per_q // 10)
 
     def _spawn() -> subprocess.Popen:
         return subprocess.Popen(

@@ -64,6 +64,12 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
     compare(df, con, ORACLES[name])
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FUZZ_FULL") == "1",
+    reason="full tier runs the complete sweep above — the rotating "
+    "subset is the QUICK tier's gate and would be a strict re-run here "
+    "(suite-runtime cap, r11)",
+)
 @pytest.mark.parametrize("name", SMOKE)
 def test_query_matches_oracle_smoke(name, spark, sf_dir, con):
     """Always-on rotating subset of the parity sweep — the quick tier's
