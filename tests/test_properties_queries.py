@@ -456,6 +456,7 @@ EMB_QUERY_NAMES = (
     "ivf_kmeans_assign",
     "embedding_neardup",
     "embedding_neardup_auto",
+    "embedding_neardup_lsh",
     "embedding_coverage",
 )
 
