@@ -52,6 +52,9 @@ def _run_scenario(args: list[str]):
         capture_output=True,
         text=True,
         timeout=540,
+        # pytest-scale soaks don't need the 32-thread pool the at-scale
+        # PLANS.md runs use; 4 scenarios x 8 threads = machine width
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
     )
     lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
     return r.returncode, json.loads(lines[-1]) if lines else None, r.stderr
@@ -59,10 +62,10 @@ def _run_scenario(args: list[str]):
 
 @pytest.fixture(scope="module")
 def soak():
-    """All scenarios, 3 concurrent (each is its own work dir + process
+    """All scenarios, 4 concurrent (each is its own work dir + process
     group; the kill trigger polls committed epochs, not wall time, so
     contention cannot change what the contract observes)."""
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
         futs = {
             name: pool.submit(_run_scenario, args)
             for name, args in _SCENARIOS.items()
