@@ -1188,6 +1188,375 @@ def incdedup_kill_restart_soak(n: int, k: int) -> None:
     print(json.dumps(out))
 
 
+# growing-corpus streaming ingestion (round 11 stretch): the FULL
+# self-referential LLM-ingestion loop — each epoch's unique survivors
+# JOIN the corpus index, so later batches dedup against everything
+# ingested before them. Exactness contract: the committed per-epoch
+# statuses must equal a sequential FOLD of the batch operator over the
+# committed epochs (same per-epoch doc sets, index grown the same way)
+# — this pins the plumbing the static-index soak cannot see: index
+# growth visibility (epoch N sees exactly epochs < N), replay
+# idempotence of BOTH sinks, and exactly-once delivery into the screen
+# (per-queue committed-id high-water marks, the same replay-marks idiom
+# as streaming/stateful.py, persisted per epoch beside the index).
+_INC_GROW_ID_BASE = 1_000_000  # incoming ids disjoint from corpus 0..399
+
+
+def _inc_grow_text(j: int, lag: int) -> str:
+    """Incoming doc j of the growing-corpus stream: kinds 0-2 as in
+    _inc_doc_text (exact-base dup / near-base dup / unique); kind 3 is
+    an exact copy of the kind-2 doc ``lag`` positions earlier (lag is
+    chosen ≡ 1 mod 4 so j-lag lands on a kind-2 doc) — with lag spanning
+    multiple epochs, these MUST come back exact_dup against the GROWN
+    index, proving the loop actually grows."""
+    if j % 4 == 3 and j - lag >= 0:
+        return _inc_doc_text(j - lag)
+    return _inc_doc_text(j)
+
+
+def _publish_incgrow(
+    broker: str, queues: list[str], per_q: int, lag: int
+) -> None:
+    for qi, q in enumerate(queues):
+        fake_broker.create_queue(broker, q)
+        fake_broker.publish(
+            broker,
+            q,
+            [
+                f"{_INC_GROW_ID_BASE + qi * per_q + j}|"
+                f"{_inc_grow_text(qi * per_q + j, lag)}"
+                for j in range(per_q)
+            ],
+        )
+
+
+def incgrow_drain_phase(
+    work: str, k: int, max_per_batch: int, per_q: int, lag: int
+) -> None:
+    """Child process for the growing-corpus soak. Every microbatch:
+
+    1. replay guard — drop rows at-or-below the per-queue id high-water
+       mark committed by epochs < this one (broker replay after the
+       SIGKILL would otherwise re-ingest screened docs and flip their
+       status against the by-then-grown index);
+    2. screen against base index UNION grown partitions with
+       epoch < this one (a re-executed epoch must see exactly the index
+       it saw the first time — its own torn partitions are excluded);
+    3. statuses -> idempotent per-epoch status sink;
+    4. unique survivors' index rows (hashes/shingles/bands) -> grown
+       index partitions keyed by epoch (dynamic overwrite = replay
+       idempotent); per-queue max ids -> the bookkeeping table, same
+       discipline.
+
+    After the drain, the surviving process writes the FOLD reference:
+    the batch operator applied sequentially to the committed epochs'
+    exact doc sets, growing a reference index the same way."""
+    import uuid
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from solace_apache_beam_spark.llm.dedup import (
+        build_corpus_index,
+        incremental_dedup,
+    )
+    from solace_apache_beam_spark.session import get_spark
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.pipelines import open_stream
+
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    broker_dir = os.path.join(work, "broker")
+    spark = get_spark("soak_incgrow_phase")
+    base = _ensure_inc_index(work, spark)
+    grow_dir = os.path.join(work, "grown")
+    book_dir = os.path.join(work, "book")
+    sink_dir = os.path.join(work, "sink")
+    appender = make_idempotent_appender(sink_dir)
+    bparams = {kk: _INC_PARAMS[kk] for kk in ("shingle_n", "n_perm", "n_bands")}
+
+    def _epoch_write(df, path: str, epoch_id: int) -> None:
+        (
+            df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    def _read_lt(path: str, epoch_id: int):
+        try:
+            return spark.read.parquet(path).filter(F.col("epoch") < epoch_id)
+        except AnalysisException:
+            return None
+
+    def screen(batch_df, epoch_id: int) -> None:
+        rows = batch_df.filter(
+            ~F.col("payload").startswith("__flush__")
+        ).select(
+            "destination",
+            "message_id",
+            F.split("payload", "\\|", 2).getItem(0).cast("long").alias("doc_id"),
+            F.split("payload", "\\|", 2).getItem(1).alias("text"),
+        )
+        book = _read_lt(book_dir, epoch_id)
+        if book is not None:
+            hwm = book.groupBy("destination").agg(F.max("max_id").alias("hwm"))
+            rows = (
+                rows.join(F.broadcast(hwm), "destination", "left")
+                .filter(F.col("hwm").isNull() | (F.col("message_id") > F.col("hwm")))
+                .drop("hwm")
+            )
+        from pyspark.storagelevel import StorageLevel
+
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+        idx = dict(base)
+        for name in ("hashes", "shingles", "bands"):
+            grown = _read_lt(os.path.join(grow_dir, name), epoch_id)
+            if grown is not None:
+                idx[name] = idx[name].unionByName(grown.drop("epoch"))
+        out = incremental_dedup(
+            rows.select("doc_id", "text"), corpus_index=idx, **_INC_PARAMS
+        )
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        appender(out, epoch_id)
+        uniq = rows.select("doc_id", "text").join(
+            out.filter(F.col("status") == "unique").select("doc_id"), "doc_id"
+        )
+        gidx = build_corpus_index(uniq, **bparams)
+        for name in ("hashes", "shingles", "bands"):
+            _epoch_write(gidx[name], os.path.join(grow_dir, name), epoch_id)
+        gidx.unpersist()
+        _epoch_write(
+            rows.groupBy("destination").agg(F.max("message_id").alias("max_id")),
+            book_dir,
+            epoch_id,
+        )
+        out.plan_caches.unpersist()
+        out.unpersist()
+        rows.unpersist()
+
+    stream = open_stream(
+        spark, broker_dir, queues, max_records_per_batch=max_per_batch
+    )
+    q = (
+        stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", os.path.join(work, "cp"))
+        .start()
+    )
+
+    def _undelivered() -> int:
+        return sum(
+            fake_broker.message_count(broker_dir, qq)
+            - fake_broker.delivered_watermark(broker_dir, qq)
+            for qq in queues
+        )
+
+    t0 = time.monotonic()
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    tag = uuid.uuid4().hex[:8]
+    for qq in queues:
+        fake_broker.publish(broker_dir, qq, [f"__flush__ {qq} {tag}"])
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    elapsed = time.monotonic() - t0
+    q.stop()
+
+    # FOLD reference over the committed epochs (duckdb enumerates the
+    # sink's epoch partitions; pyarrow would skip the _epoch_id dirs)
+    import duckdb
+
+    ep_docs = (
+        duckdb.connect()
+        .execute(
+            f"""SELECT _epoch_id, list(doc_id ORDER BY doc_id)
+                FROM read_parquet('{sink_dir}/*/*.parquet',
+                                  hive_partitioning=1)
+                GROUP BY _epoch_id ORDER BY _epoch_id"""
+        )
+        .fetchall()
+    )
+    ref_idx = dict(base)
+    expected = []
+    for ep, ids in ep_docs:
+        if not ids:
+            continue
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, text=_inc_grow_text(i - _INC_GROW_ID_BASE, lag))
+                for i in ids
+            ]
+        )
+        ref = incremental_dedup(docs, corpus_index=ref_idx, **_INC_PARAMS)
+        got = ref.collect()
+        expected += [
+            Row(
+                doc_id=r.doc_id,
+                status=r.status,
+                match_id=r.match_id,
+                jaccard=r.jaccard,
+                epoch=int(ep),
+            )
+            for r in got
+        ]
+        uniq = docs.join(
+            spark.createDataFrame(
+                [Row(doc_id=r.doc_id) for r in got if r.status == "unique"],
+                "doc_id long",
+            ),
+            "doc_id",
+        )
+        ref.plan_caches.unpersist()
+        gidx = build_corpus_index(uniq, **bparams)
+        for name in ("hashes", "shingles", "bands"):
+            # localCheckpoint: the fold's index lineage otherwise grows
+            # by one union + one Arrow kernel per epoch
+            ref_idx[name] = (
+                ref_idx[name].unionByName(gidx[name]).localCheckpoint()
+            )
+        gidx.unpersist()
+    spark.createDataFrame(
+        expected,
+        "doc_id long, status string, match_id long, jaccard double, epoch long",
+    ).write.mode("overwrite").parquet(os.path.join(work, "expected"))
+    with open(os.path.join(work, "DONE"), "w") as f:
+        json.dump({"elapsed": round(elapsed, 2)}, f)
+
+
+def incgrow_kill_restart_soak(n: int, k: int) -> None:
+    """Kill-restart soak through the GROWING-corpus ingestion loop.
+    Asserts, per committed epoch, streaming statuses == the sequential
+    batch fold; globally one row per doc (no status contradictions —
+    the replay marks worked); and that the growth path really engaged:
+    some exact_dups matched GROWN index entries (match_id >= the
+    incoming-id base), which only happens if later epochs saw earlier
+    epochs' survivors."""
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    per_q = n // k
+    work = tempfile.mkdtemp(prefix="soak_grow_")
+    broker = os.path.join(work, "broker")
+    # ~5 epochs, not ~10: each epoch here is a full dedup graph PLUS
+    # the index-growth writes, and the fold reference re-pays it — the
+    # growth/replay contract needs >=3 committed epochs and one
+    # cross-epoch lag, not epoch count
+    max_per_batch = max(1, per_q // 5)
+    # cross-epoch dup lag: ~2 epochs back, ≡ 1 mod 4 so the source is a
+    # kind-2 (unique) doc
+    lag = max(5, (2 * max_per_batch) // 4 * 4 + 1)
+    _publish_incgrow(broker, queues, per_q, lag)
+    sink = os.path.join(work, "sink")
+
+    def _spawn() -> subprocess.Popen:
+        return subprocess.Popen(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--phase-incgrow",
+                work,
+                str(k),
+                str(max_per_batch),
+                str(per_q),
+                str(lag),
+            ],
+            start_new_session=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def _epochs() -> int:
+        try:
+            return len(
+                [d for d in os.listdir(sink) if d.startswith("_epoch_id=")]
+            )
+        except FileNotFoundError:
+            return 0
+
+    t_all = time.monotonic()
+    p1 = _spawn()
+    deadline = time.monotonic() + 900
+    while time.monotonic() < deadline:
+        if os.path.exists(os.path.join(work, "DONE")):
+            raise SystemExit(
+                "drain finished before the kill — lower max_per_batch"
+            )
+        if _epochs() >= 3:
+            break
+        time.sleep(0.2)
+    epochs_at_kill = _epochs()
+    os.killpg(os.getpgid(p1.pid), signal.SIGKILL)
+    p1.wait()
+
+    p2 = _spawn()
+    rc = p2.wait(timeout=900)
+    assert rc == 0, f"restart phase failed rc={rc}"
+    assert os.path.exists(os.path.join(work, "DONE"))
+    total_s = time.monotonic() - t_all
+
+    import duckdb
+
+    con = duckdb.connect()
+    got_rows = con.execute(
+        f"""SELECT doc_id, status, match_id, jaccard,
+                   CAST(_epoch_id AS BIGINT), count(*)
+            FROM read_parquet('{sink}/*/*.parquet', hive_partitioning=1)
+            GROUP BY 1, 2, 3, 4, 5"""
+    ).fetchall()
+    exp_rows = con.execute(
+        f"""SELECT doc_id, status, match_id, jaccard, epoch
+            FROM read_parquet('{work}/expected/*.parquet')"""
+    ).fetchall()
+    got = {tuple(r[:5]) for r in got_rows}
+    expected = set(map(tuple, exp_rows))
+    grown_hits = sum(
+        1
+        for r in got_rows
+        if r[1] == "exact_dup" and r[2] is not None and r[2] >= _INC_GROW_ID_BASE
+    )
+    near_grown = sum(
+        1
+        for r in got_rows
+        if r[1] == "near_dup" and r[2] is not None and r[2] >= _INC_GROW_ID_BASE
+    )
+    by_status: dict[str, int] = {}
+    for r in got_rows:
+        by_status[r[1]] = by_status.get(r[1], 0) + 1
+    doc_ids = [r[0] for r in got_rows]
+    out = {
+        "mode": "incdedup_grow",
+        "messages": per_q * k,
+        "queues": k,
+        "corpus_docs_base": _INC_CORPUS,
+        "epochs_at_kill": epochs_at_kill,
+        "epochs_committed": len({r[4] for r in got_rows}),
+        "docs_screened": len(doc_ids),
+        "fold_exact": got == expected,
+        "status_mix": by_status,
+        "grown_exact_hits": grown_hits,
+        "grown_near_hits": near_grown,
+        "total_s": round(total_s, 2),
+        "msg_per_s": round(per_q * k / total_s),
+    }
+    assert got == expected, (
+        f"streaming loop diverged from the sequential batch fold: "
+        f"missing={list(expected - got)[:3]} extra={list(got - expected)[:3]}"
+    )
+    assert len(set(doc_ids)) == len(doc_ids), (
+        "a doc was screened twice (replay marks failed)"
+    )
+    assert len(set(doc_ids)) == per_q * k, "lost docs"
+    assert grown_hits > 0, (
+        "no exact_dup ever matched a grown-index entry — the loop "
+        "never actually grew"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def kill_restart_soak(n: int, k: int) -> None:
     queues = [f"q{i}" for i in range(1, k + 1)]
     per_q = n // k
@@ -1332,6 +1701,16 @@ def main() -> None:
             int(sys.argv[i + 4]),
         )
         return
+    if "--phase-incgrow" in sys.argv:
+        i = sys.argv.index("--phase-incgrow")
+        incgrow_drain_phase(
+            sys.argv[i + 1],
+            int(sys.argv[i + 2]),
+            int(sys.argv[i + 3]),
+            int(sys.argv[i + 4]),
+            int(sys.argv[i + 5]),
+        )
+        return
     argv = list(sys.argv[1:])
     skew = 1
     if "--skew" in argv:
@@ -1347,6 +1726,8 @@ def main() -> None:
         sessionize_kill_restart_soak(n, k, skew)
     elif "--funnel" in sys.argv:
         funnel_kill_restart_soak(n, k, skew)
+    elif "--incdedup-grow" in sys.argv:
+        incgrow_kill_restart_soak(n, k)
     elif "--incdedup" in sys.argv:
         incdedup_kill_restart_soak(n, k)
     elif "--kill-restart" in sys.argv:

@@ -43,6 +43,7 @@ _SCENARIOS: dict[str, list[str]] = {
     "sessionize_skew": ["6000", "2", "--sessionize", "--skew", "100"],
     "funnel_skew": ["6400", "2", "--funnel", "--skew", "100"],
     "incdedup": ["1600", "2", "--incdedup"],
+    "incdedup_grow": ["800", "2", "--incdedup-grow"],
 }
 
 
@@ -176,3 +177,19 @@ def test_incremental_dedup_streaming_matches_batch_through_kill(soak):
     assert out["docs_screened"] == 1600
     assert out["epochs_at_kill"] >= 3
     assert min(out["status_mix"].values()) > 0
+
+
+@soak_tier
+def test_incremental_dedup_growing_corpus_matches_sequential_fold(soak):
+    """The GROWING-corpus loop (round 11): each epoch's unique
+    survivors join the corpus index, so later batches dedup against
+    everything ingested before them; per-queue committed-id high-water
+    marks give exactly-once delivery into the screen. The script
+    asserts every committed epoch's statuses equal the sequential batch
+    fold, one row per doc globally, and that some exact_dups matched
+    GROWN entries — the loop really grew through the SIGKILL."""
+    out = _out(soak, "incdedup_grow")
+    assert out["fold_exact"] is True
+    assert out["docs_screened"] == 800
+    assert out["epochs_at_kill"] >= 3
+    assert out["grown_exact_hits"] > 0
