@@ -1255,14 +1255,15 @@ def incgrow_drain_phase(
 
     from pyspark.sql import Row
     from pyspark.sql import functions as F
-    from pyspark.sql.utils import AnalysisException
 
     from solace_apache_beam_spark.llm.dedup import (
         build_corpus_index,
         incremental_dedup,
     )
     from solace_apache_beam_spark.session import get_spark
-    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.ingestion import (
+        make_corpus_ingestion_screen,
+    )
     from solace_apache_beam_spark.streaming.pipelines import open_stream
 
     queues = [f"q{i}" for i in range(1, k + 1)]
@@ -1272,72 +1273,19 @@ def incgrow_drain_phase(
     grow_dir = os.path.join(work, "grown")
     book_dir = os.path.join(work, "book")
     sink_dir = os.path.join(work, "sink")
-    appender = make_idempotent_appender(sink_dir)
     bparams = {kk: _INC_PARAMS[kk] for kk in ("shingle_n", "n_perm", "n_bands")}
 
-    def _epoch_write(df, path: str, epoch_id: int) -> None:
-        (
-            df.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(path)
-        )
-
-    def _read_lt(path: str, epoch_id: int):
-        try:
-            return spark.read.parquet(path).filter(F.col("epoch") < epoch_id)
-        except AnalysisException:
-            return None
-
-    def screen(batch_df, epoch_id: int) -> None:
-        rows = batch_df.filter(
-            ~F.col("payload").startswith("__flush__")
-        ).select(
-            "destination",
-            "message_id",
-            F.split("payload", "\\|", 2).getItem(0).cast("long").alias("doc_id"),
-            F.split("payload", "\\|", 2).getItem(1).alias("text"),
-        )
-        book = _read_lt(book_dir, epoch_id)
-        if book is not None:
-            hwm = book.groupBy("destination").agg(F.max("max_id").alias("hwm"))
-            rows = (
-                rows.join(F.broadcast(hwm), "destination", "left")
-                .filter(F.col("hwm").isNull() | (F.col("message_id") > F.col("hwm")))
-                .drop("hwm")
-            )
-        from pyspark.storagelevel import StorageLevel
-
-        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
-        idx = dict(base)
-        for name in ("hashes", "shingles", "bands"):
-            grown = _read_lt(os.path.join(grow_dir, name), epoch_id)
-            if grown is not None:
-                idx[name] = idx[name].unionByName(grown.drop("epoch"))
-        out = incremental_dedup(
-            rows.select("doc_id", "text"), corpus_index=idx, **_INC_PARAMS
-        )
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        appender(out, epoch_id)
-        uniq = rows.select("doc_id", "text").join(
-            out.filter(F.col("status") == "unique").select("doc_id"), "doc_id"
-        )
-        gidx = build_corpus_index(uniq, **bparams)
-        for name in ("hashes", "shingles", "bands"):
-            _epoch_write(gidx[name], os.path.join(grow_dir, name), epoch_id)
-        gidx.unpersist()
-        _epoch_write(
-            rows.groupBy("destination").agg(F.max("message_id").alias("max_id")),
-            book_dir,
-            epoch_id,
-        )
-        out.plan_caches.unpersist()
-        out.unpersist()
-        rows.unpersist()
+    screen = make_corpus_ingestion_screen(
+        spark, base, sink_dir, grow_dir, book_dir, **_INC_PARAMS
+    )
 
     stream = open_stream(
         spark, broker_dir, queues, max_records_per_batch=max_per_batch
+    ).filter(~F.col("payload").startswith("__flush__")).select(
+        "destination",
+        "message_id",
+        F.split("payload", "\\|", 2).getItem(0).cast("long").alias("doc_id"),
+        F.split("payload", "\\|", 2).getItem(1).alias("text"),
     )
     q = (
         stream.writeStream.foreachBatch(screen)

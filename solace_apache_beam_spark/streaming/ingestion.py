@@ -1,0 +1,163 @@
+"""Growing-corpus dedup ingestion — the continuously-ingesting
+training-pipeline composition (SolaceRecordTest.java:133-147's dedup
+sample composed with the BigQuery ingest shape
+SolaceBigQuery.java:146-211, taken to its production conclusion):
+
+    source -> screen each microbatch against the PERSISTED corpus
+    index -> statuses to the warehouse -> unique survivors JOIN the
+    index, so later batches dedup against everything ingested before
+    them.
+
+:func:`make_corpus_ingestion_screen` returns a ``foreachBatch``
+callable wiring :func:`~solace_apache_beam_spark.llm.dedup.
+incremental_dedup` and :func:`~solace_apache_beam_spark.llm.dedup.
+build_corpus_index` into that loop with three guarantees, each load-
+bearing after an unclean restart of the at-least-once source:
+
+1. **Exactly-once ingestion.** Per-queue committed-id high-water marks
+   (the same replay-marks idiom as ``streaming/stateful.py``, persisted
+   per epoch beside the index) drop broker-replayed rows before the
+   screen — a replayed doc would otherwise re-screen against the
+   by-then-grown index and flip its own status.
+2. **Epoch-consistent index reads.** Every batch screens against the
+   base index UNION grown partitions with ``epoch < this one``, so a
+   re-executed epoch sees exactly the index it saw the first time —
+   its own torn partitions are excluded, making re-execution
+   bit-deterministic.
+3. **Replay-idempotent writes.** All three sinks (statuses, grown
+   index rows, bookkeeping marks) are epoch-partitioned dynamic
+   overwrites: a replayed epoch REPLACES itself.
+
+The loop's end-to-end contract — committed per-epoch statuses equal a
+sequential fold of the batch operator over the committed epochs — is
+kill-restart verified in ``scripts/run_soak.py --incdedup-grow`` and
+pinned by the soak-tier wrapper.
+
+At 100 TB: the base index is a bucketed table built once
+(``build_corpus_index``); per-epoch cost touches the batch plus the
+index's band partitions the batch joins (sort-merge, never a corpus
+broadcast — incremental_dedup's boundedness contract); the grown
+partitions compact downstream like any epoch-partitioned warehouse
+table. State outside the store: the high-water-mark table is one row
+per (queue, epoch) — scalars, not data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:  # Spark 4 canonical location, pyspark.sql.utils kept as alias
+    from pyspark.errors import AnalysisException
+except ImportError:  # pragma: no cover
+    from pyspark.sql.utils import AnalysisException
+
+_INDEX_PARTS = ("hashes", "shingles", "bands")
+
+
+def _epoch_write(df: DataFrame, path: str, epoch_id: int) -> None:
+    (
+        df.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(path)
+    )
+
+
+def _read_before(spark: SparkSession, path: str, epoch_id: int):
+    """Partitions committed by epochs strictly before ``epoch_id`` —
+    None when the path doesn't exist yet (first epoch) or holds no
+    readable footer (only empty-epoch writes)."""
+    try:
+        return spark.read.parquet(path).filter(F.col("epoch") < epoch_id)
+    except AnalysisException:
+        return None
+
+
+def make_corpus_ingestion_screen(
+    spark: SparkSession,
+    base_index: dict,
+    status_dir: str,
+    grown_dir: str,
+    book_dir: str,
+    queue_col: str = "destination",
+    id_col: str = "message_id",
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_perm: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+):
+    """``foreachBatch(batch_df, epoch_id)`` callable for the growing-
+    corpus loop (module docstring). ``batch_df`` must carry
+    ``(queue_col, id_col, doc_col, text_col)`` — project/parse upstream
+    of ``writeStream``. ``base_index`` is the ``build_corpus_index``
+    mapping (read back from its persisted tables in production).
+    Dedup parameters must match the ones the base index was built
+    with."""
+    from pyspark.storagelevel import StorageLevel
+
+    from solace_apache_beam_spark.llm.dedup import (
+        build_corpus_index,
+        incremental_dedup,
+    )
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+
+    appender = make_idempotent_appender(status_dir)
+
+    def screen(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.select(queue_col, id_col, doc_col, text_col)
+        book = _read_before(spark, book_dir, epoch_id)
+        if book is not None:
+            hwm = book.groupBy(queue_col).agg(F.max("max_id").alias("_hwm"))
+            # the mark table is one row per queue — always broadcast
+            rows = (
+                rows.join(F.broadcast(hwm), queue_col, "left")
+                .filter(F.col("_hwm").isNull() | (F.col(id_col) > F.col("_hwm")))
+                .drop("_hwm")
+            )
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+        idx = dict(base_index)
+        for name in _INDEX_PARTS:
+            grown = _read_before(spark, f"{grown_dir}/{name}", epoch_id)
+            if grown is not None:
+                idx[name] = idx[name].unionByName(grown.drop("epoch"))
+        out = incremental_dedup(
+            rows.select(doc_col, text_col),
+            corpus_index=idx,
+            id_col=doc_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            n_perm=n_perm,
+            n_bands=n_bands,
+            threshold=threshold,
+            max_bucket=max_bucket,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        appender(out, epoch_id)
+        uniq = rows.select(doc_col, text_col).join(
+            out.filter(F.col("status") == "unique").select(doc_col), doc_col
+        )
+        gidx = build_corpus_index(
+            uniq,
+            text_col=text_col,
+            id_col=doc_col,
+            shingle_n=shingle_n,
+            n_perm=n_perm,
+            n_bands=n_bands,
+        )
+        for name in _INDEX_PARTS:
+            _epoch_write(gidx[name], f"{grown_dir}/{name}", epoch_id)
+        gidx.unpersist()
+        _epoch_write(
+            rows.groupBy(queue_col).agg(F.max(id_col).alias("max_id")),
+            book_dir,
+            epoch_id,
+        )
+        out.plan_caches.unpersist()
+        out.unpersist()
+        rows.unpersist()
+
+    return screen

@@ -1,0 +1,139 @@
+"""Batch-driven contract tests for the growing-corpus ingestion screen
+(streaming/ingestion.make_corpus_ingestion_screen) — the foreachBatch
+callable exercised end-to-end (source, SIGKILL, restart) by
+scripts/run_soak.py --incdedup-grow and its soak-tier wrapper. Here the
+callable is driven directly with hand-built epochs so the loop's three
+guarantees stay pinned on every default pytest run:
+
+1. growth: a later epoch's exact copy of an earlier epoch's unique doc
+   comes back exact_dup with match_id = the earlier doc;
+2. epoch re-execution: replaying an epoch (same epoch_id, same rows)
+   leaves every sink unchanged — dynamic-overwrite idempotence;
+3. replay marks: broker-replayed rows (same queue, id at-or-below the
+   committed mark) are dropped BEFORE the screen, so they can neither
+   duplicate statuses nor flip their own status against the grown
+   index.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+from solace_apache_beam_spark.llm.dedup import build_corpus_index
+from solace_apache_beam_spark.streaming.ingestion import (
+    make_corpus_ingestion_screen,
+)
+
+_PARAMS = dict(shingle_n=3, n_perm=16, n_bands=4, threshold=0.5)
+
+
+def _text(seed: int) -> str:
+    # all-letter words: the shingle tokenizer splits on non-letters
+    def w(v: int) -> str:
+        v %= 17576
+        return "".join(
+            "abcdefghijklmnopqrstuvwxyz"[(v // 26**p) % 26] for p in range(3)
+        )
+
+    return " ".join(w(seed * 13 + j * 7) for j in range(12))
+
+
+def _statuses(status_dir: str) -> dict:
+    rows = duckdb.connect().execute(
+        f"""SELECT doc_id, status, match_id, CAST(_epoch_id AS BIGINT),
+                   count(*)
+            FROM read_parquet('{status_dir}/*/*.parquet',
+                              hive_partitioning=1)
+            GROUP BY 1, 2, 3, 4"""
+    ).fetchall()
+    assert all(r[4] == 1 for r in rows), f"duplicated rows: {rows}"
+    return {r[0]: (r[1], r[2], r[3]) for r in rows}
+
+
+@pytest.fixture()
+def loop(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [Row(doc_id=c, text=_text(c)) for c in range(20)]
+    )
+    base = build_corpus_index(corpus, **{k: _PARAMS[k] for k in
+                                         ("shingle_n", "n_perm", "n_bands")})
+    dirs = {n: str(tmp_path / n) for n in ("status", "grown", "book")}
+    screen = make_corpus_ingestion_screen(
+        spark, base, dirs["status"], dirs["grown"], dirs["book"], **_PARAMS
+    )
+    yield spark, screen, dirs
+    base.unpersist()
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "destination string, message_id long, doc_id long, text string"
+    )
+
+
+def test_growth_reexecution_and_replay_marks(loop):
+    spark, screen, dirs = loop
+
+    # epoch 0: one exact dup of the base corpus, two unique docs
+    e0 = [
+        ("q1", 0, 100, _text(3)),
+        ("q1", 1, 101, _text(900)),
+        ("q2", 0, 102, _text(901)),
+    ]
+    screen(_batch(spark, e0), 0)
+    got = _statuses(dirs["status"])
+    assert got[100] == ("exact_dup", 3, 0)
+    assert got[101][0] == got[102][0] == "unique"
+
+    # epoch 1: an exact copy of epoch-0's unique doc 101 -> must match
+    # the GROWN index, not come back unique; plus a fresh unique
+    e1 = [
+        ("q1", 2, 103, _text(900)),
+        ("q2", 1, 104, _text(902)),
+    ]
+    screen(_batch(spark, e1), 1)
+    got = _statuses(dirs["status"])
+    assert got[103] == ("exact_dup", 101, 1), "the loop never grew"
+    assert got[104][0] == "unique"
+
+    # epoch-1 re-execution (unclean-restart anatomy: same epoch id,
+    # same rows): every sink row must be REPLACED, not duplicated, and
+    # the re-run must see the same pre-epoch index (103 stays matched
+    # to 101, not to its own torn epoch-1 partitions)
+    screen(_batch(spark, e1), 1)
+    got2 = _statuses(dirs["status"])
+    assert got2 == got
+
+    # epoch 2: broker replay — q1 redelivers ids 1..2 (committed marks
+    # say q1 is at 2) plus one genuinely new row. The replayed rows
+    # must be dropped BEFORE the screen: doc 101's copy would otherwise
+    # flip to exact_dup against the grown index and contradict epoch 0.
+    e2 = [
+        ("q1", 1, 101, _text(900)),
+        ("q1", 2, 103, _text(900)),
+        ("q1", 3, 105, _text(903)),
+    ]
+    screen(_batch(spark, e2), 2)
+    got3 = _statuses(dirs["status"])
+    assert got3[101] == ("unique", None, 0), "replayed row re-screened"
+    assert got3[103] == ("exact_dup", 101, 1)
+    assert got3[105][0] == "unique" and got3[105][2] == 2
+    assert len(got3) == 6  # one row per doc, ever
+
+
+def test_near_dup_against_grown_entry(loop):
+    spark, screen, dirs = loop
+    screen(_batch(spark, [("q1", 0, 200, _text(950))]), 0)
+    # one word of 12 mutated: shingle jaccard ~0.7 >= 0.5
+    words = _text(950).split()
+    words[5] = "zzz"
+    screen(_batch(spark, [("q1", 1, 201, " ".join(words))]), 1)
+    got = _statuses(dirs["status"])
+    assert got[200][0] == "unique"
+    assert got[201] == ("near_dup", 200, 1)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
