@@ -287,10 +287,18 @@ class SolaceStreamReader(DataSourceStreamReader):
     def _dump_stats(self) -> None:
         """JSON stats dump (SolaceReaderStats.java:137-155 dumps every
         120 s of advance-time; here per checkpoint so tests are
-        deterministic)."""
+        deterministic). The tmp name is per-writer: two queries sharing
+        a broker dir (the CLI demo runs two) commit concurrently, and a
+        SHARED tmp path lets one writer's os.replace delete the other's
+        file mid-publish (observed as FileNotFoundError in commitSource
+        under load, r11). Unique tmp + atomic rename = last-writer-wins
+        with no window."""
         import json
+        import uuid
 
-        tmp = os.path.join(self.path, ".reader_stats.json.tmp")
+        tmp = os.path.join(
+            self.path, f".reader_stats.json.tmp.{uuid.uuid4().hex[:8]}"
+        )
         with open(tmp, "w") as f:
             json.dump(self.stats, f)
         os.replace(tmp, os.path.join(self.path, ".reader_stats.json"))
