@@ -52,19 +52,25 @@ def _statuses(status_dir: str) -> dict:
     return {r[0]: (r[1], r[2], r[3]) for r in rows}
 
 
-@pytest.fixture()
-def loop(spark, tmp_path):
+@pytest.fixture(scope="module")
+def base_index(spark):
     corpus = spark.createDataFrame(
         [Row(doc_id=c, text=_text(c)) for c in range(20)]
     )
     base = build_corpus_index(corpus, **{k: _PARAMS[k] for k in
                                          ("shingle_n", "n_perm", "n_bands")})
+    yield base
+    base.unpersist()
+
+
+@pytest.fixture()
+def loop(spark, base_index, tmp_path):
     dirs = {n: str(tmp_path / n) for n in ("status", "grown", "book")}
     screen = make_corpus_ingestion_screen(
-        spark, base, dirs["status"], dirs["grown"], dirs["book"], **_PARAMS
+        spark, base_index, dirs["status"], dirs["grown"], dirs["book"],
+        **_PARAMS,
     )
     yield spark, screen, dirs
-    base.unpersist()
 
 
 def _batch(spark, rows):
