@@ -1088,3 +1088,90 @@ def ivf_topk(
         id_col, F.col("qv").alias("q"), "cell"
     )
     return _bucketed_all_pairs_topk(assigned, "cell", id_col, k, block_size)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int | None = 8,
+    n_iters: int = 2,
+    threshold: float = 0.7,
+    block_size: int = 4096,
+    target_bucket: int = 8192,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space with the
+    engine-exact quantized Lloyd loop, then within each cluster mark a
+    vector as a semantic duplicate iff some LOWER-ID cluster member has
+    rounded cosine >= ``threshold`` with it (greedy keep-first — the
+    kept representative of every duplicate is deterministic, and
+    ``dup_of`` reports the smallest qualifying keeper id).
+
+    Output: ``(id, cell, is_dup boolean, dup_of nullable)`` — one row
+    per vector with a non-NULL embedding.
+
+    Engine-exactness: clustering is :func:`kmeans_centroids`'s loop
+    (integer-quantized vectors, exact integer dots, fixed iteration
+    count, round-half-away centroid updates), assignment ties break to
+    the smallest centroid id, and the in-cluster cosines are the same
+    integer-exact arithmetic as :func:`neardup_pairs` with the
+    threshold applied to the 6-decimal ROUNDED value — so a DuckDB
+    oracle can replay training, assignment, and pruning bit-for-bit.
+
+    Scale (100 TB): this is the published corpus-curation shape —
+    clustering caps the pairwise work at sum_c(|cell_c|^2) instead of
+    N^2. ``n_cells=None`` derives the cell count so the MEAN cell
+    holds ~``target_bucket`` vectors (the same guard as ``ivf_topk``);
+    in-cell pairing runs through :func:`_bucketed_threshold_pairs`
+    (sub-blocked, spillable sort-merge join — per-task memory bounded
+    regardless of cell skew). Assignment is map-side (centroids ride
+    the task closure); the only corpus shuffles are the Lloyd update's
+    integer partial sums and the cell grouping. NaN cosines (zero-norm
+    vectors) never qualify as duplicates — the kernel's isfinite mask;
+    the oracle guards norms > 0.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if n_cells is None:
+        n_cells = _derive_n_buckets(
+            df.filter(F.col(vec_col).isNotNull()).count(), target_bucket
+        )
+    qdf = _quantized_vectors(df, vec_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if qdf.isEmpty():
+        qdf.unpersist()
+        return attach_plan_caches(
+            df.sparkSession.createDataFrame(
+                [], f"{id_col} long, cell long, is_dup boolean, dup_of long"
+            ),
+            (),
+        )
+    cids, cmat = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
+    # both the pair generation and the final per-vector join read the
+    # assignment — persist it once (the kernel quantizes + assigns once)
+    assigned = (
+        _assign_cells(qdf, id_col, cids, cmat)
+        .select(id_col, F.col("qv").alias("q"), "cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = _bucketed_threshold_pairs(
+        assigned, "cell", id_col, threshold, block_size
+    )
+    dups = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    out = (
+        assigned.select(id_col, "cell")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+    return attach_plan_caches(
+        out, (qdf, assigned, *pairs.plan_caches._frames)
+    )

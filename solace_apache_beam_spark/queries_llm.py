@@ -442,6 +442,80 @@ def ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_TAU = 0.4
+
+# SemDeDup oracle: the SAME Lloyd-training + assignment replay as
+# _KM_SQL (q / c0 / iterations / final / ranked are structurally
+# identical — kept separate so neither oracle's text depends on the
+# other's rotation state), then within-cell pairing with the
+# integer-exact quantized cosine, threshold on the 6-decimal ROUNDED
+# value, greedy keep-first (dup_of = smallest lower-id member at or
+# above tau). n2 > 0 guards mirror the kernel's isfinite mask: a
+# zero-norm vector's NaN cosine satisfies >= tau in DuckDB (NaN ranks
+# greatest) while the Spark kernel drops it.
+_SEMDEDUP_SQL = f"""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1048576) AS DOUBLE)
+              for x in embedding] AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KM_CELLS}),
+    {", ".join(_km_iter_sql(i) for i in range(_KM_ITERS))},
+    final AS (
+      SELECT q.vec_id, c.cid,
+             list_inner_product(q.qv, c.cv)
+               / (sqrt(list_inner_product(q.qv, q.qv))
+                  * sqrt(list_inner_product(c.cv, c.cv))) AS cos
+      FROM q, c{_KM_ITERS} c
+    ),
+    ranked AS (
+      SELECT vec_id, cid AS cell, cos,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY (CASE WHEN isnan(cos) THEN CAST('-infinity' AS DOUBLE)
+                         ELSE cos END) DESC, cid) AS rn
+      FROM final
+    ),
+    asg AS (
+      SELECT r.vec_id, r.cell, q.qv,
+             list_inner_product(q.qv, q.qv) AS n2
+      FROM ranked r JOIN q USING (vec_id) WHERE r.rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_inner_product(a.qv, b.qv)
+                   / (sqrt(a.n2) * sqrt(b.n2)), 6) AS cos
+      FROM asg a JOIN asg b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE a.n2 > 0 AND b.n2 > 0
+    ),
+    dups AS (
+      SELECT ib AS vec_id, min(ia) AS dup_of
+      FROM pairs WHERE cos >= {_SEMDEDUP_TAU} GROUP BY ib
+    )
+    SELECT s.vec_id, s.cell, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+    FROM asg s LEFT JOIN dups d ON s.vec_id = d.vec_id
+"""
+
+
+@query("semantic_dedup", oracle=_SEMDEDUP_SQL)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (arXiv:2303.09540): quantized
+    Lloyd k-means cells + within-cell cosine pruning at tau=0.4 with a
+    deterministic greedy keep-first rule — the oracle replays the whole
+    training loop, the cell assignment, AND the in-cell pair pruning
+    bit-for-bit in SQL."""
+    from solace_apache_beam_spark.llm.similarity import semantic_dedup as sd
+
+    return sd(
+        load_table(spark, sf_dir, "embeddings"),
+        n_cells=_KM_CELLS,
+        n_iters=_KM_ITERS,
+        threshold=_SEMDEDUP_TAU,
+    ).select("vec_id", "cell", "is_dup", "dup_of")
+
+
 @query(
     "training_shuffle_manifest",
     oracle="""

@@ -69,6 +69,10 @@ def _load() -> None:
 #      rule above);
 #   1. the 24 queries whose newest driver row is r09.
 _PRIORITY: tuple[str, ...] = (
+    # 0. lockstep: semantic_dedup — NEW registration this round
+    #    (SemDeDup cluster-then-prune over the embedding space; the
+    #    oracle replays Lloyd training + assignment + in-cell pruning).
+    "semantic_dedup",
     # 0. lockstep: embedding_neardup_lsh — NEW registration this round
     #    (VERDICT r10 Next #1: the LSH neardup route's own gate; the
     #    oracle replays the seeded hyperplane bucketing + in-bucket
