@@ -938,9 +938,19 @@ def kmeans_centroids(
 
 
 def _kmeans_from_quantized(
-    qdf: DataFrame, id_col: str, n_cells: int, n_iters: int
+    qdf: DataFrame,
+    id_col: str,
+    n_cells: int,
+    n_iters: int,
+    assign_fn=None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Lloyd loop over an (already persisted) quantized frame."""
+    """Lloyd loop over an (already persisted) quantized frame.
+    ``assign_fn`` picks the assignment metric — default cosine
+    (:func:`_assign_cells`, the IVF coarse quantizer); PQ subquantizer
+    training passes :func:`_assign_cells_l2` (same loop, same exact
+    integer update, L2 argmin instead of cosine argmax)."""
+    if assign_fn is None:
+        assign_fn = _assign_cells
     seed = sorted(
         (int(r[id_col]), np.asarray(r["qv"], dtype=np.float64))
         for r in qdf.filter(F.col(id_col) < n_cells).collect()
@@ -954,7 +964,7 @@ def _kmeans_from_quantized(
     cmat = np.stack([v for _, v in seed])
 
     for _ in range(n_iters):
-        assigned = _assign_cells(qdf, id_col, cids, cmat)
+        assigned = assign_fn(qdf, id_col, cids, cmat)
         rows = (
             assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
             .groupBy("cell", "pos")
@@ -1175,3 +1185,197 @@ def semantic_dedup(
     return attach_plan_caches(
         out, (qdf, assigned, *pairs.plan_caches._frames)
     )
+
+
+def _assign_cells_l2(
+    qdf: DataFrame, id_col: str, cids: np.ndarray, cmat: np.ndarray
+) -> DataFrame:
+    """Map-side nearest-centroid assignment under SQUARED L2 distance —
+    the PQ subquantizer metric (reconstruction error cares about
+    magnitude, which cosine discards). Exact by the same argument as
+    :func:`_block_scores`: quantized components are integers < 2^21, so
+    ||x||^2, x.c and ||c||^2 are integer-valued floats < 2^53 and
+    d2 = ||x||^2 - 2*x.c + ||c||^2 is a difference of exact integers —
+    identical on every engine, and DuckDB replays it with three
+    list_inner_products. argmin takes the FIRST minimum, which is the
+    smallest centroid id (rows are kept id-sorted) — the oracle's
+    ORDER BY d2, cid. Output schema mirrors :func:`_assign_cells` with
+    ``d2_raw`` in place of ``cos_raw`` so the shared Lloyd update
+    consumes either."""
+    b_cids, b_cmat = cids.copy(), cmat.copy()
+
+    def assign(batches):
+        cn2 = (b_cmat * b_cmat).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _unpack(pdf["qv"])
+            d2 = (
+                (qm * qm).sum(axis=1)[:, None]
+                - 2.0 * (qm @ b_cmat.T)
+                + cn2[None, :]
+            )
+            best = d2.argmin(axis=1)  # first min -> smallest cid (sorted)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "qv": pdf["qv"],
+                    "cell": b_cids[best],
+                    "d2_raw": d2[np.arange(len(best)), best],
+                }
+            )
+
+    return qdf.mapInPandas(
+        assign, f"{id_col} long, qv array<double>, cell long, d2_raw double"
+    )
+
+
+def _subspace_slice(s: int, m: int) -> str:
+    """SQL slice of the quantized vector for subspace ``s`` of ``m``:
+    dims (len*s div m, len*(s+1) div m] — integer division on both
+    engines (Spark ``div``, DuckDB ``//``), so uneven dims split
+    deterministically."""
+    return (
+        f"slice(qv, size(qv) * {s} div {m} + 1, "
+        f"size(qv) * {s + 1} div {m} - size(qv) * {s} div {m})"
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 2,
+    k_codes: int = 4,
+    n_iters: int = 1,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Train product-quantization codebooks: the quantized vector is
+    split into ``m`` contiguous subspaces and each runs the SAME
+    engine-exact Lloyd loop as :func:`kmeans_centroids` under squared-L2
+    assignment (``_assign_cells_l2``) with seeds = subvectors of ids
+    < ``k_codes``. Returns ``m`` (cids, cmat) codebooks, id-sorted.
+
+    Scale: each subspace's training shuffles only integer partial sums
+    (k_codes x subdim per iteration reaches the driver); the corpus is
+    read through one shared persisted quantized frame."""
+    from pyspark.storagelevel import StorageLevel
+
+    qdf = _quantized_vectors(df, vec_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        books = []
+        for s in range(m):
+            sub = qdf.select(
+                F.col(id_col), F.expr(_subspace_slice(s, m)).alias("qv")
+            )
+            books.append(
+                _kmeans_from_quantized(
+                    sub, id_col, k_codes, n_iters, assign_fn=_assign_cells_l2
+                )
+            )
+        return books
+    finally:
+        qdf.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 2,
+    k_codes: int = 4,
+    n_iters: int = 1,
+    books: "list[tuple[np.ndarray, np.ndarray]] | None" = None,
+) -> DataFrame:
+    """Product-quantization encoding: assign every subvector to its
+    nearest (squared-L2) codebook centroid and emit the code vector
+    plus the reconstruction (concatenated centroids, still at quantized
+    integer scale). Output: ``(id, codes array<long>, recon
+    array<double>)`` — one row per non-NULL vector.
+
+    This is the 100 TB memory path for embedding search: a dim-d
+    float32 vector (4d bytes) compresses to m * ceil(log2(k)) bits
+    (m=16, k=256 -> 16 bytes for d=512, a 128x reduction), and the
+    codes shuffle/store in place of the raw vectors. Encoding is
+    map-side — codebooks ride the task closure (m * k * subdim ints).
+    Ties in the L2 argmin break to the smallest code id, and every
+    distance is exact integer arithmetic, so a DuckDB oracle replays
+    training + encoding bit-for-bit."""
+    if books is None:
+        # empty corpus (or all-NULL vectors): nothing to train on —
+        # return the empty encoding rather than letting the seeding
+        # collect raise (same posture as kmeans_assign)
+        if _quantized_vectors(df, vec_col, id_col).isEmpty():
+            return df.sparkSession.createDataFrame(
+                [], f"{id_col} long, codes array<long>, recon array<double>"
+            )
+        books = pq_codebooks(df, vec_col, id_col, m, k_codes, n_iters)
+    b_books = [(cids.copy(), cmat.copy()) for cids, cmat in books]
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _unpack(pdf["qv"])
+            n, d = qm.shape
+            codes = np.zeros((n, m), dtype=np.int64)
+            recon = np.zeros_like(qm)
+            for s, (cids, cmat) in enumerate(b_books):
+                lo, hi = d * s // m, d * (s + 1) // m
+                sub = qm[:, lo:hi]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ cmat.T)
+                    + (cmat * cmat).sum(axis=1)[None, :]
+                )
+                best = d2.argmin(axis=1)
+                codes[:, s] = cids[best]
+                recon[:, lo:hi] = cmat[best]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                    "recon": list(recon),
+                }
+            )
+
+    return _quantized_vectors(df, vec_col, id_col).mapInPandas(
+        encode, f"{id_col} long, codes array<long>, recon array<double>"
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_df: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 2,
+    k_codes: int = 4,
+    n_iters: int = 1,
+    k: int = 5,
+    block_size: int = 4096,
+) -> DataFrame:
+    """PQ-compressed approximate top-k cosine search (asymmetric
+    distance computation): queries keep their EXACT vectors; the corpus
+    is replaced by its PQ reconstructions, so scores are
+    cosine(query, reconstruction) — the ADC estimate. Reuses
+    :func:`brute_force_topk` unchanged: reconstructions are integer
+    vectors at quantized scale, and dividing by 2^20 before the packer
+    re-quantizes them bit-exactly (power-of-two scaling is lossless in
+    float64), so the whole pipeline stays integer-exact and
+    oracle-replayable.
+
+    Scale: the corpus-side memory is the win (codes instead of raw
+    vectors — see :func:`pq_encode`); candidate pruning composes with
+    the IVF cells (:func:`ivf_topk`) or LSH buckets the same way the
+    exact kernels do, since the reconstruction frame drops into any of
+    them as the corpus side."""
+    enc = pq_encode(df, vec_col, id_col, m, k_codes, n_iters)
+    corpus = enc.select(
+        F.col(id_col),
+        F.transform("recon", lambda x: x / F.lit(float(QUANT))).alias(vec_col),
+    )
+    if query_df is None:
+        query_df = df
+    return brute_force_topk(corpus, query_df, vec_col, id_col, k, block_size)

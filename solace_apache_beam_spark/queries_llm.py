@@ -516,6 +516,154 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cell", "is_dup", "dup_of")
 
 
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_TOPK = 4, 8, 1, 5
+
+
+def _pq_sub_sql(s: int) -> str:
+    """Subspace ``s`` of the PQ oracle: subvector slice (integer-div
+    bounds — Spark ``div`` / DuckDB ``//`` agree), seed centroids
+    (subvectors of ids < k), ``_PQ_ITERS`` Lloyd iterations under exact
+    squared-L2 (three list_inner_products of integer-valued doubles —
+    the same d2 the Arrow kernel computes), then the final encode
+    assignment. Ties break ORDER BY d2, cid = numpy argmin-first over
+    id-sorted centroids. Empty cells keep the previous centroid."""
+    cte = [
+        f"""s{s}v AS (
+      SELECT vec_id,
+             [q[i] for i in generate_series(len(q) * {s} // {_PQ_M} + 1,
+                                            len(q) * {s + 1} // {_PQ_M})] AS v
+      FROM q0)""",
+        f"s{s}c0 AS (SELECT vec_id AS cid, v AS cv FROM s{s}v WHERE vec_id < {_PQ_K})",
+    ]
+    d2 = (
+        "list_inner_product(a.v, a.v) - 2 * list_inner_product(a.v, c.cv)"
+        " + list_inner_product(c.cv, c.cv)"
+    )
+    for it in range(_PQ_ITERS):
+        cte += [
+            f"""s{s}a{it} AS (
+      SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM (SELECT a.vec_id, a.v, c.cid, {d2} AS d2
+            FROM s{s}v a, s{s}c{it} c))""",
+            f"s{s}g{it} AS (SELECT vec_id, v, cid AS cell FROM s{s}a{it} WHERE rn = 1)",
+            f"""s{s}m{it} AS (
+      SELECT cell, pos, sum(x) AS sm, count(*) AS cnt
+      FROM (SELECT cell, unnest(generate_series(1, len(v))) AS pos,
+                   unnest(v) AS x
+            FROM s{s}g{it})
+      GROUP BY 1, 2)""",
+            f"""s{s}n{it} AS (
+      SELECT cell AS cid, list(round(sm / cnt) ORDER BY pos) AS cv
+      FROM s{s}m{it} GROUP BY 1)""",
+            f"""s{s}c{it + 1} AS (
+      SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+      FROM s{s}c{it} p LEFT JOIN s{s}n{it} n ON p.cid = n.cid)""",
+        ]
+    cte += [
+        f"""s{s}e AS (
+      SELECT vec_id, cid, cv,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM (SELECT a.vec_id, c.cid, c.cv, {d2} AS d2
+            FROM s{s}v a, s{s}c{_PQ_ITERS} c))""",
+        f"s{s}code AS (SELECT vec_id, cid, cv FROM s{s}e WHERE rn = 1)",
+    ]
+    return ",\n    ".join(cte)
+
+
+# Shared PQ oracle prefix: quantized vectors (DOUBLE lists, same
+# convention as _KM_SQL) + per-subspace codebook training and encoding.
+_PQ_SUBSPACES = ",\n    ".join(_pq_sub_sql(s) for s in range(_PQ_M))
+_PQ_PREFIX = f"""
+    WITH q0 AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1048576) AS DOUBLE)
+              for x in embedding] AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    {_PQ_SUBSPACES}
+"""
+
+_PQ_CODES_SELECT = ", ".join(
+    f"s{s}code.cid AS code_{s}" for s in range(_PQ_M)
+)
+_PQ_CODES_JOIN = " JOIN ".join(f"s{s}code USING (vec_id)" for s in range(_PQ_M))
+_PQ_RECON = " || ".join(f"s{s}code.cv" for s in range(_PQ_M))
+
+
+@query(
+    "pq_code_assign",
+    oracle=f"""
+    {_PQ_PREFIX}
+    SELECT q0.vec_id, {_PQ_CODES_SELECT}
+    FROM q0 JOIN {_PQ_CODES_JOIN}
+    """,
+)
+def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding ({_PQ_M} subspaces x {_PQ_K} codes,
+    L2 subquantizers trained with the engine-exact Lloyd loop) — the
+    oracle replays every subspace's training and the code assignment
+    bit-for-bit. This is the compressed representation 100 TB embedding
+    stores shuffle instead of raw vectors."""
+    from solace_apache_beam_spark.llm.similarity import pq_encode
+
+    enc = pq_encode(
+        load_table(spark, sf_dir, "embeddings"),
+        m=_PQ_M,
+        k_codes=_PQ_K,
+        n_iters=_PQ_ITERS,
+    )
+    return enc.select(
+        "vec_id",
+        *[F.col("codes")[s].alias(f"code_{s}") for s in range(_PQ_M)],
+    )
+
+
+@query(
+    "ann_pq_cosine",
+    oracle=f"""
+    {_PQ_PREFIX},
+    recon AS (
+      SELECT q0.vec_id, {_PQ_RECON} AS r
+      FROM q0 JOIN {_PQ_CODES_JOIN}
+    ),
+    qn AS (SELECT vec_id, q, list_inner_product(q, q) AS n2 FROM q0),
+    rc AS (SELECT vec_id, r, list_inner_product(r, r) AS rn2 FROM recon),
+    -- n2/rn2 > 0 mirror the kernel's isfinite mask (see knn_brute_cosine)
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_inner_product(a.q, b.r)
+                   / (sqrt(a.n2) * sqrt(b.rn2)), 6) AS cos_sim
+      FROM qn a, rc b
+      WHERE a.vec_id < 100 AND a.vec_id != b.vec_id
+        AND a.n2 > 0 AND b.rn2 > 0
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {_PQ_TOPK}
+    """,
+)
+def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate top-{_PQ_TOPK} cosine search for the
+    first 100 vectors: asymmetric distance computation — exact query
+    vectors scored against the corpus's PQ reconstructions. The oracle
+    replays subquantizer training, encoding, reconstruction, AND the
+    ranked search."""
+    from solace_apache_beam_spark.llm.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 100),
+        m=_PQ_M,
+        k_codes=_PQ_K,
+        n_iters=_PQ_ITERS,
+        k=_PQ_TOPK,
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 @query(
     "training_shuffle_manifest",
     oracle="""

@@ -69,6 +69,12 @@ def _load() -> None:
 #      rule above);
 #   1. the 24 queries whose newest driver row is r09.
 _PRIORITY: tuple[str, ...] = (
+    # 0. lockstep: pq_code_assign / ann_pq_cosine — NEW registrations
+    #    this round (product-quantization codebooks + ADC search; the
+    #    oracles replay per-subspace L2 Lloyd training, encoding, and
+    #    the ranked reconstruction search).
+    "pq_code_assign",
+    "ann_pq_cosine",
     # 0. lockstep: semantic_dedup — NEW registration this round
     #    (SemDeDup cluster-then-prune over the embedding space; the
     #    oracle replays Lloyd training + assignment + in-cell pruning).
