@@ -34,6 +34,8 @@ from solace_apache_beam_spark.llm.similarity import (
     brute_force_topk,
     neardup_pairs,
     neardup_pairs_lsh,
+    pq_encode,
+    semantic_dedup,
 )
 
 SETTINGS = dict(
@@ -149,6 +151,150 @@ def test_neardup_pairs_matches_reference(spark, vec_lists, route):
     got = {(r.id_a, r.id_b, r.cos_sim) for r in out.collect()}
     assert got == _reference_pairs(vecs, 0.4)
     out.plan_caches.unpersist()
+
+
+def _quant_np(v):
+    a = np.asarray(v, dtype=np.float64)
+    return np.floor(np.abs(a) * QUANT + 0.5) * np.sign(a)
+
+
+def _round_half_away_scalar(x: float) -> float:
+    return float(np.floor(abs(x) + 0.5) * np.sign(x))
+
+
+def _lloyd_reference(sub: dict[int, np.ndarray], k: int, iters: int, metric: str):
+    """Engine-exact Lloyd reference: seeds = ids < k (id-sorted), fixed
+    iteration count, integer-exact scoring, argbest ties to the
+    smallest centroid id, empty cells keep their centroid, updates are
+    per-component integer means rounded half-away-from-zero."""
+    ids = sorted(sub)
+    cids = [i for i in ids if i < k]
+    cmat = [sub[i].copy() for i in cids]
+
+    def best_cell(x):
+        scores = []
+        for j, c in enumerate(cmat):
+            if metric == "l2":
+                scores.append((float(((x - c) ** 2).sum()), j))
+            else:
+                denom = float(np.sqrt((x**2).sum()) * np.sqrt((c**2).sum()))
+                cos = float(x @ c) / denom if denom != 0.0 else float("nan")
+                scores.append((-cos if np.isfinite(cos) else np.inf, j))
+        return min(scores)[1]
+
+    for _ in range(iters):
+        groups: dict[int, list[int]] = {}
+        for i in ids:
+            groups.setdefault(best_cell(sub[i]), []).append(i)
+        new = [c.copy() for c in cmat]
+        for j, members in groups.items():
+            s = np.sum([sub[i] for i in members], axis=0)
+            new[j] = np.array(
+                [_round_half_away_scalar(x / len(members)) for x in s]
+            )
+        cmat = new
+    return cids, cmat, best_cell
+
+
+def _reference_pq(vecs: dict[int, list[float]], m: int, k: int, iters: int):
+    ids = sorted(vecs)
+    q = {i: _quant_np(vecs[i]) for i in ids}
+    d = len(q[ids[0]])
+    books = []
+    for s in range(m):
+        lo, hi = d * s // m, d * (s + 1) // m
+        books.append(
+            _lloyd_reference({i: q[i][lo:hi] for i in ids}, k, iters, "l2")
+        )
+    codes, recon = {}, {}
+    for i in ids:
+        cs, rec = [], []
+        for s, (cids, cmat, best_cell) in enumerate(books):
+            lo, hi = d * s // m, d * (s + 1) // m
+            j = best_cell(q[i][lo:hi])
+            cs.append(cids[j])
+            rec.extend(cmat[j].tolist())
+        codes[i] = tuple(cs)
+        recon[i] = tuple(rec)
+    return codes, recon
+
+
+@settings(**SETTINGS)
+@given(
+    vec_lists=st.lists(
+        st.lists(_component, min_size=3, max_size=3),
+        min_size=2,
+        max_size=12,
+    ),
+    m=st.sampled_from([1, 2]),
+)
+def test_pq_encode_matches_reference(spark, vec_lists, m):
+    """Randomized differential for PQ training + encoding against a
+    scalar Python replay of the documented contract (seeded L2 Lloyd,
+    round-half-away updates, argmin-first ties, empty cells frozen).
+    dim=3 with m=2 exercises the UNEVEN subspace split (1+2 dims) the
+    fixed-corpus oracle (64 dims, m=4) never hits; duplicate and zero
+    vectors land centroid ties and zero-distance cells."""
+    vecs = dict(enumerate(vec_lists))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = pq_encode(df, m=m, k_codes=2, n_iters=1)
+    got_codes = {}
+    got_recon = {}
+    for r in out.collect():
+        got_codes[r.vec_id] = tuple(r.codes)
+        got_recon[r.vec_id] = tuple(r.recon)
+    codes, recon = _reference_pq(vecs, m, 2, 1)
+    assert got_codes == codes
+    assert got_recon == recon
+
+
+def _reference_semantic_dedup(
+    vecs: dict[int, list[float]], n_cells: int, iters: int, tau: float
+):
+    ids = sorted(vecs)
+    q = {i: _quant_np(vecs[i]) for i in ids}
+    cids, cmat, best_cell = _lloyd_reference(q, n_cells, iters, "cos")
+    cell = {i: cids[best_cell(q[i])] for i in ids}
+    out = {}
+    for x, b in enumerate(ids):
+        dup_of = None
+        for a in ids[:x]:
+            if cell[a] != cell[b]:
+                continue
+            denom = float(np.sqrt((q[a] ** 2).sum()) * np.sqrt((q[b] ** 2).sum()))
+            if denom == 0.0:
+                continue  # zero-norm: non-finite, never a duplicate
+            if _round6_half_up(float(q[a] @ q[b]) / denom) >= tau:
+                dup_of = a if dup_of is None else min(dup_of, a)
+        out[b] = (cell[b], dup_of is not None, dup_of)
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    vec_lists=st.lists(
+        st.lists(_component, min_size=3, max_size=3),
+        min_size=2,
+        max_size=12,
+    ),
+)
+def test_semantic_dedup_matches_reference(spark, vec_lists):
+    """Randomized differential for SemDeDup against a scalar replay of
+    the whole stack: cosine Lloyd training (NaN scores rank last, ties
+    to the smallest centroid id), cell assignment, and the greedy
+    keep-first prune on the 6-decimal rounded cosine. Zero vectors
+    (NaN everywhere), duplicate vectors (cos exactly 1), and
+    threshold-boundary ties are all common under this grid."""
+    vecs = dict(enumerate(vec_lists))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = semantic_dedup(df, n_cells=2, n_iters=1, threshold=0.4)
+    got = {r.vec_id: (r.cell, r.is_dup, r.dup_of) for r in out.collect()}
+    out.plan_caches.unpersist()
+    assert got == _reference_semantic_dedup(vecs, 2, 1, 0.4)
 
 
 if __name__ == "__main__":
