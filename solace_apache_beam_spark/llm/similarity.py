@@ -938,19 +938,12 @@ def kmeans_centroids(
 
 
 def _kmeans_from_quantized(
-    qdf: DataFrame,
-    id_col: str,
-    n_cells: int,
-    n_iters: int,
-    assign_fn=None,
+    qdf: DataFrame, id_col: str, n_cells: int, n_iters: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Lloyd loop over an (already persisted) quantized frame.
-    ``assign_fn`` picks the assignment metric — default cosine
-    (:func:`_assign_cells`, the IVF coarse quantizer); PQ subquantizer
-    training passes :func:`_assign_cells_l2` (same loop, same exact
-    integer update, L2 argmin instead of cosine argmax)."""
-    if assign_fn is None:
-        assign_fn = _assign_cells
+    """Lloyd loop over an (already persisted) quantized frame — cosine
+    assignment (:func:`_assign_cells`, the IVF coarse quantizer). PQ
+    subquantizer training has its own one-pass trainer under squared-L2
+    (:func:`_pq_train`)."""
     seed = sorted(
         (int(r[id_col]), np.asarray(r["qv"], dtype=np.float64))
         for r in qdf.filter(F.col(id_col) < n_cells).collect()
@@ -964,7 +957,7 @@ def _kmeans_from_quantized(
     cmat = np.stack([v for _, v in seed])
 
     for _ in range(n_iters):
-        assigned = assign_fn(qdf, id_col, cids, cmat)
+        assigned = _assign_cells(qdf, id_col, cids, cmat)
         rows = (
             assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
             .groupBy("cell", "pos")
@@ -1187,60 +1180,6 @@ def semantic_dedup(
     )
 
 
-def _assign_cells_l2(
-    qdf: DataFrame, id_col: str, cids: np.ndarray, cmat: np.ndarray
-) -> DataFrame:
-    """Map-side nearest-centroid assignment under SQUARED L2 distance —
-    the PQ subquantizer metric (reconstruction error cares about
-    magnitude, which cosine discards). Exact by the same argument as
-    :func:`_block_scores`: quantized components are integers < 2^21, so
-    ||x||^2, x.c and ||c||^2 are integer-valued floats < 2^53 and
-    d2 = ||x||^2 - 2*x.c + ||c||^2 is a difference of exact integers —
-    identical on every engine, and DuckDB replays it with three
-    list_inner_products. argmin takes the FIRST minimum, which is the
-    smallest centroid id (rows are kept id-sorted) — the oracle's
-    ORDER BY d2, cid. Output schema mirrors :func:`_assign_cells` with
-    ``d2_raw`` in place of ``cos_raw`` so the shared Lloyd update
-    consumes either."""
-    b_cids, b_cmat = cids.copy(), cmat.copy()
-
-    def assign(batches):
-        cn2 = (b_cmat * b_cmat).sum(axis=1)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qm = _unpack(pdf["qv"])
-            d2 = (
-                (qm * qm).sum(axis=1)[:, None]
-                - 2.0 * (qm @ b_cmat.T)
-                + cn2[None, :]
-            )
-            best = d2.argmin(axis=1)  # first min -> smallest cid (sorted)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                    "qv": pdf["qv"],
-                    "cell": b_cids[best],
-                    "d2_raw": d2[np.arange(len(best)), best],
-                }
-            )
-
-    return qdf.mapInPandas(
-        assign, f"{id_col} long, qv array<double>, cell long, d2_raw double"
-    )
-
-
-def _subspace_slice(s: int, m: int) -> str:
-    """SQL slice of the quantized vector for subspace ``s`` of ``m``:
-    dims (len*s div m, len*(s+1) div m] — integer division on both
-    engines (Spark ``div``, DuckDB ``//``), so uneven dims split
-    deterministically."""
-    return (
-        f"slice(qv, size(qv) * {s} div {m} + 1, "
-        f"size(qv) * {s + 1} div {m} - size(qv) * {s} div {m})"
-    )
-
-
 def pq_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1248,35 +1187,139 @@ def pq_codebooks(
     m: int = 2,
     k_codes: int = 4,
     n_iters: int = 1,
+    _qdf: DataFrame | None = None,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Train product-quantization codebooks: the quantized vector is
-    split into ``m`` contiguous subspaces and each runs the SAME
-    engine-exact Lloyd loop as :func:`kmeans_centroids` under squared-L2
-    assignment (``_assign_cells_l2``) with seeds = subvectors of ids
-    < ``k_codes``. Returns ``m`` (cids, cmat) codebooks, id-sorted.
+    split into ``m`` contiguous subspaces (dims [d*s div m,
+    d*(s+1) div m) — deterministic under uneven splits) and all run the
+    engine-exact Lloyd loop together under squared-L2 assignment
+    (:func:`_pq_train`) with seeds = subvectors of ids < ``k_codes``.
+    Returns ``m`` (cids, cmat) codebooks, id-sorted.
 
     Scale: each subspace's training shuffles only integer partial sums
     (k_codes x subdim per iteration reaches the driver); the corpus is
-    read through one shared persisted quantized frame."""
+    read through one shared persisted quantized frame (``_qdf`` lets a
+    caller that already holds one — ivf_pq_topk — pass it in instead of
+    double-caching the identical plan)."""
     from pyspark.storagelevel import StorageLevel
 
-    qdf = _quantized_vectors(df, vec_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    own = _qdf is None
+    qdf = (
+        _quantized_vectors(df, vec_col, id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        if own
+        else _qdf
     )
     try:
-        books = []
-        for s in range(m):
-            sub = qdf.select(
-                F.col(id_col), F.expr(_subspace_slice(s, m)).alias("qv")
-            )
-            books.append(
-                _kmeans_from_quantized(
-                    sub, id_col, k_codes, n_iters, assign_fn=_assign_cells_l2
-                )
-            )
-        return books
+        return _pq_train(qdf, id_col, m, k_codes, n_iters)
     finally:
-        qdf.unpersist()
+        if own:
+            qdf.unpersist()
+
+
+def _pq_sub_d2(sub: np.ndarray, cmat: np.ndarray) -> np.ndarray:
+    """Exact squared-L2 distances between quantized subvectors and a
+    codebook — the PQ subquantizer metric (reconstruction error cares
+    about magnitude, which cosine discards). Exact by the same argument
+    as :func:`_block_scores`: components are integers < 2^21, so every
+    term of d2 = ||x||^2 - 2*x.c + ||c||^2 is an integer-valued float
+    < 2^53 — identical on every engine; DuckDB replays it with three
+    list_inner_products. Callers take argmin axis=1 (first minimum =
+    smallest code id over id-sorted rows — the oracle's ORDER BY d2,
+    cid)."""
+    return (
+        (sub * sub).sum(axis=1)[:, None]
+        - 2.0 * (sub @ cmat.T)
+        + (cmat * cmat).sum(axis=1)[None, :]
+    )
+
+
+def _pq_train(
+    qdf: DataFrame, id_col: str, m: int, k_codes: int, n_iters: int
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """One-pass-per-iteration PQ training: all ``m`` subquantizers
+    advance together, so each Lloyd iteration reads the corpus ONCE.
+    (The naive per-subspace formulation scans the corpus m times per
+    iteration — at 100 TB that is m redundant full IO passes.)
+
+    Per iteration: a map-side kernel assigns every subvector to its
+    nearest codebook entry (exact integer squared-L2, ties to the
+    smallest code id) and emits the m assignments as one array column;
+    the component explosion stays JVM-side (posexplode), with the
+    owning subspace recovered from the position —
+    s = ((pos+1)*m - 1) div d inverts the slice bounds
+    [d*s div m, d*(s+1) div m) for any d, including uneven splits.
+    One groupBy(s, cell, pos) then carries exact integer partial sums;
+    only m * k_codes * subdim aggregated rows reach the driver."""
+    seed = sorted(
+        (int(r[id_col]), np.asarray(r["qv"], dtype=np.float64))
+        for r in qdf.filter(F.col(id_col) < k_codes).collect()
+    )
+    if not seed:
+        raise ValueError(
+            f"PQ seeding found no vectors with {id_col} < {k_codes}; "
+            "renumber ids or pass codebooks explicitly"
+        )
+    cids = np.array([c for c, _ in seed], dtype=np.int64)
+    d = len(seed[0][1])
+    books = [
+        np.stack([v[d * s // m : d * (s + 1) // m] for _, v in seed])
+        for s in range(m)
+    ]
+
+    for _ in range(n_iters):
+        b_books = [b.copy() for b in books]
+        b_cids = cids.copy()
+
+        def assign_multi(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qm = _unpack(pdf["qv"])
+                n, dd = qm.shape
+                cells = np.empty((n, m), dtype=np.int64)
+                for s, bm in enumerate(b_books):
+                    sub = qm[:, dd * s // m : dd * (s + 1) // m]
+                    cells[:, s] = b_cids[_pq_sub_d2(sub, bm).argmin(axis=1)]
+                yield pd.DataFrame({"qv": pdf["qv"], "cells": list(cells)})
+
+        exploded = (
+            qdf.mapInPandas(
+                assign_multi, "qv array<double>, cells array<long>"
+            )
+            .select(
+                F.size("qv").alias("d"),
+                "cells",
+                F.posexplode("qv").alias("pos", "v"),
+            )
+            .select(
+                F.expr(f"CAST(((pos + 1) * {m} - 1) div d AS INT)").alias("s"),
+                "d",
+                "cells",
+                "pos",
+                "v",
+            )
+            .select(
+                "s",
+                F.expr(f"element_at(cells, s + 1)").alias("cell"),
+                F.expr(f"pos - (d * s div {m})").alias("spos"),
+                "v",
+            )
+        )
+        rows = (
+            exploded.groupBy("s", "cell", "spos")
+            .agg(F.sum("v").alias("sm"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        new = [b.copy() for b in books]
+        for r in rows:
+            j = int(np.searchsorted(cids, r["cell"]))
+            new[int(r["s"])][j, int(r["spos"])] = _round_half_away(
+                r["sm"] / r["cnt"]
+            )
+        books = new
+    return [(cids.copy(), b) for b in books]
 
 
 def pq_encode(
@@ -1324,12 +1367,7 @@ def pq_encode(
             for s, (cids, cmat) in enumerate(b_books):
                 lo, hi = d * s // m, d * (s + 1) // m
                 sub = qm[:, lo:hi]
-                d2 = (
-                    (sub * sub).sum(axis=1)[:, None]
-                    - 2.0 * (sub @ cmat.T)
-                    + (cmat * cmat).sum(axis=1)[None, :]
-                )
-                best = d2.argmin(axis=1)
+                best = _pq_sub_d2(sub, cmat).argmin(axis=1)
                 codes[:, s] = cids[best]
                 recon[:, lo:hi] = cmat[best]
             yield pd.DataFrame(
@@ -1379,3 +1417,185 @@ def pq_topk(
     if query_df is None:
         query_df = df
     return brute_force_topk(corpus, query_df, vec_col, id_col, k, block_size)
+
+
+def _bucketed_asym_topk(
+    qb: DataFrame,
+    cb: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    k: int,
+    block_size: int,
+) -> DataFrame:
+    """Per-query top-k over same-bucket (query, corpus) pairs where the
+    two sides carry DIFFERENT vectors — the asymmetric sibling of
+    :func:`_bucketed_all_pairs_topk` (exact query vectors vs PQ
+    reconstructions, or any probe-vs-index split). Same bounded-memory
+    design: each side's bucket members pack into ~block_size sub-blocks
+    via a spill-safe window sort, every same-bucket (query-block,
+    corpus-block) pair scores with one matmul, emissions are per-query
+    in-block top-k candidates in capped Arrow batches, and the final
+    window ranks exactly (cos_sim desc, neighbor id asc). Self-pairs
+    (same id on both sides) and non-finite scores are excluded —
+    mirroring :func:`brute_force_topk`."""
+    w = Window.partitionBy(bucket_col).orderBy(F.col(id_col))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf[bucket_col].iloc[0])],
+                "blk": [int(pdf["_blk"].iloc[0])],
+                "ids": [pdf[id_col].to_numpy(dtype=np.int64).tolist()],
+                "mat": [_unpack(pdf["q"]).tolist()],
+            }
+        )
+
+    def packed(frame: DataFrame) -> DataFrame:
+        blocked = frame.withColumn(
+            "_blk",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(block_size)).cast(
+                "long"
+            ),
+        )
+        return blocked.groupBy(bucket_col, "_blk").applyInPandas(
+            pack,
+            "bucket long, blk long, ids array<long>, mat array<array<double>>",
+        )
+
+    qp = packed(qb).select(
+        F.col("bucket").alias("qbucket"),
+        F.col("ids").alias("qids"),
+        F.col("mat").alias("qmat"),
+    )
+    cp = packed(cb).select(
+        F.col("bucket").alias("cbucket"),
+        F.col("ids").alias("cids"),
+        F.col("mat").alias("cmat"),
+    )
+
+    def score(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                qi = np.asarray(r.qids, dtype=np.int64)
+                ci = np.asarray(r.cids, dtype=np.int64)
+                cos = _block_scores(_unpack(r.qmat), _unpack(r.cmat))
+                valid = np.isfinite(cos) & (qi[:, None] != ci[None, :])
+                mask = _rowwise_topk_mask(np.round(cos, 6), valid, k)
+                ii, jj = np.nonzero(mask)
+                yield from _emit_sliced(
+                    pd.DataFrame(
+                        {
+                            "query_id": qi[ii],
+                            "neighbor_id": ci[jj],
+                            "cos_raw": cos[ii, jj],
+                        }
+                    )
+                )
+
+    # equi-key (bucket) join — spillable sort-merge; each packed side
+    # appears exactly once in the plan, so no persist is needed
+    scored = (
+        qp.join(cp.hint("merge"), F.col("qbucket") == F.col("cbucket"))
+        .mapInPandas(score, "query_id long, neighbor_id long, cos_raw double")
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_df: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int | None = 8,
+    n_iters: int = 2,
+    m: int = 2,
+    k_codes: int = 4,
+    n_iters_pq: int = 1,
+    k: int = 5,
+    block_size: int = 4096,
+    target_bucket: int = 8192,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the canonical 100 TB ANN
+    architecture (coarse inverted cells + product-quantized in-cell
+    scoring, the FAISS IndexIVFPQ shape with by_residual=false):
+
+    1. train the coarse quantizer (engine-exact cosine Lloyd,
+       :func:`_kmeans_from_quantized`) and assign every corpus vector
+       to its cell;
+    2. train PQ codebooks (:func:`pq_codebooks`) and replace each
+       corpus vector by its reconstruction map-side — the stored/
+       shuffled representation is m code ids, not the raw vector;
+    3. each query probes its own nearest cell (nprobe=1) and scores
+       its EXACT vector against the cell's reconstructions
+       (asymmetric distance computation), top-k per query.
+
+    Every stage is integer-exact and deterministic (ties to smallest
+    centroid/code/neighbor id), so a DuckDB oracle can replay coarse
+    training, PQ training, encoding, cell routing, and the ranked
+    search bit-for-bit.
+
+    Scale: cell count derives from the corpus (``n_cells=None`` →
+    mean cell ~``target_bucket``), assignment and encoding are
+    map-side, the only corpus shuffle is the cell grouping, and
+    in-cell work is sub-blocked (:func:`_bucketed_asym_topk`) so task
+    memory is bounded under cell skew. Memory per stored vector is
+    m*ceil(log2(k_codes)) bits + one cell id."""
+    from pyspark.storagelevel import StorageLevel
+
+    qdf = _quantized_vectors(df, vec_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if qdf.isEmpty():
+        qdf.unpersist()
+        return attach_plan_caches(
+            df.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cos_sim double, rank int"
+            ),
+            (),
+        )
+    if n_cells is None:
+        n_cells = _derive_n_buckets(qdf.count(), target_bucket)
+    cids, cmat = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
+    books = pq_codebooks(
+        df, vec_col, id_col, m, k_codes, n_iters_pq, _qdf=qdf
+    )
+    b_books = [(bc.copy(), bm.copy()) for bc, bm in books]
+    mm = m
+
+    assigned = _assign_cells(qdf, id_col, cids, cmat)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _unpack(pdf["qv"])
+            n, d = qm.shape
+            recon = np.zeros_like(qm)
+            for s, (bcids, bcmat) in enumerate(b_books):
+                lo, hi = d * s // mm, d * (s + 1) // mm
+                sub = qm[:, lo:hi]
+                recon[:, lo:hi] = bcmat[_pq_sub_d2(sub, bcmat).argmin(axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "q": list(recon),
+                    "cell": pdf["cell"].to_numpy(dtype=np.int64),
+                }
+            )
+
+    corpus = assigned.mapInPandas(
+        encode, f"{id_col} long, q array<double>, cell long"
+    )
+    if query_df is None:
+        query_df = df
+    queries = _assign_cells(
+        _quantized_vectors(query_df, vec_col, id_col), id_col, cids, cmat
+    ).select(F.col(id_col), F.col("qv").alias("q"), "cell")
+    out = _bucketed_asym_topk(queries, corpus, "cell", id_col, k, block_size)
+    return attach_plan_caches(out, (qdf,))

@@ -664,6 +664,92 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+# IVF-PQ oracle = the coarse-quantizer replay (same CTE block as
+# _SEMDEDUP_SQL: q/c0/iterations/final/ranked) + the PQ replay
+# (_PQ_SUBSPACES) + cell-routed asymmetric scoring. nprobe=1: each
+# query searches only its own assigned cell.
+_IVF_PQ_SQL = f"""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1048576) AS DOUBLE)
+              for x in embedding] AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KM_CELLS}),
+    {", ".join(_km_iter_sql(i) for i in range(_KM_ITERS))},
+    final AS (
+      SELECT q.vec_id, c.cid,
+             list_inner_product(q.qv, c.cv)
+               / (sqrt(list_inner_product(q.qv, q.qv))
+                  * sqrt(list_inner_product(c.cv, c.cv))) AS cos
+      FROM q, c{_KM_ITERS} c
+    ),
+    ranked AS (
+      SELECT vec_id, cid AS cell, cos,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY (CASE WHEN isnan(cos) THEN CAST('-infinity' AS DOUBLE)
+                         ELSE cos END) DESC, cid) AS rn
+      FROM final
+    ),
+    cells AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    q0 AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1048576) AS DOUBLE)
+              for x in embedding] AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    {_PQ_SUBSPACES},
+    recon AS (
+      SELECT q0.vec_id, {_PQ_RECON} AS r
+      FROM q0 JOIN {_PQ_CODES_JOIN}
+    ),
+    qcell AS (
+      SELECT q0.vec_id, q0.q, list_inner_product(q0.q, q0.q) AS n2, g.cell
+      FROM q0 JOIN cells g USING (vec_id)
+    ),
+    rcell AS (
+      SELECT r.vec_id, r.r, list_inner_product(r.r, r.r) AS rn2, g.cell
+      FROM recon r JOIN cells g USING (vec_id)
+    ),
+    -- n2/rn2 > 0 mirror the kernel's isfinite mask (see knn_brute_cosine)
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_inner_product(a.q, b.r)
+                   / (sqrt(a.n2) * sqrt(b.rn2)), 6) AS cos_sim
+      FROM qcell a JOIN rcell b
+        ON a.cell = b.cell AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 100 AND a.n2 > 0 AND b.rn2 > 0
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {_PQ_TOPK}
+"""
+
+
+@query("ann_ivf_pq_cosine", oracle=_IVF_PQ_SQL)
+def ann_ivf_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (the FAISS IndexIVFPQ shape): trained coarse cells
+    route each query to one inverted list, where its exact vector is
+    scored against PQ reconstructions. The oracle replays coarse
+    training, PQ training, encoding, routing, and the ranked search."""
+    from solace_apache_beam_spark.llm.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 100),
+        n_cells=_KM_CELLS,
+        n_iters=_KM_ITERS,
+        m=_PQ_M,
+        k_codes=_PQ_K,
+        n_iters_pq=_PQ_ITERS,
+        k=_PQ_TOPK,
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 @query(
     "training_shuffle_manifest",
     oracle="""

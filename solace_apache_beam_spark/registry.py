@@ -75,6 +75,10 @@ _PRIORITY: tuple[str, ...] = (
     #    the ranked reconstruction search).
     "pq_code_assign",
     "ann_pq_cosine",
+    # 0. lockstep: ann_ivf_pq_cosine — NEW registration this round
+    #    (IVF-PQ: coarse cells route each query to one inverted list
+    #    of PQ reconstructions; oracle replays both training loops).
+    "ann_ivf_pq_cosine",
     # 0. lockstep: semantic_dedup — NEW registration this round
     #    (SemDeDup cluster-then-prune over the embedding space; the
     #    oracle replays Lloyd training + assignment + in-cell pruning).
