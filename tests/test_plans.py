@@ -299,3 +299,106 @@ def test_neardup_lsh_bucket_join_is_sort_merge_never_broadcast(spark, sf_dir):
     eplan = _plan(spark, exact)
     assert "BroadcastNestedLoopJoin" in eplan  # the documented exact shape
     exact.plan_caches.unpersist()
+
+
+def test_pq_encode_is_map_side(spark, sf_dir):
+    """PQ encoding must be pure map work: codebooks ride the task
+    closure, zero exchanges in the encode plan (the compressed
+    representation is produced without moving the corpus)."""
+    import numpy as np
+
+    from solace_apache_beam_spark.llm.similarity import pq_encode
+    from solace_apache_beam_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = [
+        (np.arange(2, dtype=np.int64), np.ones((2, 32))),
+        (np.arange(2, dtype=np.int64), np.ones((2, 32))),
+    ]
+    plan = _plan(spark, pq_encode(emb, m=2, books=books))
+    assert "Exchange" not in plan
+
+
+def test_ivf_pq_bucket_join_is_sort_merge_never_broadcast(spark, sf_dir):
+    """IVF-PQ's in-cell scoring joins two PACKED-matrix frames on the
+    equi-key cell — like the LSH route, both sides carry ~block_size x
+    dim doubles per row with garbage static estimates, so the join must
+    stay a spillable sort-merge (a broadcast build of a packed side is
+    the OOM class the ngram 10x campaign hit)."""
+    from solace_apache_beam_spark.llm.similarity import ivf_pq_topk
+    from solace_apache_beam_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_pq_topk(emb, m=2, k_codes=4)
+    plan = _plan(spark, out)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    out.plan_caches.unpersist()
+
+
+def test_pq_train_aggregation_is_partial_with_bounded_shuffle(spark, sf_dir):
+    """The one-pass trainer's per-iteration exchange must carry PARTIAL
+    integer sums keyed (s, cell, spos) — a partial HashAggregate before
+    the shuffle bounds the exchange by m*k*subdim = d*k rows per map
+    task, independent of corpus size. Pin the shape on the exploded
+    update frame the trainer builds."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.similarity import (
+        _quantized_vectors,
+        _unpack,
+    )
+    from solace_apache_beam_spark.session import load_table
+
+    # reproduce the trainer's update plan (kernel + posexplode + agg)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _quantized_vectors(emb, "embedding", "vec_id")
+    m = 2
+    books = [np.ones((2, 32)), np.ones((2, 32))]
+
+    def assign_multi(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _unpack(pdf["qv"])
+            n = len(qm)
+            cells = np.zeros((n, m), dtype=np.int64)
+            yield pd.DataFrame({"qv": pdf["qv"], "cells": list(cells)})
+
+    exploded = (
+        qdf.mapInPandas(assign_multi, "qv array<double>, cells array<long>")
+        .select(
+            F.size("qv").alias("d"),
+            "cells",
+            F.posexplode("qv").alias("pos", "v"),
+        )
+        .select(
+            F.expr(f"CAST(((pos + 1) * {m} - 1) div d AS INT)").alias("s"),
+            "d",
+            "cells",
+            "pos",
+            "v",
+        )
+        .select(
+            "s",
+            F.expr("element_at(cells, s + 1)").alias("cell"),
+            F.expr(f"pos - (d * s div {m})").alias("spos"),
+            "v",
+        )
+    )
+    agg = exploded.groupBy("s", "cell", "spos").agg(
+        F.sum("v").alias("sm"), F.count(F.lit(1)).alias("cnt")
+    )
+    plan = _plan(spark, agg)
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    # simple mode: each operator appears once (formatted lists every
+    # node twice — tree line + detail section)
+    simple = agg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert simple.count("Exchange") == 1
+    # the partial HashAggregate sits below the exchange in the tree
+    assert simple.index("Exchange") < simple.rindex("HashAggregate")
