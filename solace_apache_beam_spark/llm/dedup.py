@@ -1549,3 +1549,77 @@ def decontaminate(
         ),
         (sh_t,),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Exact duplicated-span detection (the curation signal of Lee et
+    al. 2021, arXiv:2107.06499 "Deduplicating Training Data Makes
+    Language Models Better" — exact substring duplication, here at
+    word-n-gram granularity): a SPAN is one positioned word n-gram,
+    and it is duplicated iff the identical n-gram text occurs in at
+    least one OTHER document. Per-doc output for docs with >= 1 span:
+
+      (id, n_spans, n_dup_spans, dup_span_ratio,
+       match_doc = smallest other doc sharing any duplicated span)
+
+    distinct from dedup_ngram_jaccard (set similarity — unordered
+    overlap fraction) and text_repetition (intra-doc only): this is
+    POSITION-counted cross-document duplication, the memorization/
+    boilerplate-share signal span-level dedup acts on.
+
+    NULL ids are excluded (no identity => no match to report — same
+    rationale as training_shuffle_manifest).
+
+    Scale (100 TB): span generation is a map-side array expression
+    (one row per position — the published algorithm's cost shape;
+    tokens-in-corpus rows, like the wordcount chain). The gram table
+    shuffles ONCE by gram for a window+aggregate that reuses the same
+    partitioning (row_number and the (m1, m2, n_docs) rollup share one
+    exchange), then the positioned spans join the per-gram stats on the
+    equi-key — spillable sort-merge, pinned hint-free. The per-doc
+    rollup is a map-side-combinable count/sum/min."""
+    words = words_expr(text_col)
+    base = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col), words.alias("words")
+    ).filter(F.size("words") >= n)
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("words", i, n)),
+            )
+        ).alias("pos0", "gram"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+    gram_docs = grams.select("gram", id_col).distinct()
+    w = Window.partitionBy("gram").orderBy(F.col(id_col))
+    stats = (
+        gram_docs.withColumn("rn", F.row_number().over(w))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.when(F.col("rn") == 1, F.col(id_col))).alias("m1"),
+            F.min(F.when(F.col("rn") == 2, F.col(id_col))).alias("m2"),
+        )
+    )
+    spans = grams.join(stats.hint("merge"), "gram").select(
+        F.col(id_col),
+        (F.col("n_docs") >= 2).alias("dup"),
+        F.when(F.col(id_col) != F.col("m1"), F.col("m1"))
+        .otherwise(F.col("m2"))
+        .alias("om"),
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_spans"),
+        (
+            F.sum(F.when(F.col("dup"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("dup_span_ratio"),
+        F.min(F.when(F.col("dup"), F.col("om"))).alias("match_doc"),
+    )

@@ -750,6 +750,64 @@ def ann_ivf_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+_SPAN_N = 8
+
+
+@query(
+    "duplicate_spans",
+    oracle=f"""
+    -- NULL-id docs excluded on both engines (no identity => no match
+    -- to report); dup = the identical word {_SPAN_N}-gram occurs in
+    -- another doc; match_doc = smallest other doc sharing any dup span
+    WITH w AS (SELECT doc_id, {{_WORDS}} AS words FROM documents
+               WHERE doc_id IS NOT NULL),
+    base AS (SELECT doc_id, words FROM w WHERE len(words) >= {_SPAN_N}),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(words[i:i+{_SPAN_N - 1}], ' ') AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(generate_series(1, len(words) - {_SPAN_N - 1})) AS i
+            FROM base)
+    ),
+    gd AS (SELECT DISTINCT gram, doc_id FROM grams),
+    ranked AS (
+      SELECT gram, doc_id,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id) AS rn
+      FROM gd
+    ),
+    stats AS (
+      SELECT gram, count(*) AS n_docs,
+             min(CASE WHEN rn = 1 THEN doc_id END) AS m1,
+             min(CASE WHEN rn = 2 THEN doc_id END) AS m2
+      FROM ranked GROUP BY gram
+    ),
+    spans AS (
+      SELECT g.doc_id, s.n_docs >= 2 AS dup,
+             CASE WHEN g.doc_id <> s.m1 THEN s.m1 ELSE s.m2 END AS om
+      FROM grams g JOIN stats s USING (gram)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1.0 / count(*)
+             AS dup_span_ratio,
+           min(CASE WHEN dup THEN om END) AS match_doc
+    FROM spans GROUP BY doc_id
+    """.replace("{_WORDS}", _WORDS),
+)
+def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (Lee et al. 2021 exact-substring
+    dedup at word-{_SPAN_N}-gram granularity): per-doc counts of spans
+    whose text recurs in another document, plus the smallest matching
+    doc — the span-level memorization/boilerplate curation signal."""
+    from solace_apache_beam_spark.llm.dedup import duplicate_spans
+
+    return duplicate_spans(
+        load_table(spark, sf_dir, "documents"), n=_SPAN_N
+    ).select("doc_id", "n_spans", "n_dup_spans", "dup_span_ratio", "match_doc")
+
+
 @query(
     "training_shuffle_manifest",
     oracle="""

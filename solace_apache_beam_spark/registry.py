@@ -79,6 +79,10 @@ _PRIORITY: tuple[str, ...] = (
     #    (IVF-PQ: coarse cells route each query to one inverted list
     #    of PQ reconstructions; oracle replays both training loops).
     "ann_ivf_pq_cosine",
+    # 0. lockstep: duplicate_spans — NEW registration this round
+    #    (Lee-et-al-2021 exact-substring duplication at word-n-gram
+    #    granularity, per-doc span counts + smallest matching doc).
+    "duplicate_spans",
     # 0. lockstep: semantic_dedup — NEW registration this round
     #    (SemDeDup cluster-then-prune over the embedding space; the
     #    oracle replays Lloyd training + assignment + in-cell pruning).
