@@ -1520,6 +1520,7 @@ def ivf_pq_topk(
     k: int = 5,
     block_size: int = 4096,
     target_bucket: int = 8192,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-PQ approximate nearest neighbors — the canonical 100 TB ANN
     architecture (coarse inverted cells + product-quantized in-cell
@@ -1531,9 +1532,11 @@ def ivf_pq_topk(
     2. train PQ codebooks (:func:`pq_codebooks`) and replace each
        corpus vector by its reconstruction map-side — the stored/
        shuffled representation is m code ids, not the raw vector;
-    3. each query probes its own nearest cell (nprobe=1) and scores
-       its EXACT vector against the cell's reconstructions
-       (asymmetric distance computation), top-k per query.
+    3. each query probes its ``nprobe`` nearest cells (ordered by
+       centroid cosine desc, ties to the smallest cell id — the
+       recall/cost lever) and scores its EXACT vector against those
+       cells' reconstructions (asymmetric distance computation),
+       top-k per query across all probed cells.
 
     Every stage is integer-exact and deterministic (ties to smallest
     centroid/code/neighbor id), so a DuckDB oracle can replay coarse
@@ -1594,8 +1597,47 @@ def ivf_pq_topk(
     )
     if query_df is None:
         query_df = df
-    queries = _assign_cells(
-        _quantized_vectors(query_df, vec_col, id_col), id_col, cids, cmat
+    queries = _assign_cells_topn(
+        _quantized_vectors(query_df, vec_col, id_col),
+        id_col,
+        cids,
+        cmat,
+        nprobe,
     ).select(F.col(id_col), F.col("qv").alias("q"), "cell")
     out = _bucketed_asym_topk(queries, corpus, "cell", id_col, k, block_size)
     return attach_plan_caches(out, (qdf,))
+
+
+def _assign_cells_topn(
+    qdf: DataFrame, id_col: str, cids: np.ndarray, cmat: np.ndarray, n: int
+) -> DataFrame:
+    """Map-side top-``n`` cell assignment (the nprobe routing of
+    :func:`ivf_pq_topk`): one exploded row per (vector, probed cell),
+    ordered by centroid cosine desc with ties to the smallest cell id
+    — stable argsort over cid-sorted columns, the oracle's
+    ``ORDER BY cos DESC, cid`` with NaN ranked last. ``n=1`` emits
+    exactly :func:`_assign_cells`'s routing."""
+    b_cids, b_cmat = cids.copy(), cmat.copy()
+    n = min(n, len(b_cids))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _unpack(pdf["qv"])
+            cos = _block_scores(qm, b_cmat)
+            masked = np.where(np.isnan(cos), -np.inf, cos)
+            # stable sort: ties keep ascending column order = smallest cid
+            top = np.argsort(-masked, axis=1, kind="stable")[:, :n]
+            rows = np.repeat(np.arange(len(qm)), n)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64)[rows],
+                    "qv": pdf["qv"].iloc[rows].to_numpy(),
+                    "cell": b_cids[top.ravel()],
+                }
+            )
+
+    return qdf.mapInPandas(
+        assign, f"{id_col} long, qv array<double>, cell long"
+    )

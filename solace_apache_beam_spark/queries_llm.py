@@ -664,10 +664,12 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+_IVF_PQ_NPROBE = 2
+
 # IVF-PQ oracle = the coarse-quantizer replay (same CTE block as
 # _SEMDEDUP_SQL: q/c0/iterations/final/ranked) + the PQ replay
-# (_PQ_SUBSPACES) + cell-routed asymmetric scoring. nprobe=1: each
-# query searches only its own assigned cell.
+# (_PQ_SUBSPACES) + cell-routed asymmetric scoring with multi-probe
+# query routing (rn <= nprobe).
 _IVF_PQ_SQL = f"""
     WITH q AS (
       SELECT vec_id,
@@ -693,6 +695,10 @@ _IVF_PQ_SQL = f"""
       FROM final
     ),
     cells AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    -- query-side multi-probe routing: each query searches its nprobe
+    -- nearest cells (corpus vectors stay in exactly one cell, so the
+    -- pair set cannot duplicate)
+    probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= {_IVF_PQ_NPROBE}),
     q0 AS (
       SELECT vec_id,
              [CAST(round(CAST(x AS DOUBLE) * 1048576) AS DOUBLE)
@@ -706,7 +712,7 @@ _IVF_PQ_SQL = f"""
     ),
     qcell AS (
       SELECT q0.vec_id, q0.q, list_inner_product(q0.q, q0.q) AS n2, g.cell
-      FROM q0 JOIN cells g USING (vec_id)
+      FROM q0 JOIN probe g USING (vec_id)
     ),
     rcell AS (
       SELECT r.vec_id, r.r, list_inner_product(r.r, r.r) AS rn2, g.cell
@@ -732,9 +738,10 @@ _IVF_PQ_SQL = f"""
 @query("ann_ivf_pq_cosine", oracle=_IVF_PQ_SQL)
 def ann_ivf_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search (the FAISS IndexIVFPQ shape): trained coarse cells
-    route each query to one inverted list, where its exact vector is
-    scored against PQ reconstructions. The oracle replays coarse
-    training, PQ training, encoding, routing, and the ranked search."""
+    route each query to its {_IVF_PQ_NPROBE} nearest inverted lists
+    (multi-probe — the recall lever), where its exact vector is scored
+    against PQ reconstructions. The oracle replays coarse training, PQ
+    training, encoding, multi-probe routing, and the ranked search."""
     from solace_apache_beam_spark.llm.similarity import ivf_pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -747,6 +754,7 @@ def ann_ivf_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_codes=_PQ_K,
         n_iters_pq=_PQ_ITERS,
         k=_PQ_TOPK,
+        nprobe=_IVF_PQ_NPROBE,
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
