@@ -1641,3 +1641,41 @@ def _assign_cells_topn(
     return qdf.mapInPandas(
         assign, f"{id_col} long, qv array<double>, cell long"
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean embedding (class prototypes / dataset
+    fingerprints — the grouped mean-pool a curation pipeline uses for
+    label-centroid distances and drift checks). Output: one row per
+    (label, pos) with the centroid component and the group size —
+    scalar rows, every value engine-exact:
+
+    components are quantized to 2^20 integers (the module contract),
+    summed EXACTLY as integers (order-independent — a raw float sum
+    would be partitioning-dependent), and the mean is ONE IEEE division
+    of exact integers: sum_q / (n * 2^20). NULL vectors are excluded;
+    NULL labels form their own group (both engines agree).
+
+    Scale: posexplode + groupBy(label, pos) with map-side partial sums
+    — the single shuffle carries |labels| * dim aggregated rows per map
+    task, independent of corpus size."""
+    q = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS LONG))"
+    )
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(label_col).alias("label"), F.posexplode(q).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum("v").cast("double")
+                / (F.count(F.lit(1)) * F.lit(float(QUANT)))
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

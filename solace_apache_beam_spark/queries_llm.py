@@ -817,6 +817,37 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_centroids",
+    oracle=f"""
+    -- quantized integer sums: order-independent, so the vectorized
+    -- Spark aggregation and this sequential fold agree bit-for-bit;
+    -- the mean is ONE IEEE division of exact integers. NULL labels
+    -- group together on both engines.
+    WITH q AS (
+      SELECT label,
+             [CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    e AS (SELECT label, unnest(generate_series(1, len(qv))) AS i, qv FROM q)
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+           CAST(sum(qv[i]) AS DOUBLE) / (count(*) * 1048576.0) AS centroid,
+           count(*) AS n_vectors
+    FROM e GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes): exact quantized
+    integer sums make the grouped mean order-independent and
+    engine-exact — one scalar row per (label, dimension)."""
+    from solace_apache_beam_spark.llm.similarity import label_centroids
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings")).select(
+        "label", "pos", "centroid", "n_vectors"
+    )
+
+
+@query(
     "training_shuffle_manifest",
     oracle="""
     -- NULL-id rows excluded on both engines: no key => no hash

@@ -79,6 +79,9 @@ _PRIORITY: tuple[str, ...] = (
     #    (IVF-PQ: coarse cells route each query to one inverted list
     #    of PQ reconstructions; oracle replays both training loops).
     "ann_ivf_pq_cosine",
+    # 0. lockstep: embedding_centroids — NEW registration this round
+    #    (per-label mean embedding via exact quantized integer sums).
+    "embedding_centroids",
     # 0. lockstep: duplicate_spans — NEW registration this round
     #    (Lee-et-al-2021 exact-substring duplication at word-n-gram
     #    granularity, per-doc span counts + smallest matching doc).
