@@ -1521,6 +1521,7 @@ def ivf_pq_topk(
     block_size: int = 4096,
     target_bucket: int = 8192,
     nprobe: int = 1,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate nearest neighbors — the canonical 100 TB ANN
     architecture (coarse inverted cells + product-quantized in-cell
@@ -1532,6 +1533,10 @@ def ivf_pq_topk(
     2. train PQ codebooks (:func:`pq_codebooks`) and replace each
        corpus vector by its reconstruction map-side — the stored/
        shuffled representation is m code ids, not the raw vector;
+       with ``by_residual=True`` (the FAISS default) the codebooks
+       train on and encode x - coarse_centroid, and reconstruction is
+       centroid + pq(residual) — residuals of quantized integers stay
+       exact integers, so the engine-exact contract is unchanged;
     3. each query probes its ``nprobe`` nearest cells (ordered by
        centroid cosine desc, ties to the smallest cell id — the
        recall/cost lever) and scores its EXACT vector against those
@@ -1565,13 +1570,47 @@ def ivf_pq_topk(
     if n_cells is None:
         n_cells = _derive_n_buckets(qdf.count(), target_bucket)
     cids, cmat = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
-    books = pq_codebooks(
-        df, vec_col, id_col, m, k_codes, n_iters_pq, _qdf=qdf
-    )
+    b_cids_c, b_cmat_c = cids.copy(), cmat.copy()
+    assigned = _assign_cells(qdf, id_col, cids, cmat)
+    if by_residual:
+        # PQ codebooks train on the RESIDUAL x - coarse_centroid (the
+        # FAISS default: residual magnitudes are smaller, so the same
+        # codebook capacity spends its resolution where it matters).
+        # Residuals of quantized integers are exact integers — the
+        # whole contract survives unchanged.
+        def residual(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qm = _unpack(pdf["qv"])
+                j = np.searchsorted(
+                    b_cids_c, pdf["cell"].to_numpy(dtype=np.int64)
+                )
+                res = qm - b_cmat_c[j]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                        "qv": list(res),
+                        "cell": pdf["cell"].to_numpy(dtype=np.int64),
+                    }
+                )
+
+        res_frame = assigned.mapInPandas(
+            residual, f"{id_col} long, qv array<double>, cell long"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            books = _pq_train(res_frame, id_col, m, k_codes, n_iters_pq)
+        finally:
+            res_frame.unpersist()
+        encode_src = assigned
+    else:
+        books = pq_codebooks(
+            df, vec_col, id_col, m, k_codes, n_iters_pq, _qdf=qdf
+        )
+        encode_src = assigned
     b_books = [(bc.copy(), bm.copy()) for bc, bm in books]
     mm = m
-
-    assigned = _assign_cells(qdf, id_col, cids, cmat)
+    resid = by_residual
 
     def encode(batches):
         for pdf in batches:
@@ -1579,20 +1618,29 @@ def ivf_pq_topk(
                 continue
             qm = _unpack(pdf["qv"])
             n, d = qm.shape
+            if resid:
+                j = np.searchsorted(
+                    b_cids_c, pdf["cell"].to_numpy(dtype=np.int64)
+                )
+                base = b_cmat_c[j]
+                target = qm - base
+            else:
+                base = np.zeros_like(qm)
+                target = qm
             recon = np.zeros_like(qm)
             for s, (bcids, bcmat) in enumerate(b_books):
                 lo, hi = d * s // mm, d * (s + 1) // mm
-                sub = qm[:, lo:hi]
+                sub = target[:, lo:hi]
                 recon[:, lo:hi] = bcmat[_pq_sub_d2(sub, bcmat).argmin(axis=1)]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                    "q": list(recon),
+                    "q": list(base + recon),
                     "cell": pdf["cell"].to_numpy(dtype=np.int64),
                 }
             )
 
-    corpus = assigned.mapInPandas(
+    corpus = encode_src.mapInPandas(
         encode, f"{id_col} long, q array<double>, cell long"
     )
     if query_df is None:

@@ -519,20 +519,22 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_ITERS, _PQ_TOPK = 4, 8, 1, 5
 
 
-def _pq_sub_sql(s: int) -> str:
+def _pq_sub_sql(s: int, src: str = "q0") -> str:
     """Subspace ``s`` of the PQ oracle: subvector slice (integer-div
     bounds — Spark ``div`` / DuckDB ``//`` agree), seed centroids
     (subvectors of ids < k), ``_PQ_ITERS`` Lloyd iterations under exact
     squared-L2 (three list_inner_products of integer-valued doubles —
     the same d2 the Arrow kernel computes), then the final encode
     assignment. Ties break ORDER BY d2, cid = numpy argmin-first over
-    id-sorted centroids. Empty cells keep the previous centroid."""
+    id-sorted centroids. Empty cells keep the previous centroid.
+    ``src`` picks the vector CTE (column ``q``): q0 for raw vectors,
+    rv0 for coarse-centroid residuals (the by_residual oracle)."""
     cte = [
         f"""s{s}v AS (
       SELECT vec_id,
              [q[i] for i in generate_series(len(q) * {s} // {_PQ_M} + 1,
                                             len(q) * {s + 1} // {_PQ_M})] AS v
-      FROM q0)""",
+      FROM {src})""",
         f"s{s}c0 AS (SELECT vec_id AS cid, v AS cv FROM s{s}v WHERE vec_id < {_PQ_K})",
     ]
     d2 = (
@@ -733,6 +735,118 @@ _IVF_PQ_SQL = f"""
       FROM pairs
     ) WHERE rank <= {_PQ_TOPK}
 """
+
+
+_PQ_SUBSPACES_RES = ",\n    ".join(
+    _pq_sub_sql(s, "rv0") for s in range(_PQ_M)
+)
+
+# Residual IVF-PQ oracle (by_residual=true, the FAISS default): the
+# same coarse replay, then PQ trains on and encodes the RESIDUAL
+# x - coarse_centroid (exact integer differences), and reconstruction
+# is centroid + pq(residual).
+_IVF_PQ_RES_SQL = f"""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1048576) AS DOUBLE)
+              for x in embedding] AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KM_CELLS}),
+    {", ".join(_km_iter_sql(i) for i in range(_KM_ITERS))},
+    final AS (
+      SELECT q.vec_id, c.cid,
+             list_inner_product(q.qv, c.cv)
+               / (sqrt(list_inner_product(q.qv, q.qv))
+                  * sqrt(list_inner_product(c.cv, c.cv))) AS cos
+      FROM q, c{_KM_ITERS} c
+    ),
+    ranked AS (
+      SELECT vec_id, cid AS cell, cos,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY (CASE WHEN isnan(cos) THEN CAST('-infinity' AS DOUBLE)
+                         ELSE cos END) DESC, cid) AS rn
+      FROM final
+    ),
+    probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= {_IVF_PQ_NPROBE}),
+    q0 AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1048576) AS DOUBLE)
+              for x in embedding] AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    -- per-vector coarse centroid (rn=1 cell) and the residual
+    cellcv AS (
+      SELECT r.vec_id, r.cell, c.cv
+      FROM ranked r JOIN c{_KM_ITERS} c ON r.cell = c.cid
+      WHERE r.rn = 1
+    ),
+    rv0 AS (
+      SELECT q0.vec_id,
+             [q0.q[i] - g.cv[i]
+              for i in generate_series(1, len(q0.q))] AS q
+      FROM q0 JOIN cellcv g USING (vec_id)
+    ),
+    {_PQ_SUBSPACES_RES},
+    pqr AS (
+      SELECT q0.vec_id, {_PQ_RECON} AS r
+      FROM q0 JOIN {_PQ_CODES_JOIN}
+    ),
+    recon AS (
+      SELECT p.vec_id,
+             [g.cv[i] + p.r[i]
+              for i in generate_series(1, len(p.r))] AS r
+      FROM pqr p JOIN cellcv g USING (vec_id)
+    ),
+    qcell AS (
+      SELECT q0.vec_id, q0.q, list_inner_product(q0.q, q0.q) AS n2, g.cell
+      FROM q0 JOIN probe g USING (vec_id)
+    ),
+    rcell AS (
+      SELECT r.vec_id, r.r, list_inner_product(r.r, r.r) AS rn2, g.cell
+      FROM recon r JOIN cellcv g USING (vec_id)
+    ),
+    -- n2/rn2 > 0 mirror the kernel's isfinite mask (see knn_brute_cosine)
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_inner_product(a.q, b.r)
+                   / (sqrt(a.n2) * sqrt(b.rn2)), 6) AS cos_sim
+      FROM qcell a JOIN rcell b
+        ON a.cell = b.cell AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 100 AND a.n2 > 0 AND b.rn2 > 0
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {_PQ_TOPK}
+"""
+
+
+@query("ann_ivf_pq_residual", oracle=_IVF_PQ_RES_SQL)
+def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ search (by_residual=true, the FAISS default):
+    PQ codebooks train on and encode x - coarse_centroid, and the
+    searched reconstruction is centroid + pq(residual) — better recall
+    at the same bitrate. The oracle replays coarse training, residual
+    computation, residual-PQ training/encoding, multi-probe routing,
+    and the ranked search."""
+    from solace_apache_beam_spark.llm.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 100),
+        n_cells=_KM_CELLS,
+        n_iters=_KM_ITERS,
+        m=_PQ_M,
+        k_codes=_PQ_K,
+        n_iters_pq=_PQ_ITERS,
+        k=_PQ_TOPK,
+        nprobe=_IVF_PQ_NPROBE,
+        by_residual=True,
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
 @query("ann_ivf_pq_cosine", oracle=_IVF_PQ_SQL)

@@ -79,6 +79,10 @@ _PRIORITY: tuple[str, ...] = (
     #    (IVF-PQ: coarse cells route each query to one inverted list
     #    of PQ reconstructions; oracle replays both training loops).
     "ann_ivf_pq_cosine",
+    # 0. lockstep: ann_ivf_pq_residual — NEW registration this round
+    #    (by_residual=true: PQ trains on x - coarse_centroid; oracle
+    #    replays the residual pipeline end-to-end).
+    "ann_ivf_pq_residual",
     # 0. lockstep: embedding_centroids — NEW registration this round
     #    (per-label mean embedding via exact quantized integer sums).
     "embedding_centroids",
