@@ -299,3 +299,115 @@ def test_semantic_dedup_matches_reference(spark, vec_lists):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def _reference_ivf_pq(
+    vecs: dict[int, list[float]],
+    n_cells: int,
+    n_iters: int,
+    m: int,
+    k_codes: int,
+    n_iters_pq: int,
+    k: int,
+    nprobe: int,
+    by_residual: bool,
+):
+    """Scalar replay of the full IVF-PQ pipeline: cosine-Lloyd coarse
+    cells, (residual-)PQ codebooks, encoding, stable top-nprobe query
+    routing, asymmetric scoring of exact queries against
+    reconstructions, rank per query on the rounded cosine."""
+    ids = sorted(vecs)
+    q = {i: _quant_np(vecs[i]) for i in ids}
+    d = len(q[ids[0]])
+    cids, cmat, best_cell = _lloyd_reference(q, n_cells, n_iters, "cos")
+
+    def cell_order(x):
+        scored = []
+        for j, c in enumerate(cmat):
+            denom = float(np.sqrt((x**2).sum()) * np.sqrt((c**2).sum()))
+            cos = float(x @ c) / denom if denom != 0.0 else float("nan")
+            scored.append((-cos if np.isfinite(cos) else np.inf, j))
+        scored.sort()
+        return [cids[j] for _, j in scored]
+
+    cell = {i: cell_order(q[i])[0] for i in ids}
+    centroid = {cids[j]: cmat[j] for j in range(len(cids))}
+    target = (
+        {i: q[i] - centroid[cell[i]] for i in ids} if by_residual else q
+    )
+    books = []
+    for s in range(m):
+        lo, hi = d * s // m, d * (s + 1) // m
+        books.append(
+            _lloyd_reference(
+                {i: target[i][lo:hi] for i in ids}, k_codes, n_iters_pq, "l2"
+            )
+        )
+    recon = {}
+    for i in ids:
+        rec = []
+        for s, (bcids, bcmat, bbest) in enumerate(books):
+            lo, hi = d * s // m, d * (s + 1) // m
+            rec.extend(bcmat[bbest(target[i][lo:hi])].tolist())
+        base = centroid[cell[i]] if by_residual else np.zeros(d)
+        recon[i] = base + np.array(rec)
+    rows = set()
+    for qi in ids:
+        probed = set(cell_order(q[qi])[:nprobe])
+        scored = []
+        for ci in ids:
+            if ci == qi or cell[ci] not in probed:
+                continue
+            denom = float(
+                np.sqrt((q[qi] ** 2).sum()) * np.sqrt((recon[ci] ** 2).sum())
+            )
+            if denom == 0.0:
+                continue
+            cos = float(q[qi] @ recon[ci]) / denom
+            if not np.isfinite(cos):
+                continue
+            scored.append((-_round6_half_up(cos), ci))
+        scored.sort()
+        for rank, (neg, ci) in enumerate(scored[:k], start=1):
+            rows.add((qi, ci, -neg, rank))
+    return rows
+
+
+@settings(**SETTINGS)
+@given(
+    vec_lists=st.lists(
+        st.lists(_component, min_size=3, max_size=3),
+        min_size=2,
+        max_size=10,
+    ),
+    nprobe=st.sampled_from([1, 2]),
+    by_residual=st.booleans(),
+)
+def test_ivf_pq_topk_matches_reference(spark, vec_lists, nprobe, by_residual):
+    """End-to-end randomized differential for IVF-PQ: coarse training,
+    (residual) PQ, stable multi-probe routing and the ranked ADC search
+    must all match the scalar replay — duplicate vectors (centroid and
+    score ties), zero vectors (NaN routing ranks last, zero-norm recon
+    excluded from scoring) and the uneven dim-3/m-2 split are common."""
+    from solace_apache_beam_spark.llm.similarity import ivf_pq_topk
+
+    vecs = dict(enumerate(vec_lists))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = ivf_pq_topk(
+        df,
+        n_cells=2,
+        n_iters=1,
+        m=2,
+        k_codes=2,
+        n_iters_pq=1,
+        k=3,
+        nprobe=nprobe,
+        by_residual=by_residual,
+    )
+    got = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in out.collect()}
+    out.plan_caches.unpersist()
+    assert got == _reference_ivf_pq(
+        vecs, 2, 1, 2, 2, 1, 3, nprobe, by_residual
+    )
