@@ -113,7 +113,33 @@ def _funnel(spark, sf_dir):
     return funnel_counts(load_table(spark, sf_dir, "events"))
 
 
+def _semantic_dedup(spark, sf_dir):
+    from solace_apache_beam_spark.llm.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), n_cells=4, n_iters=1)
+
+
+def _ivf_pq(spark, sf_dir):
+    from solace_apache_beam_spark.llm.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _emb(spark, sf_dir), n_cells=4, n_iters=1, m=2, k_codes=4, nprobe=2
+    )
+
+
+def _ivf_pq_residual(spark, sf_dir):
+    from solace_apache_beam_spark.llm.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _emb(spark, sf_dir), n_cells=4, n_iters=1, m=2, k_codes=4,
+        by_residual=True,
+    )
+
+
 BUILDERS = {
+    "semantic_dedup": _semantic_dedup,
+    "ivf_pq_topk": _ivf_pq,
+    "ivf_pq_topk_residual": _ivf_pq_residual,
     "minhash_lsh_pairs": _minhash,
     "ngram_jaccard_pairs": _ngram,
     "simhash_hamming_pairs": _simhash,
