@@ -1727,3 +1727,106 @@ def label_centroids(
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+def _quant_expr(vec_col: str):
+    """JVM-side quantization twin of :func:`_quantize` — same values,
+    expressed as a whole-stage-codegen array transform."""
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS LONG))"
+    )
+
+
+def sq8_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) of the quantized corpus — the affine
+    range the SQ8 codec spans. One posexplode + groupBy(pos) with
+    map-side partial min/max; only dim rows reach the driver."""
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(_quant_expr(vec_col)).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    )
+    if not rows:
+        return np.zeros(0), np.zeros(0)
+    d = max(r["pos"] for r in rows) + 1
+    mn, mx = np.zeros(d), np.zeros(d)
+    for r in rows:
+        mn[r["pos"]], mx[r["pos"]] = float(r["mn"]), float(r["mx"])
+    return mn, mx
+
+
+def sq8_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stats: "tuple[np.ndarray, np.ndarray] | None" = None,
+) -> DataFrame:
+    """Scalar (int8) quantization — the practical 4x-compression codec
+    (the FAISS SQ8 shape): per dimension, an affine map of the
+    quantized component onto codes 0..255 spanning the corpus
+    [min, max]; reconstruction re-rounds onto the integer grid so
+    downstream cosine stays ENGINE-EXACT (an unrounded affine recon
+    would be a non-integer double whose dot products depend on
+    summation order). Output: (id, codes array<long>,
+    recon array<double> of integer values).
+
+    Everything here is whole-stage-codegen JVM expressions — no Python
+    kernel anywhere: the per-dim stats ride as array literals
+    (2 * dim doubles in the plan), and code/recon are elementwise
+    array transforms. Constant-range dims (mx == mn) code to 0 and
+    reconstruct to the constant."""
+    if stats is None:
+        stats = sq8_stats(df, vec_col, id_col)
+    mn, mx = stats
+    mn_lit = F.array(*[F.lit(float(x)) for x in mn])
+    mx_lit = F.array(*[F.lit(float(x)) for x in mx])
+    q = _quant_expr(vec_col)
+
+    def _code(x, i):
+        lo, hi = F.element_at(mn_lit, i + 1), F.element_at(mx_lit, i + 1)
+        return F.when(
+            hi > lo,
+            F.round((x - lo) * F.lit(255.0) / (hi - lo), 0),
+        ).otherwise(F.lit(0.0)).cast("long")
+
+    def _recon(c, i):
+        lo, hi = F.element_at(mn_lit, i + 1), F.element_at(mx_lit, i + 1)
+        return lo + F.round(c * (hi - lo) / F.lit(255.0), 0)
+
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.transform(q, _code).alias("codes"))
+        .select(
+            F.col(id_col),
+            "codes",
+            F.transform("codes", _recon).alias("recon"),
+        )
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    query_df: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    block_size: int = 4096,
+) -> DataFrame:
+    """SQ8-compressed approximate top-k cosine search: exact query
+    vectors against SQ8 reconstructions (asymmetric), reusing the
+    packed-block brute kernel — recon/2^20 re-quantizes bit-exactly
+    (power-of-two scaling, integer values). 4x memory at near-exact
+    recall is the standard trade this codec buys; compose with IVF
+    cells for candidate pruning exactly like :func:`ivf_pq_topk`."""
+    enc = sq8_encode(df, vec_col, id_col)
+    corpus = enc.select(
+        F.col(id_col),
+        F.transform("recon", lambda x: x / F.lit(float(QUANT))).alias(vec_col),
+    )
+    if query_df is None:
+        query_df = df
+    return brute_force_topk(corpus, query_df, vec_col, id_col, k, block_size)

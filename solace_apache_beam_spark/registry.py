@@ -83,6 +83,11 @@ _PRIORITY: tuple[str, ...] = (
     #    (by_residual=true: PQ trains on x - coarse_centroid; oracle
     #    replays the residual pipeline end-to-end).
     "ann_ivf_pq_residual",
+    # 0. lockstep: sq8_code_assign / ann_sq8_cosine — NEW registrations
+    #    this round (scalar int8 codec + search over the integer-grid
+    #    reconstructions; oracles replay stats, coding, and search).
+    "sq8_code_assign",
+    "ann_sq8_cosine",
     # 0. lockstep: embedding_centroids — NEW registration this round
     #    (per-label mean embedding via exact quantized integer sums).
     "embedding_centroids",
