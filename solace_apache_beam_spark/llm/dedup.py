@@ -1556,6 +1556,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    with_match: bool = True,
 ) -> DataFrame:
     """Exact duplicated-span detection (the curation signal of Lee et
     al. 2021, arXiv:2107.06499 "Deduplicating Training Data Makes
@@ -1597,6 +1598,24 @@ def duplicate_spans(
         ).alias("pos0", "gram"),
     ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
     gram_docs = grams.select("gram", id_col).distinct()
+    if not with_match:
+        # ratio-only consumers (curation_pipeline's span cap) skip the
+        # per-gram window: one plain count aggregate per gram instead
+        # of a sort — the m1/m2 columns exist only to name match_doc
+        stats = gram_docs.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        spans = grams.join(stats.hint("merge"), "gram").select(
+            F.col(id_col), (F.col("n_docs") >= 2).alias("dup")
+        )
+        return spans.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_spans"),
+            (
+                F.sum(F.when(F.col("dup"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("dup_span_ratio"),
+        )
     w = Window.partitionBy("gram").orderBy(F.col(id_col))
     stats = (
         gram_docs.withColumn("rn", F.row_number().over(w))

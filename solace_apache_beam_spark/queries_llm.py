@@ -1051,6 +1051,177 @@ def ann_sq8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_SPAN_N, _CURATION_SPAN_CAP = 8, 0.5
+
+# curation_pipeline oracle: the round-11 capstone composition. Every
+# stage replays its standalone query's fragment verbatim (quality =
+# training_data_pipeline's scored CTE; exact dedup = a window form of
+# dedup_exact; spans = duplicate_spans' chain, sp-prefixed to avoid
+# CTE-name collisions with the SemDeDup chain; semantic = the full
+# _SEMDEDUP_SQL training+assignment+pruning replay over embeddings,
+# joined on the 1:1 doc_id = vec_id alignment the driver data
+# guarantees and embedding_coverage gates).
+_CURATION_SQL = f"""
+    WITH scored AS (
+      SELECT doc_id,
+             0.4 * (CAST({_stop_sql("en")} AS DOUBLE) / greatest(len(words), 1))
+               + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+               + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) AS quality,
+             len(words) AS n_tokens
+      FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents)
+    ),
+    exkeep AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      FROM documents
+    ),
+    spw AS (SELECT doc_id, {_WORDS} AS words FROM documents
+            WHERE doc_id IS NOT NULL),
+    spbase AS (SELECT doc_id, words FROM spw
+               WHERE len(words) >= {_CURATION_SPAN_N}),
+    spgrams AS (
+      SELECT doc_id,
+             array_to_string(words[i:i+{_CURATION_SPAN_N - 1}], ' ') AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(generate_series(1, len(words) - {_CURATION_SPAN_N - 1})) AS i
+            FROM spbase)
+    ),
+    spstats AS (
+      SELECT gram, count(DISTINCT doc_id) AS n_docs FROM spgrams GROUP BY gram
+    ),
+    spratio AS (
+      SELECT g.doc_id,
+             sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)
+               AS dup_span_ratio
+      FROM spgrams g JOIN spstats s USING (gram) GROUP BY g.doc_id
+    ),
+    q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1048576) AS DOUBLE)
+              for x in embedding] AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KM_CELLS}),
+    {", ".join(_km_iter_sql(i) for i in range(_KM_ITERS))},
+    final AS (
+      SELECT q.vec_id, c.cid,
+             list_inner_product(q.qv, c.cv)
+               / (sqrt(list_inner_product(q.qv, q.qv))
+                  * sqrt(list_inner_product(c.cv, c.cv))) AS cos
+      FROM q, c{_KM_ITERS} c
+    ),
+    ranked AS (
+      SELECT vec_id, cid AS cell, cos,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY (CASE WHEN isnan(cos) THEN CAST('-infinity' AS DOUBLE)
+                         ELSE cos END) DESC, cid) AS rn
+      FROM final
+    ),
+    asg AS (
+      SELECT r.vec_id, r.cell, q.qv,
+             list_inner_product(q.qv, q.qv) AS n2
+      FROM ranked r JOIN q USING (vec_id) WHERE r.rn = 1
+    ),
+    sempairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_inner_product(a.qv, b.qv)
+                   / (sqrt(a.n2) * sqrt(b.n2)), 6) AS cos
+      FROM asg a JOIN asg b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE a.n2 > 0 AND b.n2 > 0
+    ),
+    semdups AS (
+      SELECT DISTINCT ib AS vec_id FROM sempairs WHERE cos >= {_SEMDEDUP_TAU}
+    ),
+    clean AS (
+      SELECT s.doc_id, s.n_tokens
+      FROM scored s
+      JOIN exkeep e ON s.doc_id = e.doc_id
+      LEFT JOIN spratio r ON s.doc_id = r.doc_id
+      WHERE s.quality >= 0.5
+        AND e.doc_id = e.keep_id
+        AND coalesce(r.dup_span_ratio, 0) < {_CURATION_SPAN_CAP}
+        AND s.doc_id NOT IN (SELECT vec_id FROM semdups)
+    ),
+    assigned AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, n_tokens,
+                   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS b
+            FROM clean)
+    )
+    SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY 1
+"""
+
+
+@query("curation_pipeline", oracle=_CURATION_SQL)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 capstone composition — every curation screen in one
+    declarative graph: quality gate, exact dedup (keep the lowest id
+    per content hash, window form so NULL texts group consistently),
+    duplicated-span cap (drop docs whose word-8-gram dup ratio reaches
+    0.5), SemDeDup semantic screen over the aligned embeddings, then
+    deterministic splits and the per-split manifest. Catalyst fuses the
+    text-derived stages over one documents scan."""
+    from pyspark.sql.window import Window
+
+    from solace_apache_beam_spark.functions.hashing import words_expr
+    from solace_apache_beam_spark.functions.sampling import assign_splits
+    from solace_apache_beam_spark.llm.dedup import duplicate_spans
+    from solace_apache_beam_spark.llm.similarity import semantic_dedup as sd
+    from solace_apache_beam_spark.llm.text_analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = quality_score(docs).select("doc_id", "quality")
+    keep = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("keep_id"),
+    )
+    spans = duplicate_spans(docs, n=_CURATION_SPAN_N, with_match=False).select(
+        "doc_id", "dup_span_ratio"
+    )
+    sem = sd(
+        emb, n_cells=_KM_CELLS, n_iters=_KM_ITERS, threshold=_SEMDEDUP_TAU
+    )
+    semdups = sem.filter(F.col("is_dup")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    base = docs.select(
+        "doc_id", F.size(words_expr("text")).cast("long").alias("n_tokens")
+    )
+    clean = (
+        base.join(scored, "doc_id")
+        .join(keep, "doc_id")
+        .join(spans, "doc_id", "left")
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.col("doc_id") == F.col("keep_id"))
+            & (
+                F.coalesce(F.col("dup_span_ratio"), F.lit(0.0))
+                < _CURATION_SPAN_CAP
+            )
+        )
+        .join(semdups, "doc_id", "left_anti")
+    )
+    out = assign_splits(clean, "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    from solace_apache_beam_spark.functions.caching import attach_plan_caches
+
+    return attach_plan_caches(
+        out.select("split", "n_docs", "n_tokens"),
+        sem.plan_caches._frames,
+    )
+
+
 @query(
     "training_shuffle_manifest",
     oracle="""

@@ -83,6 +83,10 @@ _PRIORITY: tuple[str, ...] = (
     #    (by_residual=true: PQ trains on x - coarse_centroid; oracle
     #    replays the residual pipeline end-to-end).
     "ann_ivf_pq_residual",
+    # 0. lockstep: curation_pipeline — NEW registration this round
+    #    (capstone composition: quality + exact + span + semantic
+    #    screens -> split manifest; oracle chains the components).
+    "curation_pipeline",
     # 0. lockstep: sq8_code_assign / ann_sq8_cosine — NEW registrations
     #    this round (scalar int8 codec + search over the integer-grid
     #    reconstructions; oracles replay stats, coding, and search).
