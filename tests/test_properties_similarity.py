@@ -411,3 +411,54 @@ def test_ivf_pq_topk_matches_reference(spark, vec_lists, nprobe, by_residual):
     assert got == _reference_ivf_pq(
         vecs, 2, 1, 2, 2, 1, 3, nprobe, by_residual
     )
+
+
+def _reference_sq8(vecs: dict[int, list[float]]):
+    ids = sorted(vecs)
+    q = {i: _quant_np(vecs[i]) for i in ids}
+    d = len(q[ids[0]])
+    mn = np.array([min(q[i][j] for i in ids) for j in range(d)])
+    mx = np.array([max(q[i][j] for i in ids) for j in range(d)])
+    out = {}
+    for i in ids:
+        codes, recon = [], []
+        for j in range(d):
+            if mx[j] > mn[j]:
+                # the scaled value is >= 0, so half-away == half-up
+                c = float(
+                    np.floor((q[i][j] - mn[j]) * 255.0 / (mx[j] - mn[j]) + 0.5)
+                )
+            else:
+                c = 0.0
+            r = mn[j] + _round_half_away_scalar(c * (mx[j] - mn[j]) / 255.0)
+            codes.append(int(c))
+            recon.append(float(r))
+        out[i] = (tuple(codes), tuple(recon))
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    vec_lists=st.lists(
+        st.lists(_component, min_size=3, max_size=3),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_sq8_encode_matches_reference(spark, vec_lists):
+    """Randomized differential for the SQ8 codec: per-dim corpus
+    [min, max] stats, affine 0..255 coding, integer-grid
+    reconstruction. Constant dims (mx == mn -> code 0, recon = the
+    constant), negative ranges, and rounding-boundary values are all
+    common under the grid strategy."""
+    from solace_apache_beam_spark.llm.similarity import sq8_encode
+
+    vecs = dict(enumerate(vec_lists))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: (tuple(r.codes), tuple(r.recon))
+        for r in sq8_encode(df).collect()
+    }
+    assert got == _reference_sq8(vecs)
