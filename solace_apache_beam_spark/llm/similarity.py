@@ -1830,3 +1830,199 @@ def sq8_topk(
     if query_df is None:
         query_df = df
     return brute_force_topk(corpus, query_df, vec_col, id_col, k, block_size)
+
+
+def build_vector_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Persistable semantic-dedup index: every vector's quantized
+    components plus its bucket in each of ``n_tables`` independent
+    hyperplane tables (the same deterministic plane stream as
+    ``neardup_pairs_lsh``; table t's buckets are offset by
+    ``t << n_planes`` so they never collide). One row per (vector,
+    table) — write it out partitioned however the warehouse likes; the
+    quantized components are integer-valued doubles (parquet
+    dictionary/RLE-friendly) so the screen never re-reads the raw
+    corpus. The growing-corpus semantic screen
+    (:func:`incremental_semantic_dedup`) joins candidates on the bucket
+    column."""
+    from functools import reduce
+
+    tables = [
+        lsh_bucket(df, vec_col, id_col, n_planes, plane_offset=t * n_planes)
+        .withColumn("bucket", F.col("bucket") + F.lit(t << n_planes))
+        for t in range(n_tables)
+    ]
+    return reduce(lambda x, y: x.unionByName(y), tables)
+
+
+def _bucketed_asym_threshold_pairs(
+    ab: DataFrame,
+    bb: DataFrame,
+    id_col: str,
+    threshold: float,
+    block_size: int,
+) -> DataFrame:
+    """Pairs above the rounded-cosine threshold between candidate side
+    ``ab`` (columns id, q, bucket, is_index) and batch side ``bb``
+    (id, q, bucket), within shared buckets only — the asymmetric
+    sibling of :func:`_bucketed_threshold_pairs`. A pair qualifies when
+    the candidate is an INDEXED vector (any id) or a batch-mate with a
+    smaller id (the greedy keep-first rule inside one batch); self
+    pairs are excluded. Sub-blocked packing and capped emissions as in
+    every pair kernel; multi-table candidate collisions collapse via
+    distinct on the integer-exact rounded cosine."""
+    from pyspark.storagelevel import StorageLevel
+
+    w = Window.partitionBy("bucket").orderBy(F.col(id_col))
+
+    def pack_a(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "blk": [int(pdf["_blk"].iloc[0])],
+                "ids": [pdf[id_col].to_numpy(dtype=np.int64).tolist()],
+                "idx": [pdf["is_index"].to_numpy(dtype=np.bool_).tolist()],
+                "mat": [_unpack(pdf["q"]).tolist()],
+            }
+        )
+
+    def pack_b(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "blk": [int(pdf["_blk"].iloc[0])],
+                "ids": [pdf[id_col].to_numpy(dtype=np.int64).tolist()],
+                "mat": [_unpack(pdf["q"]).tolist()],
+            }
+        )
+
+    def blocked(frame: DataFrame) -> DataFrame:
+        return frame.withColumn(
+            "_blk",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(block_size)).cast(
+                "long"
+            ),
+        )
+
+    ap = (
+        blocked(ab)
+        .groupBy("bucket", "_blk")
+        .applyInPandas(
+            pack_a,
+            "bucket long, blk long, ids array<long>, "
+            "idx array<boolean>, mat array<array<double>>",
+        )
+        .select(
+            F.col("bucket").alias("abucket"),
+            F.col("ids").alias("aids"),
+            F.col("idx").alias("aidx"),
+            F.col("mat").alias("amat"),
+        )
+    )
+    bp = (
+        blocked(bb)
+        .groupBy("bucket", "_blk")
+        .applyInPandas(
+            pack_b,
+            "bucket long, blk long, ids array<long>, mat array<array<double>>",
+        )
+        .select(
+            F.col("bucket").alias("bbucket"),
+            F.col("ids").alias("bids"),
+            F.col("mat").alias("bmat"),
+        )
+    )
+
+    def score(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ia = np.asarray(r.aids, dtype=np.int64)
+                fl = np.asarray(r.aidx, dtype=np.bool_)
+                ib = np.asarray(r.bids, dtype=np.int64)
+                cos = _block_scores(_unpack(r.amat), _unpack(r.bmat))
+                mask = (
+                    np.isfinite(cos)
+                    & (cos >= threshold - 1e-6)
+                    & (fl[:, None] | (ia[:, None] < ib[None, :]))
+                    & (ia[:, None] != ib[None, :])
+                )
+                ii, jj = np.nonzero(mask)
+                yield from _emit_sliced(
+                    pd.DataFrame(
+                        {"id_a": ia[ii], "id_b": ib[jj], "cos_raw": cos[ii, jj]}
+                    )
+                )
+
+    scored = (
+        ap.join(bp.hint("merge"), F.col("abucket") == F.col("bbucket"))
+        .mapInPandas(score, "id_a long, id_b long, cos_raw double")
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+    return scored
+
+
+def incremental_semantic_dedup(
+    batch_df: DataFrame,
+    index_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Screen a batch of vectors against a persisted semantic index
+    (:func:`build_vector_index`) — the embedding twin of
+    ``llm.dedup.incremental_dedup``: a batch vector is a
+    ``semantic_dup`` iff some INDEXED vector, or a batch-mate with a
+    smaller id, shares an LSH bucket and has rounded cosine >=
+    ``threshold``; ``match_id`` is the smallest such id. Rows with
+    NULL vectors cannot be screened and come back ``unique`` with a
+    NULL match (they are also never indexed). Output: (id, status,
+    match_id) — one row per batch row.
+
+    Parameters must match the index build (same planes/tables), and
+    ids must be unique across index and batch (the documents-model
+    invariant). Candidate recall is the LSH OR-construction — the same
+    measured contract as ``neardup_pairs_lsh``; precision is 1.0
+    (every candidate is exact-verified with the integer-exact cosine).
+
+    Scale: the batch buckets map-side; the only joins are the
+    bucket-keyed sort-merge between the (blocked) index slice and the
+    batch — cost tracks the buckets the batch actually touches, never
+    the full index."""
+    from pyspark.storagelevel import StorageLevel
+
+    b = build_vector_index(
+        batch_df, vec_col, id_col, n_planes, n_tables
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ab = (
+        index_df.select(id_col, "q", "bucket")
+        .withColumn("is_index", F.lit(True))
+        .unionByName(b.withColumn("is_index", F.lit(False)))
+    )
+    pairs = _bucketed_asym_threshold_pairs(
+        ab, b, id_col, threshold, block_size
+    )
+    dups = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("match_id")
+    )
+    out = (
+        batch_df.select(id_col)
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("match_id").isNotNull(), F.lit("semantic_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            "match_id",
+        )
+    )
+    return attach_plan_caches(out, (b,))

@@ -161,3 +161,96 @@ def make_corpus_ingestion_screen(
         rows.unpersist()
 
     return screen
+
+
+def make_semantic_ingestion_screen(
+    spark: SparkSession,
+    base_index: DataFrame,
+    status_dir: str,
+    grown_dir: str,
+    book_dir: str,
+    queue_col: str = "destination",
+    id_col: str = "message_id",
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    block_size: int = 4096,
+):
+    """``foreachBatch`` callable for the growing-corpus SEMANTIC dedup
+    loop — the embedding twin of :func:`make_corpus_ingestion_screen`
+    with the same three restart guarantees (per-queue replay marks,
+    epoch-consistent index reads, epoch-partitioned dynamic-overwrite
+    writes on every sink):
+
+        source -> screen each microbatch's vectors against the
+        persisted semantic index (``incremental_semantic_dedup``) ->
+        statuses to the warehouse -> unique survivors' bucketed rows
+        JOIN the index, so later batches semantically dedup against
+        everything kept before them.
+
+    ``base_index`` is a :func:`~solace_apache_beam_spark.llm.
+    similarity.build_vector_index` frame (read back from its persisted
+    table in production; an EMPTY frame of the same schema starts from
+    nothing). Plane/table parameters must match the base index's.
+
+    At 100 TB: the grown store is one epoch-partitioned table of
+    (doc, q, bucket) rows; per-epoch cost is the batch's map-side
+    bucketing plus the bucket-keyed sort-merge join against the index
+    slices the batch touches — never a full-index scan or broadcast.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from solace_apache_beam_spark.llm.similarity import (
+        build_vector_index,
+        incremental_semantic_dedup,
+    )
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+
+    appender = make_idempotent_appender(status_dir)
+
+    def screen(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.select(queue_col, id_col, doc_col, vec_col)
+        book = _read_before(spark, book_dir, epoch_id)
+        if book is not None:
+            hwm = book.groupBy(queue_col).agg(F.max("max_id").alias("_hwm"))
+            rows = (
+                rows.join(F.broadcast(hwm), queue_col, "left")
+                .filter(F.col("_hwm").isNull() | (F.col(id_col) > F.col("_hwm")))
+                .drop("_hwm")
+            )
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+        idx = base_index
+        grown = _read_before(spark, grown_dir, epoch_id)
+        if grown is not None:
+            idx = idx.unionByName(grown.drop("epoch"))
+        out = incremental_semantic_dedup(
+            rows.select(doc_col, vec_col),
+            idx,
+            vec_col=vec_col,
+            id_col=doc_col,
+            threshold=threshold,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            block_size=block_size,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        appender(out, epoch_id)
+        uniq = rows.select(doc_col, vec_col).join(
+            out.filter(F.col("status") == "unique").select(doc_col), doc_col
+        )
+        _epoch_write(
+            build_vector_index(uniq, vec_col, doc_col, n_planes, n_tables),
+            grown_dir,
+            epoch_id,
+        )
+        _epoch_write(
+            rows.groupBy(queue_col).agg(F.max(id_col).alias("max_id")),
+            book_dir,
+            epoch_id,
+        )
+        out.plan_caches.unpersist()
+        out.unpersist()
+        rows.unpersist()
+
+    return screen
