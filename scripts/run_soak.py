@@ -1505,6 +1505,332 @@ def incgrow_kill_restart_soak(n: int, k: int) -> None:
     print(json.dumps(out))
 
 
+
+# --- growing-corpus SEMANTIC dedup soak (the embedding twin of the
+# incgrow scenario): same kill-restart anatomy, same fold contract —
+# committed statuses must equal a sequential fold of
+# incremental_semantic_dedup over the committed epochs, growing a
+# reference vector index the same way.
+_SEM_DIM = 32
+_SEM_CORPUS = 200
+_SEM_ID_BASE = 1_000_000
+_SEM_PARAMS = dict(threshold=0.6, n_planes=4, n_tables=2)
+
+
+def _sem_rand_vec(tag: str) -> list:
+    """Deterministic grid vector from md5(tag): components in
+    {-4..4}/4 (exact binary fractions, so str() -> Spark double parse
+    roundtrips bit-exactly). Pairwise cosines of distinct tags
+    concentrate near 0 (sigma ~ 1/sqrt(dim)) — far below the 0.6
+    threshold."""
+    import hashlib
+
+    out: list[float] = []
+    i = 0
+    while len(out) < _SEM_DIM:
+        d = hashlib.md5(f"{tag}:{i}".encode()).digest()
+        out.extend((b % 9 - 4) / 4.0 for b in d)
+        i += 1
+    return out[:_SEM_DIM]
+
+
+def _sem_base_vec(c: int) -> list:
+    return _sem_rand_vec(f"sembase:{c % _SEM_CORPUS}")
+
+
+def _sem_vec(j: int, lag: int) -> list:
+    """Incoming vector j: kind 0 = exact base copy, kind 1 = near-base
+    (base + 0.25 * noise, cos ~0.97 — crosses the threshold via cosine,
+    not equality), kind 2 = fresh unique, kind 3 = exact copy of the
+    kind-2 vector ``lag`` positions earlier (lag ≡ 1 mod 4) — must come
+    back semantic_dup against the GROWN index."""
+    k = j % 4
+    if k == 0:
+        return _sem_base_vec((j * 7) % _SEM_CORPUS)
+    if k == 1:
+        b = _sem_base_vec((j * 11) % _SEM_CORPUS)
+        n = _sem_rand_vec(f"semnoise:{j}")
+        return [x + 0.25 * y for x, y in zip(b, n)]
+    if k == 3 and j - lag >= 0:
+        return _sem_vec(j - lag, lag)
+    return _sem_rand_vec(f"semuniq:{j}")
+
+
+def _publish_semgrow(
+    broker: str, queues: list[str], per_q: int, lag: int
+) -> None:
+    for qi, q in enumerate(queues):
+        fake_broker.create_queue(broker, q)
+        fake_broker.publish(
+            broker,
+            q,
+            [
+                f"{_SEM_ID_BASE + qi * per_q + j}|"
+                + ",".join(str(x) for x in _sem_vec(qi * per_q + j, lag))
+                for j in range(per_q)
+            ],
+        )
+
+
+def semgrow_drain_phase(
+    work: str, k: int, max_per_batch: int, per_q: int, lag: int
+) -> None:
+    """Child process for the semantic growing-corpus soak — the same
+    shape as incgrow_drain_phase with the vector screen."""
+    import uuid
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.similarity import (
+        build_vector_index,
+        incremental_semantic_dedup,
+    )
+    from solace_apache_beam_spark.session import get_spark
+    from solace_apache_beam_spark.streaming.ingestion import (
+        make_semantic_ingestion_screen,
+    )
+    from solace_apache_beam_spark.streaming.pipelines import open_stream
+
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    broker_dir = os.path.join(work, "broker")
+    spark = get_spark("soak_semgrow_phase")
+    base_docs = spark.createDataFrame(
+        [Row(doc_id=c, embedding=_sem_base_vec(c)) for c in range(_SEM_CORPUS)]
+    )
+    base = build_vector_index(
+        base_docs,
+        "embedding",
+        "doc_id",
+        n_planes=_SEM_PARAMS["n_planes"],
+        n_tables=_SEM_PARAMS["n_tables"],
+    )
+    screen = make_semantic_ingestion_screen(
+        spark,
+        base,
+        os.path.join(work, "sink"),
+        os.path.join(work, "grown"),
+        os.path.join(work, "book"),
+        doc_col="doc_id",
+        vec_col="embedding",
+        **_SEM_PARAMS,
+    )
+
+    payload_body = F.split("payload", "\\|", 2).getItem(1)
+    stream = (
+        open_stream(spark, broker_dir, queues, max_records_per_batch=max_per_batch)
+        .filter(~F.col("payload").startswith("__flush__"))
+        .select(
+            "destination",
+            "message_id",
+            F.split("payload", "\\|", 2).getItem(0).cast("long").alias("doc_id"),
+            F.transform(
+                F.split(payload_body, ","), lambda x: x.cast("double")
+            ).alias("embedding"),
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", os.path.join(work, "cp"))
+        .start()
+    )
+
+    def _undelivered() -> int:
+        return sum(
+            fake_broker.message_count(broker_dir, qq)
+            - fake_broker.delivered_watermark(broker_dir, qq)
+            for qq in queues
+        )
+
+    t0 = time.monotonic()
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    tag = uuid.uuid4().hex[:8]
+    for qq in queues:
+        fake_broker.publish(broker_dir, qq, [f"__flush__ {qq} {tag}"])
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    elapsed = time.monotonic() - t0
+    q.stop()
+
+    import duckdb
+
+    sink_dir = os.path.join(work, "sink")
+    ep_docs = (
+        duckdb.connect()
+        .execute(
+            f"""SELECT _epoch_id, list(doc_id ORDER BY doc_id)
+                FROM read_parquet('{sink_dir}/*/*.parquet',
+                                  hive_partitioning=1)
+                GROUP BY _epoch_id ORDER BY _epoch_id"""
+        )
+        .fetchall()
+    )
+    ref_idx = base
+    expected = []
+    for ep, ids in ep_docs:
+        if not ids:
+            continue
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, embedding=_sem_vec(i - _SEM_ID_BASE, lag))
+                for i in ids
+            ]
+        )
+        ref = incremental_semantic_dedup(
+            docs, ref_idx, "embedding", "doc_id", **_SEM_PARAMS
+        )
+        got = ref.collect()
+        expected += [
+            Row(doc_id=r.doc_id, status=r.status, match_id=r.match_id,
+                epoch=int(ep))
+            for r in got
+        ]
+        uniq = docs.join(
+            spark.createDataFrame(
+                [Row(doc_id=r.doc_id) for r in got if r.status == "unique"],
+                "doc_id long",
+            ),
+            "doc_id",
+        )
+        ref.plan_caches.unpersist()
+        # localCheckpoint: the fold's index lineage otherwise grows by
+        # one union + one bucketize kernel per epoch
+        ref_idx = ref_idx.unionByName(
+            build_vector_index(
+                uniq,
+                "embedding",
+                "doc_id",
+                n_planes=_SEM_PARAMS["n_planes"],
+                n_tables=_SEM_PARAMS["n_tables"],
+            )
+        ).localCheckpoint()
+    spark.createDataFrame(
+        expected, "doc_id long, status string, match_id long, epoch long"
+    ).write.mode("overwrite").parquet(os.path.join(work, "expected"))
+    with open(os.path.join(work, "DONE"), "w") as f:
+        json.dump({"elapsed": round(elapsed, 2)}, f)
+
+
+def semgrow_kill_restart_soak(n: int, k: int) -> None:
+    """Kill-restart soak through the SEMANTIC growing-corpus loop:
+    per committed epoch, streaming statuses == the sequential batch
+    fold; one row per doc globally (replay marks); and some
+    semantic_dup matched a GROWN entry (match_id >= the incoming-id
+    base) — the loop actually grew."""
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    per_q = n // k
+    work = tempfile.mkdtemp(prefix="soak_semgrow_")
+    broker = os.path.join(work, "broker")
+    max_per_batch = max(1, per_q // 5)
+    lag = max(5, (2 * max_per_batch) // 4 * 4 + 1)
+    _publish_semgrow(broker, queues, per_q, lag)
+    sink = os.path.join(work, "sink")
+
+    def _spawn() -> subprocess.Popen:
+        return subprocess.Popen(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--phase-semgrow",
+                work,
+                str(k),
+                str(max_per_batch),
+                str(per_q),
+                str(lag),
+            ],
+            start_new_session=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def _epochs() -> int:
+        try:
+            return len(
+                [d for d in os.listdir(sink) if d.startswith("_epoch_id=")]
+            )
+        except FileNotFoundError:
+            return 0
+
+    t_all = time.monotonic()
+    p1 = _spawn()
+    deadline = time.monotonic() + 900
+    while time.monotonic() < deadline:
+        if os.path.exists(os.path.join(work, "DONE")):
+            raise SystemExit(
+                "drain finished before the kill — lower max_per_batch"
+            )
+        if _epochs() >= 3:
+            break
+        time.sleep(0.2)
+    epochs_at_kill = _epochs()
+    os.killpg(os.getpgid(p1.pid), signal.SIGKILL)
+    p1.wait()
+
+    p2 = _spawn()
+    rc = p2.wait(timeout=900)
+    assert rc == 0, f"restart phase failed rc={rc}"
+    assert os.path.exists(os.path.join(work, "DONE"))
+    total_s = time.monotonic() - t_all
+
+    import duckdb
+
+    con = duckdb.connect()
+    got_rows = con.execute(
+        f"""SELECT doc_id, status, match_id, CAST(_epoch_id AS BIGINT),
+                   count(*)
+            FROM read_parquet('{sink}/*/*.parquet', hive_partitioning=1)
+            GROUP BY 1, 2, 3, 4"""
+    ).fetchall()
+    exp_rows = con.execute(
+        f"""SELECT doc_id, status, match_id, epoch
+            FROM read_parquet('{work}/expected/*.parquet')"""
+    ).fetchall()
+    got = {tuple(r[:4]) for r in got_rows}
+    expected = set(map(tuple, exp_rows))
+    grown_hits = sum(
+        1
+        for r in got_rows
+        if r[1] == "semantic_dup" and r[2] is not None
+        and r[2] >= _SEM_ID_BASE
+    )
+    by_status: dict[str, int] = {}
+    for r in got_rows:
+        by_status[r[1]] = by_status.get(r[1], 0) + 1
+    doc_ids = [r[0] for r in got_rows]
+    out = {
+        "mode": "semdedup_grow",
+        "messages": per_q * k,
+        "queues": k,
+        "corpus_docs_base": _SEM_CORPUS,
+        "epochs_at_kill": epochs_at_kill,
+        "epochs_committed": len({r[3] for r in got_rows}),
+        "docs_screened": len(doc_ids),
+        "fold_exact": got == expected,
+        "status_mix": by_status,
+        "grown_hits": grown_hits,
+        "total_s": round(total_s, 2),
+        "msg_per_s": round(per_q * k / total_s),
+    }
+    assert got == expected, (
+        f"semantic loop diverged from the sequential batch fold: "
+        f"missing={list(expected - got)[:3]} extra={list(got - expected)[:3]}"
+    )
+    assert len(set(doc_ids)) == len(doc_ids), (
+        "a doc was screened twice (replay marks failed)"
+    )
+    assert len(set(doc_ids)) == per_q * k, "lost docs"
+    assert grown_hits > 0, (
+        "no semantic_dup ever matched a grown-index entry — the loop "
+        "never actually grew"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
 def kill_restart_soak(n: int, k: int) -> None:
     queues = [f"q{i}" for i in range(1, k + 1)]
     per_q = n // k
@@ -1649,6 +1975,16 @@ def main() -> None:
             int(sys.argv[i + 4]),
         )
         return
+    if "--phase-semgrow" in sys.argv:
+        i = sys.argv.index("--phase-semgrow")
+        semgrow_drain_phase(
+            sys.argv[i + 1],
+            int(sys.argv[i + 2]),
+            int(sys.argv[i + 3]),
+            int(sys.argv[i + 4]),
+            int(sys.argv[i + 5]),
+        )
+        return
     if "--phase-incgrow" in sys.argv:
         i = sys.argv.index("--phase-incgrow")
         incgrow_drain_phase(
@@ -1676,6 +2012,8 @@ def main() -> None:
         funnel_kill_restart_soak(n, k, skew)
     elif "--incdedup-grow" in sys.argv:
         incgrow_kill_restart_soak(n, k)
+    elif "--semdedup-grow" in sys.argv:
+        semgrow_kill_restart_soak(n, k)
     elif "--incdedup" in sys.argv:
         incdedup_kill_restart_soak(n, k)
     elif "--kill-restart" in sys.argv:

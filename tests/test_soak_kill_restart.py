@@ -44,6 +44,7 @@ _SCENARIOS: dict[str, list[str]] = {
     "funnel_skew": ["6400", "2", "--funnel", "--skew", "100"],
     "incdedup": ["1600", "2", "--incdedup"],
     "incdedup_grow": ["800", "2", "--incdedup-grow"],
+    "semdedup_grow": ["400", "2", "--semdedup-grow"],
 }
 
 
@@ -193,3 +194,21 @@ def test_incremental_dedup_growing_corpus_matches_sequential_fold(soak):
     assert out["docs_screened"] == 800
     assert out["epochs_at_kill"] >= 3
     assert out["grown_exact_hits"] > 0
+
+
+@soak_tier
+def test_semantic_dedup_growing_corpus_matches_sequential_fold(soak):
+    """The SEMANTIC growing-corpus loop (round 11): the embedding twin
+    of the incdedup_grow scenario — each epoch's unique vectors join
+    the persisted LSH vector index, later batches semantically dedup
+    against everything kept before them, and the replay marks give
+    exactly-once delivery into the screen. The script asserts every
+    committed epoch's statuses equal the sequential fold of
+    incremental_semantic_dedup growing a reference index, one row per
+    doc globally, and that some semantic_dups matched GROWN entries
+    through the SIGKILL."""
+    out = _out(soak, "semdedup_grow")
+    assert out["fold_exact"] is True
+    assert out["docs_screened"] == 400
+    assert out["epochs_at_kill"] >= 3
+    assert out["grown_hits"] > 0
