@@ -61,13 +61,17 @@ def _load() -> None:
 # declared "no re-pin entries follow").  Refresh this comment at round
 # close so it states the rotation actually in force.
 #
-# Round-11 rotation (standing rule from VERDICT r8 Next #3: keep every
-# gate row <= 1 round old — the 24 queries whose newest driver row is
-# r09 lead; in-round lockstep additions stack ABOVE them in the same
-# commit as the change):
-#   0. this round's semantics changes / new registrations (lockstep
-#      rule above);
-#   1. the 24 queries whose newest driver row is r09.
+# Round-11 rotation at ROUND CLOSE (standing rule from VERDICT r8
+# Next #3: keep every gate row <= 1 round old): set 0 holds this
+# round's 11 NEW registrations — embedding_neardup_lsh (VERDICT r10
+# Next #1) plus the session's ten additions (curation_pipeline,
+# sq8_code_assign, ann_sq8_cosine, embedding_centroids,
+# duplicate_spans, pq_code_assign, ann_pq_cosine, ann_ivf_pq_cosine,
+# ann_ivf_pq_residual, semantic_dedup) — each pinned in the SAME
+# commit as its registration per the lockstep rule; set 1 is the 24
+# queries whose newest driver row was r09 at round open. 11 + 24 = 35
+# head entries, inside the ~50-row snapshot window; no registered
+# query's plan or oracle changed after its rotation entry was placed.
 _PRIORITY: tuple[str, ...] = (
     # 0. lockstep: pq_code_assign / ann_pq_cosine — NEW registrations
     #    this round (product-quantization codebooks + ADC search; the
