@@ -462,3 +462,120 @@ def test_sq8_encode_matches_reference(spark, vec_lists):
         for r in sq8_encode(df).collect()
     }
     assert got == _reference_sq8(vecs)
+
+
+def _reference_incremental_semantic(
+    index_vecs: dict[int, list[float]],
+    batch_vecs: dict[int, list[float]],
+    threshold: float,
+    n_planes: int,
+    n_tables: int,
+):
+    """Scalar replay of incremental_semantic_dedup: md5-seeded
+    hyperplane buckets per table, candidate = shares a bucket in ANY
+    table AND (indexed, any id, OR batch-mate with smaller id),
+    qualify on the rounded exact cosine; match = smallest qualifying
+    id; NULL vectors are unique and never candidates."""
+    import hashlib
+
+    def quant(v):
+        return _quant_np(v)
+
+    def buckets(qv):
+        out = []
+        for t in range(n_tables):
+            b = 0
+            for p in range(n_planes):
+                proj = 0.0
+                for d in range(len(qv)):
+                    h = int(
+                        hashlib.md5(
+                            f"{t * n_planes + p}:{d}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    proj += qv[d] * ((h & 1) * 2 - 1)
+                if proj >= 0:
+                    b |= 1 << p
+            out.append(b + (t << n_planes))
+        return set(out)
+
+    cand = {}
+    for i, v in index_vecs.items():
+        if v is not None:
+            cand[i] = (quant(v), buckets(quant(v)), True)
+    for i, v in batch_vecs.items():
+        if v is not None:
+            cand[i] = (quant(v), buckets(quant(v)), False)
+    out = {}
+    for b, bv in batch_vecs.items():
+        if bv is None:
+            out[b] = ("unique", None)
+            continue
+        qb, bb, _ = cand[b]
+        match = None
+        for a, (qa, ba, is_idx) in cand.items():
+            if a == b or not (is_idx or a < b):
+                continue
+            if not (ba & bb):
+                continue
+            denom = float(np.sqrt((qa**2).sum()) * np.sqrt((qb**2).sum()))
+            if denom == 0.0:
+                continue
+            if _round6_half_up(float(qa @ qb) / denom) >= threshold:
+                match = a if match is None else min(match, a)
+        out[b] = (
+            ("semantic_dup", match) if match is not None else ("unique", None)
+        )
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    index_lists=st.lists(
+        st.lists(_component, min_size=3, max_size=3), min_size=0, max_size=6
+    ),
+    batch_lists=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(_component, min_size=3, max_size=3),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_incremental_semantic_dedup_matches_reference(
+    spark, index_lists, batch_lists
+):
+    """Randomized differential for the semantic ingestion screen's
+    batch operator: indexed candidates qualify at ANY id while
+    batch-mates need a smaller id; multi-table bucket collisions
+    collapse; zero vectors never qualify; NULL batch vectors come back
+    unique. Index ids deliberately OVERLAP upward of batch ids so the
+    is_index rule (not id order) is what the test pins."""
+    from solace_apache_beam_spark.llm.similarity import (
+        build_vector_index,
+        incremental_semantic_dedup,
+    )
+
+    # index ids 100.. (ABOVE batch ids 0..): an indexed vector must
+    # still match any batch vector
+    index_vecs = {100 + i: v for i, v in enumerate(index_lists)}
+    batch_vecs = dict(enumerate(batch_lists))
+    idx_df = spark.createDataFrame(
+        [(i, v) for i, v in index_vecs.items()] or [],
+        "vec_id long, embedding array<double>",
+    )
+    idx = build_vector_index(idx_df, n_planes=3, n_tables=2)
+    bdf = spark.createDataFrame(
+        [(i, v) for i, v in batch_vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = incremental_semantic_dedup(
+        bdf, idx, threshold=0.4, n_planes=3, n_tables=2
+    )
+    got = {r.vec_id: (r.status, r.match_id) for r in out.collect()}
+    out.plan_caches.unpersist()
+    assert got == _reference_incremental_semantic(
+        index_vecs, batch_vecs, 0.4, 3, 2
+    )
