@@ -4,6 +4,7 @@
     python -m solace_apache_beam_spark QUERY [--sf-dir DIR] [--out PATH]
         [--cpus N] [--show N]
     python -m solace_apache_beam_spark --demo-stream [--cpus N]
+    python -m solace_apache_beam_spark --demo-semantic [--cpus N]
 
 Writes parquet when --out is given, otherwise prints the first --show
 rows. The same registry the driver/bench use backs the CLI, so every
@@ -11,7 +12,12 @@ operator in COVERAGE.md is runnable from a shell. --demo-stream runs
 the streaming surface end-to-end without any external broker: a
 file-backed fake broker is populated, the "solace" DataSource reads
 it, and the windowed wordcount plus the replay-exact sessionizer
-(dedupe_by high-water marks, DELIVERY.md) print their results."""
+(dedupe_by high-water marks, DELIVERY.md) print their results.
+--demo-semantic runs the growing-corpus SEMANTIC dedup loop: vectors
+stream from the fake broker in three microbatch epochs, each screened
+against the persisted LSH vector index, and unique survivors join the
+index — the copy in the last epoch matches the EARLIER INCOMING
+vector, not the base corpus, proving the index grew."""
 
 from __future__ import annotations
 
@@ -91,6 +97,94 @@ def _demo_stream(cpus: int) -> int:
     return 0
 
 
+def _demo_semantic(cpus: int) -> int:
+    import tempfile
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.similarity import build_vector_index
+    from solace_apache_beam_spark.session import get_spark
+    from solace_apache_beam_spark.sources import fake_broker
+    from solace_apache_beam_spark.streaming.ingestion import (
+        make_semantic_ingestion_screen,
+    )
+    from solace_apache_beam_spark.streaming.pipelines import open_stream
+
+    def vec(slot: int, scale: float = 1.0) -> list:
+        v = [0.0] * 16
+        v[slot % 16] = scale
+        return v
+
+    work = tempfile.mkdtemp(prefix="solace_demo_sem_")
+    broker = f"{work}/broker"
+    fake_broker.create_queue(broker, "vectors")
+    # 3 epochs (max 3 records/batch): epoch 0 = base dup + two fresh;
+    # epoch 1 = copy of epoch-0's unique 101 + fresh; epoch 2 = SCALED
+    # copy of epoch-1's unique 103 (cosine match, not equality)
+    msgs = [
+        (100, vec(2)),         # dup of base slot 2
+        (101, vec(8)),         # unique
+        (102, vec(9)),         # unique
+        (103, vec(10)),        # unique
+        (101_0, vec(8)),       # copy of INCOMING 101 -> grown hit
+        (104, vec(9, 0.5)),    # scaled copy of INCOMING 102
+    ]
+    fake_broker.publish(
+        broker,
+        "vectors",
+        [f"{i}|" + ",".join(str(x) for x in v) for i, v in msgs],
+    )
+
+    spark = get_spark("demo-semantic", cpus=cpus)
+    base = build_vector_index(
+        spark.createDataFrame(
+            [Row(doc_id=c, embedding=vec(c)) for c in range(8)]
+        ),
+        "embedding",
+        "doc_id",
+        n_planes=4,
+        n_tables=2,
+    )
+    screen = make_semantic_ingestion_screen(
+        spark,
+        base,
+        f"{work}/status",
+        f"{work}/grown",
+        f"{work}/book",
+        doc_col="doc_id",
+        vec_col="embedding",
+        threshold=0.4,
+        n_planes=4,
+        n_tables=2,
+    )
+    body = F.split("payload", "\\|", 2).getItem(1)
+    stream = open_stream(
+        spark, broker, ["vectors"], max_records_per_batch=3
+    ).select(
+        "destination",
+        "message_id",
+        F.split("payload", "\\|", 2).getItem(0).cast("long").alias("doc_id"),
+        F.transform(F.split(body, ","), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    q = (
+        stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", f"{work}/cp")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    print("== semantic ingestion statuses (grown-index matches have ==")
+    print("== match_id >= 100: the loop dedups against ITS OWN keeps) ==")
+    spark.read.parquet(f"{work}/status").orderBy("doc_id").show(
+        20, truncate=False
+    )
+    print(f"broker + index + checkpoints under {work} (safe to delete)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="solace_apache_beam_spark", description=__doc__
@@ -106,10 +200,17 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="run the broker->source->stateful streaming demo and exit",
     )
+    parser.add_argument(
+        "--demo-semantic",
+        action="store_true",
+        help="run the growing-corpus semantic dedup loop demo and exit",
+    )
     args = parser.parse_args(argv)
 
     if args.demo_stream:
         return _demo_stream(args.cpus)
+    if args.demo_semantic:
+        return _demo_semantic(args.cpus)
 
     from solace_apache_beam_spark.registry import all_queries
 
