@@ -402,3 +402,19 @@ def test_pq_train_aggregation_is_partial_with_bounded_shuffle(spark, sf_dir):
     assert simple.count("Exchange") == 1
     # the partial HashAggregate sits below the exchange in the tree
     assert simple.index("Exchange") < simple.rindex("HashAggregate")
+
+
+def test_curation_pipeline_no_forced_broadcast_no_nested_loop(spark, sf_dir, queries):
+    """The capstone composition joins four screens over two scans —
+    none may force a broadcast at analysis time (every side scales with
+    the corpus except the split literals) and no stage may degrade to a
+    broadcast nested loop; the span-stats and semantic-dup joins stay
+    equi-key."""
+    df = queries["curation_pipeline"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # the only hinted join is the span-stats merge (explicitly
+    # sort-merge, i.e. the anti-broadcast direction)
+    assert "BROADCAST" not in analyzed.upper().replace("MERGE", "")
+    plan = _plan(spark, df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    df.plan_caches.unpersist()
