@@ -14,10 +14,10 @@ file-backed fake broker is populated, the "solace" DataSource reads
 it, and the windowed wordcount plus the replay-exact sessionizer
 (dedupe_by high-water marks, DELIVERY.md) print their results.
 --demo-semantic runs the growing-corpus SEMANTIC dedup loop: vectors
-stream from the fake broker in three microbatch epochs, each screened
+stream from the fake broker in two microbatch epochs, each screened
 against the persisted LSH vector index, and unique survivors join the
-index — the copy in the last epoch matches the EARLIER INCOMING
-vector, not the base corpus, proving the index grew."""
+index — the exact and scaled copies in the last epoch match EARLIER
+INCOMING vectors, not the base corpus, proving the index grew."""
 
 from __future__ import annotations
 
@@ -119,16 +119,17 @@ def _demo_semantic(cpus: int) -> int:
     work = tempfile.mkdtemp(prefix="solace_demo_sem_")
     broker = f"{work}/broker"
     fake_broker.create_queue(broker, "vectors")
-    # 3 epochs (max 3 records/batch): epoch 0 = base dup + two fresh;
-    # epoch 1 = copy of epoch-0's unique 101 + fresh; epoch 2 = SCALED
-    # copy of epoch-1's unique 103 (cosine match, not equality)
+    # 6 messages at max 3 records/batch = 2 epochs: epoch 0 = one base
+    # dup + two fresh; epoch 1 = one fresh, an EXACT copy of epoch-0's
+    # 101, and a SCALED copy of epoch-0's 102 (cosine match, not
+    # equality) — both resolve against the GROWN index
     msgs = [
         (100, vec(2)),         # dup of base slot 2
         (101, vec(8)),         # unique
         (102, vec(9)),         # unique
         (103, vec(10)),        # unique
-        (101_0, vec(8)),       # copy of INCOMING 101 -> grown hit
-        (104, vec(9, 0.5)),    # scaled copy of INCOMING 102
+        (101_0, vec(8)),       # exact copy of INCOMING 101 -> grown hit
+        (104, vec(9, 0.5)),    # scaled copy of INCOMING 102 -> grown hit
     ]
     fake_broker.publish(
         broker,

@@ -1107,9 +1107,14 @@ def semantic_dedup(
     arXiv:2303.09540): k-means-cluster the embedding space with the
     engine-exact quantized Lloyd loop, then within each cluster mark a
     vector as a semantic duplicate iff some LOWER-ID cluster member has
-    rounded cosine >= ``threshold`` with it (greedy keep-first — the
-    kept representative of every duplicate is deterministic, and
-    ``dup_of`` reports the smallest qualifying keeper id).
+    rounded cosine >= ``threshold`` with it (greedy keep-first — which
+    vectors are marked duplicates is deterministic, and ``dup_of``
+    reports the smallest lower-id same-cell member at or above the
+    threshold).  NOTE: the rule is non-transitive, so ``dup_of`` may
+    itself be a duplicate (chain A-B-C with cos(A,B) and cos(B,C) over
+    the threshold but cos(A,C) under it marks both B and C, with C's
+    ``dup_of`` = B) — consumers wanting a KEPT representative must
+    follow ``dup_of`` links to a non-dup root, not read it directly.
 
     Output: ``(id, cell, is_dup boolean, dup_of nullable)`` — one row
     per vector with a non-NULL embedding.
@@ -1136,13 +1141,14 @@ def semantic_dedup(
     """
     from pyspark.storagelevel import StorageLevel
 
-    if n_cells is None:
-        n_cells = _derive_n_buckets(
-            df.filter(F.col(vec_col).isNotNull()).count(), target_bucket
-        )
+    # persist the quantized frame FIRST and derive n_cells from it
+    # (same order as ivf_pq_topk) — deriving from the raw df would pay
+    # one extra full corpus scan before the persisted frame exists
     qdf = _quantized_vectors(df, vec_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if n_cells is None:
+        n_cells = _derive_n_buckets(qdf.count(), target_bucket)
     if qdf.isEmpty():
         qdf.unpersist()
         return attach_plan_caches(
@@ -1344,16 +1350,33 @@ def pq_encode(
     map-side — codebooks ride the task closure (m * k * subdim ints).
     Ties in the L2 argmin break to the smallest code id, and every
     distance is exact integer arithmetic, so a DuckDB oracle replays
-    training + encoding bit-for-bit."""
+    training + encoding bit-for-bit.
+
+    The result carries ``plan_caches`` (the shared quantized frame on
+    the ``books=None`` path — release after materializing)."""
+    from pyspark.storagelevel import StorageLevel
+
+    out_schema = f"{id_col} long, codes array<long>, recon array<double>"
+    caches: tuple = ()
+    qdf = _quantized_vectors(df, vec_col, id_col)
     if books is None:
+        # ONE persisted quantized frame serves the emptiness probe,
+        # codebook training, and the encode pass (the default path
+        # previously built the frame three independent times — three
+        # full corpus scans for one encode)
+        qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
+        caches = (qdf,)
         # empty corpus (or all-NULL vectors): nothing to train on —
         # return the empty encoding rather than letting the seeding
         # collect raise (same posture as kmeans_assign)
-        if _quantized_vectors(df, vec_col, id_col).isEmpty():
-            return df.sparkSession.createDataFrame(
-                [], f"{id_col} long, codes array<long>, recon array<double>"
+        if qdf.isEmpty():
+            qdf.unpersist()
+            return attach_plan_caches(
+                df.sparkSession.createDataFrame([], out_schema), ()
             )
-        books = pq_codebooks(df, vec_col, id_col, m, k_codes, n_iters)
+        books = pq_codebooks(
+            df, vec_col, id_col, m, k_codes, n_iters, _qdf=qdf
+        )
     b_books = [(cids.copy(), cmat.copy()) for cids, cmat in books]
 
     def encode(batches):
@@ -1378,9 +1401,7 @@ def pq_encode(
                 }
             )
 
-    return _quantized_vectors(df, vec_col, id_col).mapInPandas(
-        encode, f"{id_col} long, codes array<long>, recon array<double>"
-    )
+    return attach_plan_caches(qdf.mapInPandas(encode, out_schema), caches)
 
 
 def pq_topk(
@@ -1416,7 +1437,12 @@ def pq_topk(
     )
     if query_df is None:
         query_df = df
-    return brute_force_topk(corpus, query_df, vec_col, id_col, k, block_size)
+    out = brute_force_topk(corpus, query_df, vec_col, id_col, k, block_size)
+    # propagate pq_encode's shared quantized-frame cache into the
+    # returned handle so the caller's single unpersist releases it
+    # (brute_force_topk itself persists nothing — its packed blocks are
+    # consumed once by the single score join)
+    return attach_plan_caches(out, enc.plan_caches._frames)
 
 
 def _bucketed_asym_topk(
@@ -1876,8 +1902,6 @@ def _bucketed_asym_threshold_pairs(
     pairs are excluded. Sub-blocked packing and capped emissions as in
     every pair kernel; multi-table candidate collisions collapse via
     distinct on the integer-exact rounded cosine."""
-    from pyspark.storagelevel import StorageLevel
-
     w = Window.partitionBy("bucket").orderBy(F.col(id_col))
 
     def pack_a(pdf: pd.DataFrame) -> pd.DataFrame:

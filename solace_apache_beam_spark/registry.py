@@ -61,84 +61,76 @@ def _load() -> None:
 # declared "no re-pin entries follow").  Refresh this comment at round
 # close so it states the rotation actually in force.
 #
-# Round-11 rotation at ROUND CLOSE (standing rule from VERDICT r8
-# Next #3: keep every gate row <= 1 round old): set 0 holds this
-# round's 11 NEW registrations — embedding_neardup_lsh (VERDICT r10
-# Next #1) plus the session's ten additions (curation_pipeline,
-# sq8_code_assign, ann_sq8_cosine, embedding_centroids,
-# duplicate_spans, pq_code_assign, ann_pq_cosine, ann_ivf_pq_cosine,
-# ann_ivf_pq_residual, semantic_dedup) — each pinned in the SAME
-# commit as its registration per the lockstep rule; set 1 is the 24
-# queries whose newest driver row was r09 at round open. 11 + 24 = 35
-# head entries, inside the ~50-row snapshot window; no registered
-# query's plan or oracle changed after its rotation entry was placed.
+# REGISTRY-GROWTH POLICY (structural, VERDICT r11 Next #1): the driver's
+# correctness snapshot records at most ~50 queries per round, so with 85
+# registered queries a PERFECT two-round rotation (50 newest + 35
+# one-round-old) is the only schedule that keeps every gate row <= 1
+# round old.  There is ZERO slack for net growth: registering query #86
+# makes a full refresh cycle three rounds, which violates the freshness
+# rule by construction.  Therefore, from round 12 on, NET REGISTRY
+# GROWTH IS FROZEN: a new query may be registered only if an existing
+# query is retired or consolidated into it in the SAME commit (e.g. a
+# superseded exact baseline folding into its routed successor).  If a
+# future round genuinely needs net-new gates, the driver snapshot window
+# must be raised first — do not register past 85 against a ~50-row
+# window.  Retired queries keep their kernels and pytest coverage; only
+# the driver-gate registration is consolidated.
+#
+# Round-12 rotation at ROUND OPEN (standing rule from VERDICT r8
+# Next #3: keep every gate row <= 1 round old): the head is exactly the
+# 35 queries whose newest driver row is r10 — the audit's stale set —
+# in alphabetical order (35 <= ~50-row window, leaving ~15 rows of
+# slack for lockstep re-pins this round).  Lockstep re-pins, if any,
+# are appended as a set-0 block ABOVE this list as plans/oracles change.
 _PRIORITY: tuple[str, ...] = (
-    # 0. lockstep: pq_code_assign / ann_pq_cosine — NEW registrations
-    #    this round (product-quantization codebooks + ADC search; the
-    #    oracles replay per-subspace L2 Lloyd training, encoding, and
-    #    the ranked reconstruction search).
+    # 0. lockstep re-pins (round-12 changes to plans/oracles).
+    #    pq_code_assign / ann_pq_cosine: pq_encode(books=None) now
+    #    builds ONE persisted quantized frame instead of three
+    #    independent _quantized_vectors passes (ADVICE r11 #4);
+    #    outputs bit-identical, scan count reduced.
     "pq_code_assign",
     "ann_pq_cosine",
-    # 0. lockstep: ann_ivf_pq_cosine — NEW registration this round
-    #    (IVF-PQ: coarse cells route each query to one inverted list
-    #    of PQ reconstructions; oracle replays both training loops).
-    "ann_ivf_pq_cosine",
-    # 0. lockstep: ann_ivf_pq_residual — NEW registration this round
-    #    (by_residual=true: PQ trains on x - coarse_centroid; oracle
-    #    replays the residual pipeline end-to-end).
-    "ann_ivf_pq_residual",
-    # 0. lockstep: curation_pipeline — NEW registration this round
-    #    (capstone composition: quality + exact + span + semantic
-    #    screens -> split manifest; oracle chains the components).
-    "curation_pipeline",
-    # 0. lockstep: sq8_code_assign / ann_sq8_cosine — NEW registrations
-    #    this round (scalar int8 codec + search over the integer-grid
-    #    reconstructions; oracles replay stats, coding, and search).
-    "sq8_code_assign",
-    "ann_sq8_cosine",
-    # 0. lockstep: embedding_centroids — NEW registration this round
-    #    (per-label mean embedding via exact quantized integer sums).
-    "embedding_centroids",
-    # 0. lockstep: duplicate_spans — NEW registration this round
-    #    (Lee-et-al-2021 exact-substring duplication at word-n-gram
-    #    granularity, per-doc span counts + smallest matching doc).
-    "duplicate_spans",
-    # 0. lockstep: semantic_dedup — NEW registration this round
-    #    (SemDeDup cluster-then-prune over the embedding space; the
-    #    oracle replays Lloyd training + assignment + in-cell pruning).
+    # 0. lockstep: semantic_dedup — n_cells=None now derives the count
+    #    from the persisted quantized frame instead of an extra raw
+    #    corpus scan (ADVICE r11 #3); outputs bit-identical.
     "semantic_dedup",
-    # 0. lockstep: embedding_neardup_lsh — NEW registration this round
-    #    (VERDICT r10 Next #1: the LSH neardup route's own gate; the
-    #    oracle replays the seeded hyperplane bucketing + in-bucket
-    #    quantized cosine, so the above-horizon scale path gets a
-    #    driver value-hash row).
-    "embedding_neardup_lsh",
-    # 1. newest driver row: round 9 — refresh (alphabetical; all 24
-    #    fit the ~50-row snapshot window together with set 0).
-    "bm25_components",
-    "decontamination_report",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_rescue",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_coverage",
-    "incremental_dedup",
-    "ivf_kmeans_assign",
-    "minhash_band_hashes",
-    "multimodal_features",
-    "multimodal_metadata",
-    "multimodal_resize",
-    "range_join_error_clicks",
-    "source_quality_gate",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality",
-    "text_repetition",
-    "text_token_counts",
-    "training_data_pipeline",
-    "training_shuffle_manifest",
-    "vocab_top_words",
+    # 1. newest driver row: round 10 — refresh (alphabetical; the
+    #    audit's stale set at round-12 open).
+    "analytic_user_running",
+    "ann_ivf_cosine",
+    "ann_lsh_cosine",
+    "asof_click_view",
+    "chunk_documents",
+    "corpus_stats",
+    "cube_order_stats",
+    "customers_without_orders",
+    "data_quality_events",
+    "dedup_clusters",
+    "dedup_rate_report",
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_auto",
+    "embedding_neardup",
+    "embedding_neardup_auto",
+    "expectation_report_lineitem",
+    "funnel_view_click_purchase",
+    "hypertable_rollup_events",
+    "kmv_distinct_parts",
+    "knn_brute_cosine",
+    "multimodal_frame_sample",
+    "orders_above_customer_avg",
+    "percentiles_event_value",
+    "pivot_linestatus",
+    "protobuf_roundtrip",
+    "salted_revenue_by_segment",
+    "sample_documents_10pct",
+    "sequence_packing",
+    "split_train_val_test",
+    "stratified_sample_lineitem",
+    "suppliers_with_large_parts",
+    "text_normalize",
+    "text_pii_redact",
+    "tpch_q3_shipping_priority",
+    "training_shard_stats",
 )
 
 
