@@ -60,6 +60,14 @@ from pyspark.sql.types import (
 )
 
 
+def _payload_nbytes(payload: pd.Series) -> int:
+    """UTF-8 byte length summed over non-null payloads. dropna-then-sum
+    rather than fillna(0): fillna on the object-dtype result of
+    .str.encode triggers pandas' object-downcasting FutureWarning and
+    becomes a behavior change on pandas 3."""
+    return int(payload.dropna().str.encode("utf-8").str.len().sum())
+
+
 def _hwm_filter(
     pdf: pd.DataFrame,
     queue_col: str,
@@ -163,9 +171,7 @@ def running_counts(
             count, nbytes = state.get if state.exists else (0, 0)
             for pdf in pdfs:
                 count += len(pdf)
-                nbytes += int(
-                    pdf["payload"].str.encode("utf-8").str.len().fillna(0).sum()
-                )
+                nbytes += _payload_nbytes(pdf["payload"])
             state.update((count, nbytes))
         else:
             count, nbytes, hwm0 = state.get if state.exists else (0, 0, -1)
@@ -190,9 +196,7 @@ def running_counts(
                 if len(fresh) == 0:
                     continue
                 count += len(fresh)
-                nbytes += int(
-                    fresh["payload"].str.encode("utf-8").str.len().fillna(0).sum()
-                )
+                nbytes += _payload_nbytes(fresh["payload"])
                 hwm = max(hwm, int(fresh[dedupe_by].max()))
             state.update((count, nbytes, hwm))
         yield pd.DataFrame(

@@ -47,7 +47,11 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-from solace_apache_beam_spark.streaming.stateful import _COUNTS_OUT, _hwm_filter
+from solace_apache_beam_spark.streaming.stateful import (
+    _COUNTS_OUT,
+    _hwm_filter,
+    _payload_nbytes,
+)
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -73,9 +77,7 @@ class RunningCountsProcessor(StatefulProcessor):
         if self._dedupe_by is None:
             for pdf in rows:
                 count += len(pdf)
-                nbytes += int(
-                    pdf["payload"].str.encode("utf-8").str.len().fillna(0).sum()
-                )
+                nbytes += _payload_nbytes(pdf["payload"])
         else:
             queue_col, id_col = self._dedupe_by
             # pre-batch marks: chunks of one batch arrive in no
@@ -91,9 +93,7 @@ class RunningCountsProcessor(StatefulProcessor):
                 if len(fresh) == 0:
                     continue
                 count += len(fresh)
-                nbytes += int(
-                    fresh["payload"].str.encode("utf-8").str.len().fillna(0).sum()
-                )
+                nbytes += _payload_nbytes(fresh["payload"])
             for q, mark in hwm_new.items():
                 if hwm0.get(q) != mark:
                     self._hwm.updateValue((q,), (mark,))

@@ -644,6 +644,9 @@ def test_write_training_shards_observation_fallback(spark, tmp_path, monkeypatch
         F.col("id").alias("payload"),
     )
     out = str(tmp_path / "shards_fb")
-    stats = write_training_shards(df, out, "doc_id", n_shards=2)
+    # the dropped-null-id UserWarning is part of the contract — assert
+    # it rather than letting it print (suite keeps a clean warning log)
+    with pytest.warns(UserWarning, match="dropped 5 NULL-doc_id"):
+        stats = write_training_shards(df, out, "doc_id", n_shards=2)
     assert stats == {"rows_written": 35, "rows_dropped_null_id": 5}
     assert spark.read.parquet(out).count() == 35
