@@ -21,19 +21,18 @@ transformWithState requires the RocksDB state store provider
 ``...state.RocksDBStateStoreProvider``) — set it on the session before
 starting the query; the HDFS-backed default provider rejects v2 state.
 
-ENVIRONMENT GATE — verification status, stated exactly: the v2 Python
-runner talks to the JVM state server over protobuf, so the ENGINE path
-(``transformWithStateInPandas`` + RocksDB) needs ``google.protobuf`` —
-absent in this container (the same absence operators/protobuf_ops.py
-works around with its own wire codec; installs are out of scope) — and
-its end-to-end tests skip with that reason (test_stateful_v2). The
-processor's OWN code, however, EXECUTES in this container:
-test_stateful_v2_local drives init/handleInputRows against a faithful
-fake of the handle API (same tuple-shaped ValueState/MapState
-signatures) with randomized replay + mid-sequence restart
-differentials, and the replay algebra is additionally verified through
-the SHARED ``_hwm_filter`` kernel and the v1 operators' end-to-end
-replay suite.
+Verification status, stated exactly: the v2 Python runner talks to the
+JVM state server over protobuf. This container does not ship the
+protobuf wheel, so the repo carries a pure-python wire-format shim
+(``vendor/pbshim`` — activated by tests/conftest.py when the real
+package is absent), and the ENGINE path
+(``transformWithStateInPandas`` + RocksDB state store + the state
+server socket protocol) EXECUTES end-to-end in test_stateful_v2: batch
+accumulation across microbatches AND the ack-lag replay dedupe with a
+checkpoint restart. The processor's own code is additionally covered
+in-process (test_stateful_v2_local: randomized replay + mid-sequence
+restart against tuple-faithful handle fakes), and the replay algebra
+is shared with v1 via ``_hwm_filter``.
 """
 
 from __future__ import annotations

@@ -8,6 +8,15 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from solace_apache_beam_spark.session import get_spark  # noqa: E402
+from solace_apache_beam_spark.vendor.pbshim import (  # noqa: E402
+    enable_protobuf_shim,
+)
+
+# Activate the pure-python protobuf shim BEFORE any SparkSession exists:
+# transformWithState's python workers import google.protobuf, and worker
+# processes only see the shim if $PYTHONPATH carries it when the JVM
+# (which spawns them) starts. No-op when the real wheel is installed.
+enable_protobuf_shim()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 

@@ -6,11 +6,11 @@ Requires the RocksDB state store provider; each test sets it on the
 shared session and restores the previous value, so the rest of the
 suite keeps the default provider.
 
-Availability-gated like the descriptor-driven protobuf path: the v2
-Python runner needs google.protobuf (its state-server protocol), which
-this container does not ship — the tests skip with that reason, and the
-replay algebra stays verified via the shared _hwm_filter kernel and the
-v1 end-to-end replay suite."""
+The v2 Python runner needs google.protobuf (its state-server protocol).
+conftest.py activates the repo's pure-python wire shim (vendor/pbshim)
+when the real wheel is absent — so these tests RUN in this container;
+the skip below only fires if neither the real runtime nor the shim can
+import (an environment the repo doesn't claim)."""
 
 from __future__ import annotations
 
@@ -18,7 +18,7 @@ from contextlib import contextmanager
 
 import pytest
 
-try:  # the v2 runner's wire protocol
+try:  # real wheel or the conftest-activated vendor/pbshim
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
 
     _HAVE_PROTOBUF = True
@@ -27,8 +27,8 @@ except ImportError:
 
 pytestmark = pytest.mark.skipif(
     not _HAVE_PROTOBUF,
-    reason="transformWithState runner needs google.protobuf (absent here; "
-    "installs out of scope — see streaming/stateful_v2.py)",
+    reason="transformWithState runner needs google.protobuf and neither "
+    "the real runtime nor vendor/pbshim could import",
 )
 
 from solace_apache_beam_spark.sources import fake_broker
