@@ -1506,6 +1506,155 @@ def incgrow_kill_restart_soak(n: int, k: int) -> None:
 
 
 
+def incgrow_throughput_soak(n: int, k: int, batch_per_q: int) -> None:
+    """Production-batch THROUGHPUT point for the growing-corpus
+    ingestion loop (VERDICT r11 Next #3): the kill-restart soaks prove
+    fold-exactness but ran at fixed-per-epoch-overhead dominance
+    (~617 msg/s at 50k docs in 10k-doc epochs); this mode runs the SAME
+    screen — replay marks, epoch-consistent index union, all three
+    epoch-partitioned sinks — in-process with production-sized epochs
+    (``batch_per_q`` per queue, so epoch size = k * batch_per_q) and
+    reports the per-epoch wall times plus a final-index read probe, so
+    the msg/s number isolates the index-join-bound regime the 100 TB
+    story rests on. No kill (exactness is the other soaks' job), no
+    fold reference (it would double the runtime without adding a
+    contract this mode is about).
+
+    Output JSON: epoch times (the growth trend IS the signal — a
+    superlinear rise would mean the index join degrades as the corpus
+    grows), msg/s overall and for the steady tail (epochs after the
+    first, which pays codegen/worker-pool warmup), final grown-index
+    row counts, and the time to scan+count the final index union (the
+    fixed per-epoch read the screen pays on top of the join).
+    """
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.session import get_spark
+    from solace_apache_beam_spark.streaming.ingestion import (
+        make_corpus_ingestion_screen,
+    )
+    from solace_apache_beam_spark.streaming.pipelines import open_stream
+
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    per_q = n // k
+    work = tempfile.mkdtemp(prefix="soak_growtp_")
+    broker_dir = os.path.join(work, "broker")
+    lag = max(5, (2 * batch_per_q) // 4 * 4 + 1)
+    _publish_incgrow(broker_dir, queues, per_q, lag)
+
+    spark = get_spark("soak_incgrow_throughput")
+    base = _ensure_inc_index(work, spark)
+    grow_dir = os.path.join(work, "grown")
+    screen = make_corpus_ingestion_screen(
+        spark,
+        base,
+        os.path.join(work, "sink"),
+        grow_dir,
+        os.path.join(work, "book"),
+        **_INC_PARAMS,
+    )
+
+    epoch_times: list[tuple[int, float, int]] = []
+
+    def timed_screen(batch_df, epoch_id: int) -> None:
+        rows = batch_df.count()
+        t0 = time.monotonic()
+        screen(batch_df, epoch_id)
+        epoch_times.append((int(epoch_id), round(time.monotonic() - t0, 2), rows))
+
+    stream = (
+        open_stream(
+            spark, broker_dir, queues, max_records_per_batch=batch_per_q
+        )
+        .filter(~F.col("payload").startswith("__flush__"))
+        .select(
+            "destination",
+            "message_id",
+            F.split("payload", "\\|", 2).getItem(0).cast("long").alias("doc_id"),
+            F.split("payload", "\\|", 2).getItem(1).alias("text"),
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(timed_screen)
+        .option("checkpointLocation", os.path.join(work, "cp"))
+        .start()
+    )
+
+    def _undelivered() -> int:
+        return sum(
+            fake_broker.message_count(broker_dir, qq)
+            - fake_broker.delivered_watermark(broker_dir, qq)
+            for qq in queues
+        )
+
+    t0 = time.monotonic()
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    tag = uuid.uuid4().hex[:8]
+    for qq in queues:
+        fake_broker.publish(broker_dir, qq, [f"__flush__ {qq} {tag}"])
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    elapsed = time.monotonic() - t0
+    q.stop()
+
+    # final-index probe: the fixed read+union every LATER epoch would
+    # pay — scan cost of the grown partitions at end-of-run size
+    index_rows = {}
+    t_read0 = time.monotonic()
+    for name in ("hashes", "shingles", "bands"):
+        try:
+            index_rows[name] = (
+                spark.read.parquet(f"{grow_dir}/{name}").count()
+            )
+        except Exception:  # noqa: BLE001 — empty dir on tiny runs
+            index_rows[name] = 0
+    index_read_s = round(time.monotonic() - t_read0, 2)
+
+    import duckdb
+
+    by_status = dict(
+        duckdb.connect()
+        .execute(
+            f"""SELECT status, count(*)
+                FROM read_parquet('{work}/sink/*/*.parquet',
+                                  hive_partitioning=1)
+                GROUP BY status"""
+        )
+        .fetchall()
+    )
+    data_epochs = [e for e in epoch_times if e[2] > 0]
+    tail = data_epochs[1:] or data_epochs
+    tail_msgs = sum(r for _, _, r in tail)
+    tail_s = sum(t for _, t, _ in tail)
+    out = {
+        "mode": "incdedup_grow_throughput",
+        "messages": per_q * k,
+        "queues": k,
+        "batch_per_q": batch_per_q,
+        "epoch_size": batch_per_q * k,
+        "epochs": len(data_epochs),
+        "epoch_times_s": [(e, t) for e, t, _ in epoch_times],
+        "status_mix": by_status,
+        "grown_index_rows": index_rows,
+        "final_index_read_s": index_read_s,
+        "total_s": round(elapsed, 2),
+        "msg_per_s": round(per_q * k / elapsed),
+        "steady_msg_per_s": round(tail_msgs / tail_s) if tail_s else None,
+    }
+    assert sum(by_status.values()) == per_q * k, (
+        f"screened {sum(by_status.values())} != published {per_q * k}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
 # --- growing-corpus SEMANTIC dedup soak (the embedding twin of the
 # incgrow scenario): same kill-restart anatomy, same fold contract —
 # committed statuses must equal a sequential fold of
@@ -2001,9 +2150,17 @@ def main() -> None:
         i = argv.index("--skew")
         skew = int(argv[i + 1])
         del argv[i : i + 2]
+    batch_per_q = 25_000
+    if "--batch" in argv:
+        i = argv.index("--batch")
+        batch_per_q = int(argv[i + 1])
+        del argv[i : i + 2]
     args = [a for a in argv if not a.startswith("--")]
     n = int(args[0]) if args else 100_000
     k = int(args[1]) if len(args) > 1 else 4
+    if "--incdedup-throughput" in sys.argv:
+        incgrow_throughput_soak(n, k, batch_per_q)
+        return
     if "--stateful" in sys.argv:
         stateful_kill_restart_soak(n, k)
     elif "--sessionize" in sys.argv:

@@ -201,12 +201,7 @@ def brute_force_topk(
             "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim")
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _rank_topk(scored, k)
 
 
 def _plane_coeffs(n_planes: int, dim: int, offset: int = 0) -> np.ndarray:
@@ -273,6 +268,58 @@ def _derive_n_buckets(n_rows: int, target_bucket: int) -> int:
     return max(1, math.ceil(n_rows / max(1, target_bucket)))
 
 
+def _packed_bucket_blocks(
+    frame: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    block_size: int,
+    with_flags: bool = False,
+) -> DataFrame:
+    """Pack each bucket's members into dense ~block_size sub-blocks —
+    the shared preamble of every bucketed pair/top-k kernel. The
+    row_number window sort is Spark's external spill-safe sort (not a
+    pandas frame), so a degenerate bucket of M vectors becomes
+    M/block_size one-row packed blocks instead of one task holding an
+    M x d matrix. Output columns: ``(bucket, blk, ids, [idx,] mat)``;
+    ``with_flags=True`` additionally packs the frame's ``is_index``
+    boolean column (the asymmetric threshold kernel's candidate
+    marker)."""
+    w = Window.partitionBy(bucket_col).orderBy(F.col(id_col))
+    blocked = frame.withColumn(
+        "_blk",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(block_size)).cast("long"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "bucket": [int(pdf[bucket_col].iloc[0])],
+            "blk": [int(pdf["_blk"].iloc[0])],
+            "ids": [pdf[id_col].to_numpy(dtype=np.int64).tolist()],
+        }
+        if with_flags:
+            out["idx"] = [pdf["is_index"].to_numpy(dtype=np.bool_).tolist()]
+        out["mat"] = [_unpack(pdf["q"]).tolist()]
+        return pd.DataFrame(out)
+
+    schema = (
+        "bucket long, blk long, ids array<long>, "
+        + ("idx array<boolean>, " if with_flags else "")
+        + "mat array<array<double>>"
+    )
+    return blocked.groupBy(bucket_col, "_blk").applyInPandas(pack, schema)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact final ranking shared by the top-k kernels: per-query
+    row_number over (cos_sim desc, neighbor_id asc), keep rank <= k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _bucketed_all_pairs_topk(
     b: DataFrame,
     bucket_col: str,
@@ -285,8 +332,7 @@ def _bucketed_all_pairs_topk(
     merged to per-query top-k.
 
     Members of a bucket are packed into dense ~block_size sub-blocks
-    (row_number within bucket — the per-bucket sort is Spark's external
-    spill-safe sort, not a pandas frame), then every sub-block pair of
+    (:func:`_packed_bucket_blocks`), then every sub-block pair of
     the same bucket is scored with one matmul. A skewed bucket of M
     vectors costs (M/block_size)^2 small tasks instead of one task
     holding an M x d matrix and an M x M cosine matrix — per-task memory
@@ -297,29 +343,14 @@ def _bucketed_all_pairs_topk(
     Output is identical to a whole-bucket matmul: the same pairs are
     scored with the same integer-exact arithmetic and the same top-k
     window applies."""
-    w = Window.partitionBy(bucket_col).orderBy(F.col(id_col))
-    blocked = b.withColumn(
-        "_blk", ((F.row_number().over(w) - F.lit(1)) / F.lit(block_size)).cast("long")
-    )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf[bucket_col].iloc[0])],
-                "blk": [int(pdf["_blk"].iloc[0])],
-                "ids": [pdf[id_col].to_numpy(dtype=np.int64).tolist()],
-                "mat": [_unpack(pdf["q"]).tolist()],
-            }
-        )
-
     # both sides of the block-pair self-join read this — persist, or
     # the whole bucketize+window+pack pipeline (Python kernels
     # included) executes twice
     from pyspark.storagelevel import StorageLevel
 
-    packed = blocked.groupBy(bucket_col, "_blk").applyInPandas(
-        pack, "bucket long, blk long, ids array<long>, mat array<array<double>>"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    packed = _packed_bucket_blocks(b, bucket_col, id_col, block_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = packed.select(
         F.col("bucket").alias("abucket"),
         F.col("blk").alias("ablk"),
@@ -389,15 +420,7 @@ def _bucketed_all_pairs_topk(
         # several tables; its cosine is identical everywhere, so a
         # distinct collapses the copies before ranking
         scored = scored.distinct()
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return attach_plan_caches(
-        scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
-        ),
-        (packed,),
-    )
+    return attach_plan_caches(_rank_topk(scored, k), (packed,))
 
 
 # n_tables -> recall@5 measured against brute-force truth at 200k
@@ -801,31 +824,12 @@ def _bucketed_threshold_pairs(
     id-ordered bucket, so for ablk < bblk every a-id precedes every
     b-id and the canonical ``id_a < id_b`` orientation is free; the
     diagonal block masks it explicitly."""
-    w = Window.partitionBy(bucket_col).orderBy(F.col(id_col))
-    blocked = b.withColumn(
-        "_blk", ((F.row_number().over(w) - F.lit(1)) / F.lit(block_size)).cast("long")
-    )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf[bucket_col].iloc[0])],
-                "blk": [int(pdf["_blk"].iloc[0])],
-                "ids": [pdf[id_col].to_numpy(dtype=np.int64).tolist()],
-                "mat": [_unpack(pdf["q"]).tolist()],
-            }
-        )
-
     from pyspark.storagelevel import StorageLevel
 
     # both sides of the block-pair self-join read this (see
     # _bucketed_all_pairs_topk for the persist rationale)
-    packed = (
-        blocked.groupBy(bucket_col, "_blk")
-        .applyInPandas(
-            pack, "bucket long, blk long, ids array<long>, mat array<array<double>>"
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    packed = _packed_bucket_blocks(b, bucket_col, id_col, block_size).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     a = packed.select(
         F.col("bucket").alias("abucket"),
@@ -1464,36 +1468,12 @@ def _bucketed_asym_topk(
     window ranks exactly (cos_sim desc, neighbor id asc). Self-pairs
     (same id on both sides) and non-finite scores are excluded —
     mirroring :func:`brute_force_topk`."""
-    w = Window.partitionBy(bucket_col).orderBy(F.col(id_col))
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf[bucket_col].iloc[0])],
-                "blk": [int(pdf["_blk"].iloc[0])],
-                "ids": [pdf[id_col].to_numpy(dtype=np.int64).tolist()],
-                "mat": [_unpack(pdf["q"]).tolist()],
-            }
-        )
-
-    def packed(frame: DataFrame) -> DataFrame:
-        blocked = frame.withColumn(
-            "_blk",
-            ((F.row_number().over(w) - F.lit(1)) / F.lit(block_size)).cast(
-                "long"
-            ),
-        )
-        return blocked.groupBy(bucket_col, "_blk").applyInPandas(
-            pack,
-            "bucket long, blk long, ids array<long>, mat array<array<double>>",
-        )
-
-    qp = packed(qb).select(
+    qp = _packed_bucket_blocks(qb, bucket_col, id_col, block_size).select(
         F.col("bucket").alias("qbucket"),
         F.col("ids").alias("qids"),
         F.col("mat").alias("qmat"),
     )
-    cp = packed(cb).select(
+    cp = _packed_bucket_blocks(cb, bucket_col, id_col, block_size).select(
         F.col("bucket").alias("cbucket"),
         F.col("ids").alias("cids"),
         F.col("mat").alias("cmat"),
@@ -1525,12 +1505,7 @@ def _bucketed_asym_topk(
         .mapInPandas(score, "query_id long, neighbor_id long, cos_raw double")
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= k
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_pq_topk(
@@ -1902,64 +1877,18 @@ def _bucketed_asym_threshold_pairs(
     pairs are excluded. Sub-blocked packing and capped emissions as in
     every pair kernel; multi-table candidate collisions collapse via
     distinct on the integer-exact rounded cosine."""
-    w = Window.partitionBy("bucket").orderBy(F.col(id_col))
-
-    def pack_a(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf["bucket"].iloc[0])],
-                "blk": [int(pdf["_blk"].iloc[0])],
-                "ids": [pdf[id_col].to_numpy(dtype=np.int64).tolist()],
-                "idx": [pdf["is_index"].to_numpy(dtype=np.bool_).tolist()],
-                "mat": [_unpack(pdf["q"]).tolist()],
-            }
-        )
-
-    def pack_b(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf["bucket"].iloc[0])],
-                "blk": [int(pdf["_blk"].iloc[0])],
-                "ids": [pdf[id_col].to_numpy(dtype=np.int64).tolist()],
-                "mat": [_unpack(pdf["q"]).tolist()],
-            }
-        )
-
-    def blocked(frame: DataFrame) -> DataFrame:
-        return frame.withColumn(
-            "_blk",
-            ((F.row_number().over(w) - F.lit(1)) / F.lit(block_size)).cast(
-                "long"
-            ),
-        )
-
-    ap = (
-        blocked(ab)
-        .groupBy("bucket", "_blk")
-        .applyInPandas(
-            pack_a,
-            "bucket long, blk long, ids array<long>, "
-            "idx array<boolean>, mat array<array<double>>",
-        )
-        .select(
-            F.col("bucket").alias("abucket"),
-            F.col("ids").alias("aids"),
-            F.col("idx").alias("aidx"),
-            F.col("mat").alias("amat"),
-        )
+    ap = _packed_bucket_blocks(
+        ab, "bucket", id_col, block_size, with_flags=True
+    ).select(
+        F.col("bucket").alias("abucket"),
+        F.col("ids").alias("aids"),
+        F.col("idx").alias("aidx"),
+        F.col("mat").alias("amat"),
     )
-    bp = (
-        blocked(bb)
-        .groupBy("bucket", "_blk")
-        .applyInPandas(
-            pack_b,
-            "bucket long, blk long, ids array<long>, mat array<array<double>>",
-        )
-        .select(
-            F.col("bucket").alias("bbucket"),
-            F.col("ids").alias("bids"),
-            F.col("mat").alias("bmat"),
-        )
+    bp = _packed_bucket_blocks(bb, "bucket", id_col, block_size).select(
+        F.col("bucket").alias("bbucket"),
+        F.col("ids").alias("bids"),
+        F.col("mat").alias("bmat"),
     )
 
     def score(batches):

@@ -19,7 +19,15 @@ import os
 
 FULL = os.environ.get("SPARK_GRAFT_FUZZ_FULL") == "1"
 
+# Fractional lever on top of the tier switch (VERDICT r11 Next #6):
+# SPARK_GRAFT_FUZZ_SCALE multiplies whichever tier's count is active
+# (floor 1). Default 1.0 — coverage counts are IDENTICAL unless the
+# caller explicitly dials; preflight never sets it, so the snapshot
+# gate always pays the full counts.
+_SCALE = float(os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
+
 
 def n_examples(full: int, quick: int) -> int:
-    """`full` iterations under SPARK_GRAFT_FUZZ_FULL=1, else `quick`."""
-    return full if FULL else quick
+    """`full` iterations under SPARK_GRAFT_FUZZ_FULL=1, else `quick`,
+    both scaled by SPARK_GRAFT_FUZZ_SCALE (floor 1)."""
+    return max(1, round((full if FULL else quick) * _SCALE))

@@ -20,6 +20,21 @@ enable_protobuf_shim()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Suite-runtime knobs (all default to the measured-safe values; coverage
+# counts are identical unless explicitly dialed):
+#   SPARK_GRAFT_FUZZ_FULL=1    full hypothesis iteration counts + the
+#                              full oracle-parity sweep (preflight sets)
+#   SPARK_GRAFT_SOAK=1         run the 2-JVM kill-restart soak tier
+#   SPARK_GRAFT_SOAK_POOL=N    soak scenario concurrency (default 4;
+#                              9 runs every scenario in one wave on an
+#                              idle 32-core VM with SOAK_CPUS=4)
+#   SPARK_GRAFT_SOAK_CPUS=N    local[N] per soak JVM (default 8)
+#   SPARK_GRAFT_FUZZ_SCALE=F   fractional multiplier on hypothesis
+#                              example counts (floor 1; preflight never
+#                              sets it — the snapshot gate pays full)
+#   SPARK_GRAFT_TEST_CPUS=N    shared-session width (default 4 — see
+#                              fixture note)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -35,6 +35,17 @@ soak_tier = pytest.mark.skipif(
     reason="soak tier: set SPARK_GRAFT_SOAK=1 (preflight/round-close do)",
 )
 
+# Suite-runtime levers (VERDICT r11 Next #6) — wall-clock here is
+# (number of waves) x (slowest scenario), so the pool width is the
+# dominant knob. Defaults keep the measured-safe 4 x 8-thread layout
+# (= machine width); an idle 32-core VM takes SPARK_GRAFT_SOAK_POOL=9
+# SPARK_GRAFT_SOAK_CPUS=4 to run every scenario in ONE wave (each
+# scenario is its own work dir + process group; the kill trigger polls
+# committed epochs, not wall time, so contention cannot change what
+# the contracts observe — only how long they take).
+_POOL_WIDTH = int(os.environ.get("SPARK_GRAFT_SOAK_POOL", "4"))
+_SOAK_CPUS = os.environ.get("SPARK_GRAFT_SOAK_CPUS", "8")
+
 _SCENARIOS: dict[str, list[str]] = {
     "conservation": ["4000", "2", "--kill-restart"],
     "stateful": ["4000", "2", "--stateful"],
@@ -55,8 +66,8 @@ def _run_scenario(args: list[str]):
         text=True,
         timeout=540,
         # pytest-scale soaks don't need the 32-thread pool the at-scale
-        # PLANS.md runs use; 4 scenarios x 8 threads = machine width
-        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+        # PLANS.md runs use; pool x threads ~= machine width (knob above)
+        env={**os.environ, "SPARK_GRAFT_CPUS": _SOAK_CPUS},
     )
     lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
     return r.returncode, json.loads(lines[-1]) if lines else None, r.stderr
@@ -64,10 +75,10 @@ def _run_scenario(args: list[str]):
 
 @pytest.fixture(scope="module")
 def soak():
-    """All scenarios, 4 concurrent (each is its own work dir + process
-    group; the kill trigger polls committed epochs, not wall time, so
-    contention cannot change what the contract observes)."""
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    """All scenarios, _POOL_WIDTH concurrent (each is its own work dir
+    + process group; the kill trigger polls committed epochs, not wall
+    time, so contention cannot change what the contract observes)."""
+    with ThreadPoolExecutor(max_workers=_POOL_WIDTH) as pool:
         futs = {
             name: pool.submit(_run_scenario, args)
             for name, args in _SCENARIOS.items()
