@@ -2092,6 +2092,149 @@ def kill_restart_soak(n: int, k: int) -> None:
     print(json.dumps(out))
 
 
+def semgrow_throughput_soak(n: int, k: int, batch_per_q: int) -> None:
+    """Production-batch throughput point for the SEMANTIC ingestion
+    loop — the embedding twin of :func:`incgrow_throughput_soak` (same
+    posture: exactness is the kill-restart soak's contract, this mode
+    measures the index-join-bound regime with production-sized epochs
+    and reports per-epoch wall times + a final-index read probe)."""
+    import uuid
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.similarity import build_vector_index
+    from solace_apache_beam_spark.session import get_spark
+    from solace_apache_beam_spark.streaming.ingestion import (
+        make_semantic_ingestion_screen,
+    )
+    from solace_apache_beam_spark.streaming.pipelines import open_stream
+
+    queues = [f"q{i}" for i in range(1, k + 1)]
+    per_q = n // k
+    work = tempfile.mkdtemp(prefix="soak_semtp_")
+    broker_dir = os.path.join(work, "broker")
+    lag = max(5, (2 * batch_per_q) // 4 * 4 + 1)
+    _publish_semgrow(broker_dir, queues, per_q, lag)
+
+    spark = get_spark("soak_semgrow_throughput")
+    base = build_vector_index(
+        spark.createDataFrame(
+            [Row(doc_id=c, embedding=_sem_base_vec(c)) for c in range(_SEM_CORPUS)]
+        ),
+        "embedding",
+        "doc_id",
+        n_planes=_SEM_PARAMS["n_planes"],
+        n_tables=_SEM_PARAMS["n_tables"],
+    )
+    grow_dir = os.path.join(work, "grown")
+    screen = make_semantic_ingestion_screen(
+        spark,
+        base,
+        os.path.join(work, "sink"),
+        grow_dir,
+        os.path.join(work, "book"),
+        doc_col="doc_id",
+        vec_col="embedding",
+        **_SEM_PARAMS,
+    )
+
+    epoch_times: list[tuple[int, float, int]] = []
+
+    def timed_screen(batch_df, epoch_id: int) -> None:
+        rows = batch_df.count()
+        t0 = time.monotonic()
+        screen(batch_df, epoch_id)
+        epoch_times.append((int(epoch_id), round(time.monotonic() - t0, 2), rows))
+
+    payload_body = F.split("payload", "\\|", 2).getItem(1)
+    stream = (
+        open_stream(
+            spark, broker_dir, queues, max_records_per_batch=batch_per_q
+        )
+        .filter(~F.col("payload").startswith("__flush__"))
+        .select(
+            "destination",
+            "message_id",
+            F.split("payload", "\\|", 2).getItem(0).cast("long").alias("doc_id"),
+            F.transform(
+                F.split(payload_body, ","), lambda x: x.cast("double")
+            ).alias("embedding"),
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(timed_screen)
+        .option("checkpointLocation", os.path.join(work, "cp"))
+        .start()
+    )
+
+    def _undelivered() -> int:
+        return sum(
+            fake_broker.message_count(broker_dir, qq)
+            - fake_broker.delivered_watermark(broker_dir, qq)
+            for qq in queues
+        )
+
+    t0 = time.monotonic()
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    tag = uuid.uuid4().hex[:8]
+    for qq in queues:
+        fake_broker.publish(broker_dir, qq, [f"__flush__ {qq} {tag}"])
+    q.processAllAvailable()
+    while _undelivered() > 0:
+        time.sleep(0.1)
+        q.processAllAvailable()
+    elapsed = time.monotonic() - t0
+    q.stop()
+
+    t_read0 = time.monotonic()
+    try:
+        index_rows = spark.read.parquet(grow_dir).count()
+    except Exception:  # noqa: BLE001 — no uniques on degenerate runs
+        index_rows = 0
+    index_read_s = round(time.monotonic() - t_read0, 2)
+
+    import duckdb
+
+    by_status = dict(
+        duckdb.connect()
+        .execute(
+            f"""SELECT status, count(*)
+                FROM read_parquet('{work}/sink/*/*.parquet',
+                                  hive_partitioning=1)
+                GROUP BY status"""
+        )
+        .fetchall()
+    )
+    data_epochs = [e for e in epoch_times if e[2] > 0]
+    tail = data_epochs[1:] or data_epochs
+    tail_msgs = sum(r for _, _, r in tail)
+    tail_s = sum(t for _, t, _ in tail)
+    out = {
+        "mode": "semdedup_grow_throughput",
+        "messages": per_q * k,
+        "queues": k,
+        "batch_per_q": batch_per_q,
+        "epoch_size": batch_per_q * k,
+        "epochs": len(data_epochs),
+        "epoch_times_s": [(e, t) for e, t, _ in epoch_times],
+        "status_mix": by_status,
+        "grown_index_rows": index_rows,
+        "final_index_read_s": index_read_s,
+        "total_s": round(elapsed, 2),
+        "msg_per_s": round(per_q * k / elapsed),
+        "steady_msg_per_s": round(tail_msgs / tail_s) if tail_s else None,
+    }
+    assert sum(by_status.values()) == per_q * k, (
+        f"screened {sum(by_status.values())} != published {per_q * k}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def main() -> None:
     if "--phase" in sys.argv:
         i = sys.argv.index("--phase")
@@ -2160,6 +2303,9 @@ def main() -> None:
     k = int(args[1]) if len(args) > 1 else 4
     if "--incdedup-throughput" in sys.argv:
         incgrow_throughput_soak(n, k, batch_per_q)
+        return
+    if "--semdedup-throughput" in sys.argv:
+        semgrow_throughput_soak(n, k, batch_per_q)
         return
     if "--stateful" in sys.argv:
         stateful_kill_restart_soak(n, k)

@@ -149,3 +149,102 @@ def test_utf8_string_roundtrip():
     back = sm.StateCallCommand()
     back.ParseFromString(cmd.SerializeToString())
     assert back.stateName == "smörgåsbord \U0001f600"
+
+
+# --- randomized round-trip: any StateRequest the api client could
+# construct must survive serialize -> parse bit-exactly (the JVM is a
+# canonical-protobuf peer, so serialize(parse(serialize(m))) ==
+# serialize(m) is the interop property we can check without the wheel)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from tests._fuzz import n_examples  # noqa: E402
+
+_names = st.text(
+    st.characters(min_codepoint=32, max_codepoint=0x10FFFF,
+                  blacklist_categories=("Cs",)),
+    max_size=40,
+)
+_blobs = st.binary(max_size=64)
+_longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+def _req_strategy():
+    state_call = st.builds(
+        lambda name, schema, ttl: _mk_state_call(name, schema, ttl),
+        _names,
+        _names,
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+    )
+    return st.one_of(
+        st.builds(
+            lambda c: sm.StateRequest(
+                statefulProcessorCall=sm.StatefulProcessorCall(getValueState=c)
+            ),
+            state_call,
+        ),
+        st.builds(
+            lambda c: sm.StateRequest(
+                statefulProcessorCall=sm.StatefulProcessorCall(getMapState=c)
+            ),
+            state_call,
+        ),
+        st.builds(
+            lambda key: sm.StateRequest(
+                implicitGroupingKeyRequest=sm.ImplicitGroupingKeyRequest(
+                    setImplicitKey=sm.SetImplicitKey(key=key)
+                )
+            ),
+            _blobs,
+        ),
+        st.builds(
+            lambda ms: sm.StateRequest(
+                statefulProcessorCall=sm.StatefulProcessorCall(
+                    timerStateCall=sm.TimerStateCallCommand(
+                        register=sm.RegisterTimer(expiryTimestampMs=ms)
+                    )
+                )
+            ),
+            _longs,
+        ),
+    )
+
+
+def _mk_state_call(name, schema, ttl):
+    c = sm.StateCallCommand()
+    c.stateName = name
+    c.schema = schema
+    if ttl is not None:
+        c.ttl.durationMs = ttl
+    return c
+
+
+@settings(max_examples=n_examples(200, 25), deadline=None)
+@given(_req_strategy())
+def test_request_roundtrip_is_fixed_point(req):
+    raw = req.SerializeToString()
+    back = sm.StateRequest()
+    back.ParseFromString(raw)
+    assert back.SerializeToString() == raw
+    assert back.WhichOneof("method") == req.WhichOneof("method")
+
+
+@settings(max_examples=n_examples(200, 25), deadline=None)
+@given(
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    _names,
+    st.lists(_blobs, max_size=8),
+    st.booleans(),
+)
+def test_list_response_roundtrip(status, err, values, more):
+    r = sm.StateResponseWithListGet(
+        statusCode=status, errorMessage=err, value=values,
+        requireNextFetch=more,
+    )
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(r.SerializeToString())
+    assert back.statusCode == status
+    assert back.errorMessage == err
+    assert list(back.value) == values
+    assert back.requireNextFetch == more
