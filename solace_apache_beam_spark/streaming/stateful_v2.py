@@ -5,7 +5,12 @@ arbitrary-stateful-processing v2) — the forward-looking twin of
 ``running_counts_tws`` reproduces ``running_counts``'s exact contract
 — including the ``dedupe_by`` replay high-water marks the at-least-once
 source requires (S4/S6: acks trail commits, redelivery after an unclean
-restart) — on the v2 primitives:
+restart) — on the v2 primitives; ``sessionize_tws`` is the emit-on-close
+sessionizer on v2 EVENT-TIME TIMERS (registerTimer/handleExpiredTimer
+instead of the v1 EventTimeTimeout — persistent timers, so the state
+tuple carries the registered expiry and updates delete the superseded
+timer), differential-tested to emit identical closed-session sets to
+the v1 operator from the same broker log:
 
 - totals live in a typed ``ValueState`` instead of a positional tuple;
 - the per-queue replay marks live in a NATIVE ``MapState`` column
@@ -103,6 +108,193 @@ class RunningCountsProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+_SESS_STATE = "start_us long, end_us long, n long, timer_ms long"
+
+
+def _emit_sessions(sessions: list) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "key": pd.Series([s[3] for s in sessions], dtype=object),
+            "session_start": pd.Series(
+                [pd.Timestamp(s[0], unit="us") for s in sessions],
+                dtype="datetime64[ns]",
+            ),
+            "session_end": pd.Series(
+                [pd.Timestamp(s[1], unit="us") for s in sessions],
+                dtype="datetime64[ns]",
+            ),
+            "n_events": pd.Series([s[2] for s in sessions], dtype="int64"),
+        }
+    )
+
+
+class SessionizeProcessor(StatefulProcessor):
+    """Event-time sessionization on v2 primitives — the
+    transformWithState twin of ``sessionize`` (same contract: emit a
+    key's session exactly once, when the watermark proves it closed;
+    in-batch gap splitting; optional per-queue replay marks with a
+    retention tombstone). The structural difference from v1: v2 timers
+    PERSIST until fired or deleted (EventTimeTimeout re-arms on every
+    invocation), so the state tuple carries the registered expiry and
+    each update deletes the superseded timer; a stale fire (an expiry
+    the delete raced) is ignored by comparing against the stored
+    expiry."""
+
+    def __init__(
+        self,
+        gap_seconds: int,
+        ts_col: str,
+        dedupe_by: tuple[str, str] | None,
+        retention_seconds: int,
+    ) -> None:
+        self._gap_us = gap_seconds * 1_000_000
+        self._gap_ms = gap_seconds * 1000
+        self._ts_col = ts_col
+        self._dedupe_by = dedupe_by
+        self._retention_ms = retention_seconds * 1000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("sess", _SESS_STATE)
+        if self._dedupe_by is not None:
+            self._hwm = handle.getMapState("hwm", "queue string", "mark long")
+
+    def _move_timer(self, old_ms: int, new_ms: int) -> None:
+        if old_ms == new_ms:
+            return
+        if old_ms > 0:
+            self._handle.deleteTimer(old_ms)
+        self._handle.registerTimer(new_ms)
+
+    def handleInputRows(
+        self, key: tuple, rows, timerValues
+    ):
+        got = self._sess.get()
+        prev_timer = got[3] if got is not None else 0
+        prev_end_us = got[1] if got is not None else None
+        cur = list(got[:3]) if got is not None and got[2] > 0 else None
+
+        ts_us: list[int] = []
+        if self._dedupe_by is None:
+            for pdf in rows:
+                ts = pd.to_datetime(pdf[self._ts_col]).dropna()
+                ts_us.extend((ts.astype("int64") // 1000).tolist())
+        else:
+            queue_col, id_col = self._dedupe_by
+            hwm0 = {k[0]: v[0] for k, v in self._hwm.iterator()}
+            hwm_new = dict(hwm0)
+            for pdf in rows:
+                fresh = _hwm_filter(
+                    pdf, queue_col, id_col, hwm0, hwm_new, "sessionize_tws"
+                )
+                ts = pd.to_datetime(fresh[self._ts_col]).dropna()
+                ts_us.extend((ts.astype("int64") // 1000).tolist())
+            for q, mark in hwm_new.items():
+                if hwm0.get(q) != mark:
+                    self._hwm.updateValue((q,), (mark,))
+
+        closed: list = []
+        if ts_us:
+            ts_us.sort()
+            for t in ts_us:
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t > cur[1] + self._gap_us:
+                    closed.append((cur[0], cur[1], cur[2], key[0]))
+                    cur = [t, t, 1]
+                else:
+                    cur[0] = min(cur[0], t)
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        if cur is not None:
+            # open session: (re)arm the close timer at end + gap,
+            # clamped above the watermark (a timer at-or-below it could
+            # never fire "later")
+            timer_ms = max(cur[1] // 1000 + self._gap_ms, wm_ms + 1)
+            self._sess.update((cur[0], cur[1], cur[2], timer_ms))
+            self._move_timer(prev_timer, timer_ms)
+        elif self._dedupe_by is not None:
+            # replayed-only (or all-null-ts) batch, no open session:
+            # keep/refresh the hwm tombstone with a retention timer —
+            # the marks must outlive the session by the replay window
+            last_end_ms = (
+                prev_end_us // 1000 if prev_end_us is not None else wm_ms
+            )
+            timer_ms = max(
+                last_end_ms + self._gap_ms + self._retention_ms, wm_ms + 1
+            )
+            self._sess.update(
+                (last_end_ms * 1000, last_end_ms * 1000, 0, timer_ms)
+            )
+            self._move_timer(prev_timer, timer_ms)
+        yield _emit_sessions(closed)
+
+    def handleExpiredTimer(self, key: tuple, timerValues, expiredTimerInfo):
+        got = self._sess.get()
+        if got is None:
+            return
+        start_us, end_us, n, timer_ms = got
+        if expiredTimerInfo.getExpiryTimeInMs() != timer_ms:
+            return  # superseded timer whose delete raced the fire
+        if n == 0:
+            # hwm tombstone retention elapsed: final eviction
+            self._sess.clear()
+            if self._dedupe_by is not None:
+                self._hwm.clear()
+            return
+        if self._dedupe_by is None:
+            self._sess.clear()
+        else:
+            # close but retain the marks as a tombstone (v1 contract)
+            retention_ms = max(
+                end_us // 1000 + self._gap_ms + self._retention_ms,
+                timerValues.getCurrentWatermarkInMs() + 1,
+            )
+            self._sess.update((end_us, end_us, 0, retention_ms))
+            self._handle.registerTimer(retention_ms)
+        yield _emit_sessions([(start_us, end_us, n, key[0])])
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_tws(
+    stream: DataFrame,
+    key_col: str = "destination",
+    ts_col: str = "event_time",
+    gap_seconds: int = 30,
+    watermark: str = "0 seconds",
+    dedupe_by: tuple[str, str] | None = None,
+    dedupe_retention_seconds: int = 300,
+) -> DataFrame:
+    """transformWithState twin of ``sessionize`` — same output schema,
+    same append-mode emit-on-close contract, same replay-exactness via
+    ``dedupe_by``; event-time timers (timeMode='EventTime') instead of
+    the v1 EventTimeTimeout. Requires the RocksDB provider."""
+    from solace_apache_beam_spark.streaming.stateful import _SESSION_OUT
+
+    cols = list(
+        dict.fromkeys(
+            [key_col, ts_col] + (list(dedupe_by) if dedupe_by else [])
+        )
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(*cols)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=SessionizeProcessor(
+                gap_seconds, ts_col, dedupe_by, dedupe_retention_seconds
+            ),
+            outputStructType=_SESSION_OUT,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
 
 
 def running_counts_tws(

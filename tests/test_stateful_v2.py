@@ -148,3 +148,173 @@ def test_tws_running_counts_dedupe_survives_ack_lag_replay(
             assert got[0] > 12, f"expected replay overcount, got {got}"
         else:
             assert got == (12, 26), f"MapState marks diverged: {got}"
+
+
+def test_tws_sessionize_emits_on_watermark_close(spark, broker, tmp_path):
+    """v2 timer path: the session closes when the watermark (advanced
+    by later events on another key) passes last_event + gap and the
+    registered event-time timer fires — the v2 twin of
+    test_sessionize_emits_on_watermark_close, byte-identical bounds."""
+    from solace_apache_beam_spark.streaming.stateful_v2 import sessionize_tws
+
+    base_us = 1_700_000_000_000_000
+    fake_broker.publish(
+        broker,
+        "q1",
+        ["a", "b", "c"],
+        sender_timestamp_us=[base_us, base_us + 1_000_000, base_us + 2_000_000],
+    )
+    with rocksdb_provider(spark):
+        stream = open_stream(spark, broker, ["q1", "q2"])
+        q = (
+            sessionize_tws(stream, gap_seconds=30)
+            .writeStream.format("memory")
+            .queryName("sessions_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cp_tws"))
+            .start()
+        )
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sessions_tws").count() == 0
+        fake_broker.publish(
+            broker, "q2", ["later"], sender_timestamp_us=base_us + 3_600_000_000
+        )
+        q.processAllAvailable()
+        fake_broker.publish(
+            broker, "q2", ["later2"], sender_timestamp_us=base_us + 3_601_000_000
+        )
+        q.processAllAvailable()
+        q.stop()
+    rows = spark.sql(
+        "SELECT key, session_start, session_end, n_events FROM sessions_tws"
+        " WHERE key = 'q1'"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].n_events == 3
+    assert (rows[0].session_end - rows[0].session_start).total_seconds() == 2.0
+
+
+def test_tws_sessionize_differential_vs_v1(spark, broker, tmp_path):
+    """The v1 and v2 sessionizers must emit IDENTICAL closed-session
+    sets from the same broker log — bursts that split in-batch, a
+    cross-batch extension, and a far-future closer event."""
+    from solace_apache_beam_spark.streaming.stateful import sessionize
+    from solace_apache_beam_spark.streaming.stateful_v2 import sessionize_tws
+
+    base_us = 1_700_000_000_000_000
+    hour = 3_600_000_000
+    # each engine gets its OWN broker dir: the source acks on commit,
+    # so a second run over one broker would read an empty queue
+    brokers = {}
+    for eng in ("v1", "v2"):
+        bdir = str(tmp_path / f"broker_{eng}")
+        for queue in ("q1", "q2"):
+            fake_broker.create_queue(bdir, queue)
+            fake_broker.publish(
+                bdir,
+                queue,
+                ["a", "b", "c", "d", "e"],
+                sender_timestamp_us=[
+                    base_us,
+                    base_us + 1_000_000,
+                    base_us + hour,
+                    base_us + hour + 2_000_000,
+                    base_us + 2 * hour,
+                ],
+            )
+        brokers[eng] = bdir
+
+    def run(name, factory, use_rocks, bdir):
+        import contextlib
+
+        ctx = rocksdb_provider(spark) if use_rocks else contextlib.nullcontext()
+        with ctx:
+            stream = open_stream(spark, bdir, ["q1", "q2"])
+            q = (
+                factory(stream, gap_seconds=30)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"cp_{name}"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        return sorted(
+            (r.key, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    v1 = run("diff_v1", sessionize, False, brokers["v1"])
+    v2 = run("diff_v2", sessionize_tws, True, brokers["v2"])
+    assert v1 == v2
+    assert len(v1) == 4  # two closed bursts per queue; the last stays open
+
+
+def test_tws_sessionize_dedupe_survives_ack_lag_replay(spark, broker, tmp_path):
+    """The v1 replay recipe on the v2 timer path: acks rewound to 4,
+    restart from the same checkpoint, watermark delay 120 s so replayed
+    events reach live state — raw mode inflates the closed session to
+    16 events, MapState marks keep it exact at 12 (the same contract as
+    test_sessionize_dedupe_by_survives_ack_lag_replay)."""
+    import os as _os
+    import time
+
+    import duckdb
+
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.stateful_v2 import sessionize_tws
+
+    base_us = 1_700_000_000_000_000
+
+    def run_once(cp, sink, queue, **kw):
+        with rocksdb_provider(spark):
+            stream = open_stream(spark, broker, [queue], max_records_per_batch=4)
+            q = (
+                sessionize_tws(
+                    stream, gap_seconds=30, watermark="120 seconds", **kw
+                )
+                .writeStream.foreachBatch(make_idempotent_appender(sink))
+                .outputMode("append")
+                .option("checkpointLocation", cp)
+                .start()
+            )
+            for _ in range(8):
+                q.processAllAvailable()
+                time.sleep(0.05)
+            q.stop()
+
+    def closed_counts(sink):
+        rows = duckdb.connect().execute(
+            f"""SELECT n_events FROM
+                read_parquet('{sink}/*/*.parquet', hive_partitioning=1)
+                ORDER BY session_start"""
+        ).fetchall()
+        return [r[0] for r in rows]
+
+    for mode, queue, kw in (
+        ("raw", "q1", {}),
+        ("hwm", "q2", {"dedupe_by": ("destination", "message_id")}),
+    ):
+        fake_broker.publish(
+            broker,
+            queue,
+            [f"m{i}" for i in range(12)],
+            sender_timestamp_us=[base_us + i * 1_000_000 for i in range(12)],
+        )
+        cp = str(tmp_path / f"cp_tws_{mode}")
+        sink = str(tmp_path / f"sink_tws_{mode}")
+        run_once(cp, sink, queue, **kw)
+        with open(
+            _os.path.join(fake_broker.queue_dir(broker, queue), "acked"), "w"
+        ) as f:
+            f.write("4")
+        fake_broker.publish(
+            broker, queue, ["z"], sender_timestamp_us=[base_us + 100_000_000]
+        )
+        run_once(cp, sink, queue, **kw)
+        got = closed_counts(sink)
+        if mode == "raw":
+            assert got == [16], f"expected raw replay overcount, got {got}"
+        else:
+            assert got == [12], f"MapState marks diverged: {got}"
