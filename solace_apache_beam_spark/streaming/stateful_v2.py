@@ -46,6 +46,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
@@ -60,6 +61,130 @@ from solace_apache_beam_spark.streaming.stateful import (
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+
+
+class FunnelProcessor(StatefulProcessor):
+    """Monotone stage machine on v2 primitives — the transformWithState
+    twin of ``funnel_progress`` (same event ordering, same null-id
+    frontier sentinel, same per-queue replay marks in a native
+    MapState). No timers: funnel state lives for the key's lifetime."""
+
+    _NULL_ID_FRONTIER = 1 << 62
+
+    def __init__(
+        self,
+        stages: tuple,
+        type_col: str,
+        ts_col: str,
+        id_col: str,
+        dedupe_by: tuple[str, str] | None,
+    ) -> None:
+        self._stages = tuple(stages)
+        self._stage_of = {s: i for i, s in enumerate(stages)}
+        self._type_col = type_col
+        self._ts_col = ts_col
+        self._id_col = id_col
+        self._dedupe_by = dedupe_by
+        self._ev_cols = list(
+            dict.fromkeys(
+                [type_col, ts_col, id_col]
+                + (list(dedupe_by) if dedupe_by else [])
+            )
+        )
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._machine = handle.getValueState(
+            "machine", "stage long, ts_us long, last_id long"
+        )
+        if self._dedupe_by is not None:
+            self._hwm = handle.getMapState("hwm", "queue string", "mark long")
+
+    def handleInputRows(self, key: tuple, rows, timerValues):
+        got = self._machine.get()
+        stage, ts_us, last_id = (
+            got if got is not None else (0, -(1 << 62), -1)
+        )
+        parts = [pdf[self._ev_cols] for pdf in rows]
+        # ignore_index: same duplicate-label hazard as the v1 operator
+        # (chunks arrive with their own RangeIndex — ADVICE r10)
+        ev = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(columns=self._ev_cols)
+        )
+        if self._dedupe_by is not None:
+            hwm0 = {k[0]: v[0] for k, v in self._hwm.iterator()}
+            hwm_new = dict(hwm0)
+            if len(ev):
+                ev = _hwm_filter(
+                    ev,
+                    self._dedupe_by[0],
+                    self._dedupe_by[1],
+                    hwm0,
+                    hwm_new,
+                    "funnel_progress_tws",
+                )
+            for q, mark in hwm_new.items():
+                if hwm0.get(q) != mark:
+                    self._hwm.updateValue((q,), (mark,))
+        if len(ev):
+            ev = ev.sort_values([self._ts_col, self._id_col])
+            for typ, ts, mid in ev[
+                [self._type_col, self._ts_col, self._id_col]
+            ].itertuples(index=False):
+                if (
+                    stage >= len(self._stages)
+                    or self._stage_of.get(typ) != stage
+                ):
+                    continue
+                t_us = pd.Timestamp(ts).value // 1000
+                if pd.isna(mid):
+                    if t_us > ts_us:
+                        stage += 1
+                        ts_us, last_id = t_us, self._NULL_ID_FRONTIER
+                elif (t_us, int(mid)) > (ts_us, last_id):
+                    stage += 1
+                    ts_us, last_id = t_us, int(mid)
+        self._machine.update((stage, ts_us, last_id))
+        yield pd.DataFrame({"key": [key[0]], "stage_reached": [stage]})
+
+    def close(self) -> None:
+        pass
+
+
+def funnel_progress_tws(
+    stream: DataFrame,
+    stages: tuple[str, ...],
+    key_col: str = "user",
+    type_col: str = "stage_name",
+    ts_col: str = "event_time",
+    id_col: str = "message_id",
+    dedupe_by: tuple[str, str] | None = None,
+) -> DataFrame:
+    """transformWithState twin of ``funnel_progress`` — same output
+    schema, same update-mode per-batch emission, same monotone-progress
+    and replay-exactness contracts. Requires the RocksDB provider."""
+    from solace_apache_beam_spark.streaming.stateful import _FUNNEL_OUT
+
+    cols = list(
+        dict.fromkeys(
+            [key_col, type_col, ts_col, id_col]
+            + (list(dedupe_by) if dedupe_by else [])
+        )
+    )
+    return (
+        stream.select(*cols)
+        .filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=FunnelProcessor(
+                stages, type_col, ts_col, id_col, dedupe_by
+            ),
+            outputStructType=_FUNNEL_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
 
 
 class RunningCountsProcessor(StatefulProcessor):

@@ -318,3 +318,158 @@ def test_tws_sessionize_dedupe_survives_ack_lag_replay(spark, broker, tmp_path):
             assert got == [16], f"expected raw replay overcount, got {got}"
         else:
             assert got == [12], f"MapState marks diverged: {got}"
+
+
+def test_tws_funnel_differential_vs_v1(spark, broker, tmp_path):
+    """v1 and v2 funnels must report IDENTICAL final stages per user
+    from the same event log — in-order completion, out-of-order stage
+    skipped, same-ts tie broken by id, cross-batch advance."""
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.streaming.stateful import funnel_progress
+    from solace_apache_beam_spark.streaming.stateful_v2 import (
+        funnel_progress_tws,
+    )
+
+    base_us = 1_700_000_000_000_000
+    events = [
+        ("u1:view", base_us),
+        ("u1:click", base_us + 1_000_000),
+        ("u2:click", base_us + 2_000_000),  # out of order: no advance
+        ("u1:purchase", base_us + 3_000_000),
+        ("u2:view", base_us + 4_000_000),
+        ("u3:view", base_us + 5_000_000),
+        ("u3:click", base_us + 5_000_000),  # same ts, later id -> counts
+    ]
+    brokers = {}
+    for eng in ("v1", "v2"):
+        bdir = str(tmp_path / f"broker_{eng}")
+        fake_broker.create_queue(bdir, "q1")
+        fake_broker.publish(
+            bdir,
+            "q1",
+            [p for p, _ in events],
+            sender_timestamp_us=[t for _, t in events],
+        )
+        brokers[eng] = bdir
+
+    def run(name, factory, use_rocks, bdir):
+        import contextlib
+
+        ctx = rocksdb_provider(spark) if use_rocks else contextlib.nullcontext()
+        with ctx:
+            stream = open_stream(spark, bdir, ["q1"]).select(
+                F.split("payload", ":")[0].alias("user"),
+                F.split("payload", ":")[1].alias("stage_name"),
+                "event_time",
+                "message_id",
+            )
+            q = (
+                factory(stream, ("view", "click", "purchase"), key_col="user")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / f"cp_{name}"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        return {
+            r.key: r.s
+            for r in spark.sql(
+                f"SELECT key, max(stage_reached) s FROM {name} GROUP BY key"
+            ).collect()
+        }
+
+    v1 = run("fdiff_v1", funnel_progress, False, brokers["v1"])
+    v2 = run("fdiff_v2", funnel_progress_tws, True, brokers["v2"])
+    assert v1 == v2 == {"u1": 3, "u2": 1, "u3": 2}
+
+
+def test_tws_funnel_dedupe_survives_ack_lag_replay(spark, broker, tmp_path):
+    """The v1 out-of-order replay corner on the v2 machine (the
+    test_funnel_progress_replay_semantics anatomy): delivery order
+    view@t2 (stage 1), purchase@t9 (skipped — click expected),
+    click@t5 (stage 2, frontier t5). After an ack rewind the replayed
+    suffix re-delivers purchase@t9, now the expected type above the
+    frontier — the raw machine advances to 3 (the documented
+    divergence), while MapState marks drop the replayed event and the
+    machine holds at 2."""
+    import os as _os
+    import time
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
+    from solace_apache_beam_spark.streaming.stateful_v2 import (
+        funnel_progress_tws,
+    )
+
+    base_us = 1_700_000_000_000_000
+
+    def run_once(cp, sink, queue, **kw):
+        with rocksdb_provider(spark):
+            stream = open_stream(
+                spark, broker, [queue], max_records_per_batch=1
+            ).select(
+                "destination",
+                F.split("payload", ":")[0].alias("user"),
+                F.split("payload", ":")[1].alias("stage_name"),
+                "event_time",
+                "message_id",
+            )
+            q = (
+                funnel_progress_tws(
+                    stream,
+                    ("view", "click", "purchase"),
+                    key_col="user",
+                    **kw,
+                )
+                .writeStream.foreachBatch(make_idempotent_appender(sink))
+                .outputMode("update")
+                .option("checkpointLocation", cp)
+                .start()
+            )
+            for _ in range(8):
+                q.processAllAvailable()
+                time.sleep(0.05)
+            q.stop()
+
+    def stages(sink):
+        rows = duckdb.connect().execute(
+            f"""SELECT key, max(stage_reached) FROM
+                read_parquet('{sink}/*/*.parquet', hive_partitioning=1)
+                GROUP BY key"""
+        ).fetchall()
+        return dict(rows)
+
+    for mode, queue, kw in (
+        ("raw", "q1", {}),
+        ("hwm", "q2", {"dedupe_by": ("destination", "message_id")}),
+    ):
+        cp = str(tmp_path / f"cp_ftws_{mode}")
+        sink = str(tmp_path / f"sink_ftws_{mode}")
+        # one event per drain: each lands in its own committed epoch,
+        # so the straggler sits in the replayed suffix after rewind
+        for payload, ts in (
+            ("u2:view", base_us + 2_000_000),
+            ("u2:purchase", base_us + 9_000_000),
+            ("u2:click", base_us + 5_000_000),
+        ):
+            fake_broker.publish(
+                broker, queue, [payload], sender_timestamp_us=[ts]
+            )
+            run_once(cp, sink, queue, **kw)
+        assert stages(sink)["u2"] == 2, f"{mode}: setup expectation"
+        with open(
+            _os.path.join(fake_broker.queue_dir(broker, queue), "acked"), "w"
+        ) as f:
+            f.write("0")
+        run_once(cp, sink, queue, **kw)
+        got = stages(sink)["u2"]
+        if mode == "raw":
+            assert got == 3, f"expected the raw replay divergence, got {got}"
+        else:
+            assert got == 2, f"MapState marks diverged: {got}"
