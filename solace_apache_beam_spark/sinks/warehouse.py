@@ -175,8 +175,8 @@ non-negative, so a replayed microbatch's dynamic partition overwrite
 can never clobber the compacted partition."""
 
 
-def _epoch_dirs(table_path: str) -> dict[str, str]:
-    """name -> full path of the `_epoch_id=N` partition dirs present."""
+def _epoch_dirs(table_path: str, epoch_col: str = "_epoch_id") -> dict[str, str]:
+    """name -> full path of the `<epoch_col>=N` partition dirs present."""
     try:
         names = os.listdir(table_path)
     except FileNotFoundError:
@@ -184,11 +184,11 @@ def _epoch_dirs(table_path: str) -> dict[str, str]:
     return {
         n: os.path.join(table_path, n)
         for n in names
-        if n.startswith("_epoch_id=")
+        if n.startswith(f"{epoch_col}=")
     }
 
 
-def _recover_compaction(table_path: str) -> None:
+def _recover_compaction(table_path: str, epoch_col: str = "_epoch_id") -> None:
     """Roll a crashed compact_epochs forward or back from its on-disk
     breadcrumbs (the `<path>.compact.json` manifest written before the
     swap, and the `<path>.bak` backup). Every crash point is covered:
@@ -222,7 +222,7 @@ def _recover_compaction(table_path: str) -> None:
             os.rename(bak, table_path)  # crash between renames: restore
         elif manifest is not None:
             folded = set(manifest["foldable"])
-            for name, p in sorted(_epoch_dirs(bak).items()):
+            for name, p in sorted(_epoch_dirs(bak, epoch_col).items()):
                 dest = os.path.join(table_path, name)
                 if name not in folded and not os.path.exists(dest):
                     os.rename(p, dest)
@@ -246,6 +246,7 @@ def compact_epochs(
     table_path: str,
     partition_by: list[str] | None = None,
     committed_through: int | None = None,
+    epoch_col: str = "_epoch_id",
 ) -> None:
     """Compaction for make_idempotent_appender tables: fold the
     accumulated `_epoch_id=N` partitions into one equivalent
@@ -286,7 +287,15 @@ def compact_epochs(
     copy of the data on disk AND enough breadcrumbs that the next run
     (or any compact_epochs call) rolls the crashed swap forward or
     back mechanically via ``_recover_compaction``. True atomic swap
-    needs a table format with a metadata pointer (Delta/Iceberg)."""
+    needs a table format with a metadata pointer (Delta/Iceberg).
+
+    ``epoch_col`` names the epoch partition column — "_epoch_id" for
+    make_idempotent_appender tables (default), "epoch" for the
+    ingestion loops' grown-index tables (see
+    ``streaming.ingestion.compact_grown_index``). The COMPACTED_EPOCH
+    sentinel (-1) sorts below every live epoch under either name, so
+    epoch-consistent readers (``epoch < current``) always see the
+    compacted partition."""
     import json
     import shutil
     import tempfile
@@ -296,8 +305,8 @@ def compact_epochs(
 
     # roll any crashed prior compaction forward/back first — a stale
     # .bak would otherwise fail the swap below with ENOTEMPTY
-    _recover_compaction(table_path)
-    snapshot = _epoch_dirs(table_path)
+    _recover_compaction(table_path, epoch_col)
+    snapshot = _epoch_dirs(table_path, epoch_col)
     live = [n for n in snapshot if _epoch_of(n) != COMPACTED_EPOCH]
     if committed_through is not None:
         foldable = {
@@ -320,14 +329,14 @@ def compact_epochs(
     df = (
         spark.read.option("basePath", table_path)
         .parquet(*foldable.values())
-        .withColumn("_epoch_id", F.lit(COMPACTED_EPOCH))
+        .withColumn(epoch_col, F.lit(COMPACTED_EPOCH))
     )
     parent = os.path.dirname(table_path) or "."
     tmp = tempfile.mkdtemp(prefix="compact_", dir=parent)
     writer = (
         df.repartition(max(1, df.rdd.getNumPartitions() // 4))
         .write.mode("overwrite")
-        .partitionBy(*(["_epoch_id"] + (partition_by or [])))
+        .partitionBy(*([epoch_col] + (partition_by or [])))
     )
     writer.parquet(tmp)
     bak = table_path.rstrip("/") + ".bak"
@@ -345,7 +354,7 @@ def compact_epochs(
     # the snapshot AND the withheld still-replayable epochs (whose
     # latest committed content — possibly rewritten mid-compaction —
     # lives in bak). Whole-dir moves, no rewrite.
-    for name, _ in sorted(_epoch_dirs(bak).items()):
+    for name, _ in sorted(_epoch_dirs(bak, epoch_col).items()):
         if name not in foldable:
             os.rename(os.path.join(bak, name), os.path.join(table_path, name))
     shutil.rmtree(bak)

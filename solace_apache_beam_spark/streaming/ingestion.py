@@ -163,6 +163,52 @@ def make_corpus_ingestion_screen(
     return screen
 
 
+def compact_grown_index(
+    spark: SparkSession,
+    grown_dir: str,
+    committed_through: int | None = None,
+    semantic: bool = False,
+) -> None:
+    """Fold the grown index's accumulated ``epoch=N`` partitions into
+    one ``epoch=-1`` partition — the periodic maintenance step the
+    100 TB loop needs (partition count otherwise grows by one per
+    index part per epoch, and small-file listing eventually dominates
+    the per-epoch index read).
+
+    Correctness under the loop's contracts:
+
+    - **Epoch-consistent reads survive**: every screen reads
+      partitions with ``epoch < current`` (:func:`_read_before`); the
+      sentinel -1 is below every live epoch, so the compacted rows
+      stay visible to every future (and re-executed) epoch.
+    - **Replay safety is the caller's epoch bound**: a replayed epoch
+      N re-WRITES partition ``epoch=N`` (dynamic overwrite). Folding
+      an epoch that can still replay would duplicate its rows, exactly
+      the ``compact_epochs`` hazard — pass ``committed_through`` (the
+      stream's last committed batch id from its checkpoint commit log);
+      the single-stream default withholds the newest live epoch.
+
+    ``semantic=True`` compacts the single-table vector index
+    (:func:`make_semantic_ingestion_screen`'s ``grown_dir``); default
+    compacts the three MinHash index parts. A crash mid-swap is rolled
+    forward/back by the next call via the compaction breadcrumbs
+    (``sinks.warehouse._recover_compaction``)."""
+    import os
+
+    from solace_apache_beam_spark.sinks.warehouse import compact_epochs
+
+    parts = ("",) if semantic else _INDEX_PARTS
+    for name in parts:
+        path = os.path.join(grown_dir, name) if name else grown_dir
+        if os.path.exists(path):
+            compact_epochs(
+                spark,
+                path,
+                committed_through=committed_through,
+                epoch_col="epoch",
+            )
+
+
 def make_semantic_ingestion_screen(
     spark: SparkSession,
     base_index: DataFrame,

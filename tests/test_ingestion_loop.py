@@ -143,3 +143,72 @@ def test_near_dup_against_grown_entry(loop):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_compact_grown_index_preserves_growth_and_reexecution(
+    spark, base_index, tmp_path
+):
+    """compact_grown_index folds the per-epoch index partitions into
+    the epoch=-1 sentinel partition WITHOUT changing what any later
+    (or re-executed) epoch sees:
+
+    - growth matches against folded epochs still resolve (the -1
+      sentinel is below every live epoch, so epoch-consistent reads
+      include it);
+    - the partition-dir count actually shrinks (the operational point);
+    - a post-compaction epoch RE-EXECUTION reproduces its statuses
+      bit-for-bit (the replay-idempotence contract survives the fold);
+    - statuses equal an UNCOMPACTED control loop fed the same epochs.
+    """
+    import os
+
+    from solace_apache_beam_spark.streaming.ingestion import (
+        compact_grown_index,
+    )
+
+    def run(tag: str, compact_after: int | None):
+        dirs = {n: str(tmp_path / f"{tag}_{n}") for n in ("status", "grown", "book")}
+        screen = make_corpus_ingestion_screen(
+            spark, base_index, dirs["status"], dirs["grown"], dirs["book"],
+            **_PARAMS,
+        )
+        epochs = [
+            [("q1", 0, 300, _text(960)), ("q1", 1, 301, _text(961))],
+            [("q2", 0, 302, _text(962))],
+            [("q1", 2, 303, _text(960))],   # exact copy of epoch-0's 300
+            [("q2", 1, 304, _text(962))],   # exact copy of epoch-1's 302
+        ]
+        last = None
+        for eid, rows in enumerate(epochs):
+            if compact_after is not None and eid == compact_after:
+                # every epoch < eid is committed (the screen returned),
+                # so the whole history may fold
+                compact_grown_index(
+                    spark, dirs["grown"], committed_through=eid - 1
+                )
+            screen(_batch(spark, rows), eid)
+            last = (eid, rows)
+        return dirs, last
+
+    ctrl_dirs, _ = run("ctrl", None)
+    comp_dirs, last = run("comp", 2)
+
+    ctrl, comp = _statuses(ctrl_dirs["status"]), _statuses(comp_dirs["status"])
+    assert comp == ctrl, "compaction changed what a later epoch saw"
+    assert comp[303] == ("exact_dup", 300, 2), "folded-epoch match lost"
+    assert comp[304] == ("exact_dup", 302, 3)
+
+    # the operational effect: bands partitions collapsed to the
+    # sentinel + the post-compaction epochs
+    bands = comp_dirs["grown"] + "/bands"
+    names = sorted(n for n in os.listdir(bands) if n.startswith("epoch="))
+    assert "epoch=-1" in names
+    assert "epoch=0" not in names and "epoch=1" not in names
+
+    # re-execute the LAST epoch post-compaction: byte-identical sinks
+    screen = make_corpus_ingestion_screen(
+        spark, base_index, comp_dirs["status"], comp_dirs["grown"],
+        comp_dirs["book"], **_PARAMS,
+    )
+    screen(_batch(spark, last[1]), last[0])
+    assert _statuses(comp_dirs["status"]) == ctrl

@@ -201,3 +201,39 @@ def test_semantic_screen_matches_sequential_fold(loop):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_semantic_compact_grown_index_preserves_growth(
+    spark, base_index, tmp_path
+):
+    """compact_grown_index(semantic=True) folds the single-table vector
+    index's epoch partitions into epoch=-1 without changing any later
+    epoch's screen result (the scaled-copy growth match must still
+    resolve against the folded entry), and a post-compaction epoch
+    re-execution stays byte-identical."""
+    from solace_apache_beam_spark.streaming.ingestion import (
+        compact_grown_index,
+    )
+
+    dirs = {n: str(tmp_path / f"sc_{n}") for n in ("status", "grown", "book")}
+    screen = make_semantic_ingestion_screen(
+        spark, base_index, dirs["status"], dirs["grown"], dirs["book"],
+        doc_col="doc_id", vec_col="embedding", **_PARAMS,
+    )
+    screen(_batch(spark, [("q1", 0, 400, _vec(25))]), 0)
+    screen(_batch(spark, [("q1", 1, 401, _vec(26))]), 1)
+    compact_grown_index(
+        spark, dirs["grown"], committed_through=1, semantic=True
+    )
+    names = sorted(
+        n for n in os.listdir(dirs["grown"]) if n.startswith("epoch=")
+    )
+    assert names == ["epoch=-1"], names
+    # scaled copy of the FOLDED epoch-0 unique: cosine match via the
+    # compacted index rows
+    e2 = [("q2", 0, 402, _vec(25, 0.5))]
+    screen(_batch(spark, e2), 2)
+    got = _statuses(dirs["status"])
+    assert got[402] == ("semantic_dup", 400, 2), "folded-epoch match lost"
+    screen(_batch(spark, e2), 2)  # re-execution post-compaction
+    assert _statuses(dirs["status"]) == got
