@@ -76,12 +76,18 @@ def _load() -> None:
 # window.  Retired queries keep their kernels and pytest coverage; only
 # the driver-gate registration is consolidated.
 #
-# Round-12 rotation at ROUND OPEN (standing rule from VERDICT r8
-# Next #3: keep every gate row <= 1 round old): the head is exactly the
-# 35 queries whose newest driver row is r10 — the audit's stale set —
-# in alphabetical order (35 <= ~50-row window, leaving ~15 rows of
-# slack for lockstep re-pins this round).  Lockstep re-pins, if any,
-# are appended as a set-0 block ABOVE this list as plans/oracles change.
+# Round-12 rotation at ROUND CLOSE (standing rule from VERDICT r8
+# Next #3: keep every gate row <= 1 round old): set 1 is exactly the
+# 35 queries whose newest driver row was r10 at round open — the
+# audit's stale set — alphabetical; set 0 is the round's only three
+# lockstep re-pins (the pq_encode single-persisted-frame rewrite and
+# the semantic_dedup n_cells derivation-order fix, each pinned in the
+# same commit as the plan change).  38 head entries <= the ~50-row
+# snapshot window.  No other registered query's plan or oracle changed
+# this round: the similarity-module consolidation extracted shared
+# helpers with operator-identical plans (verified by the full 85-query
+# oracle sweep at sf0.001 AND sf0.01 post-refactor), and zero queries
+# were registered or retired (the growth freeze above holds at 85).
 _PRIORITY: tuple[str, ...] = (
     # 0. lockstep re-pins (round-12 changes to plans/oracles).
     #    pq_code_assign / ann_pq_cosine: pq_encode(books=None) now
