@@ -395,27 +395,49 @@ def _done_state_rows(work: str):
         return None
 
 
-def sessionize_drain_phase(work: str, k: int, max_per_batch: int) -> None:
+def sessionize_drain_phase(
+    work: str, k: int, max_per_batch: int, engine: str = "v1"
+) -> None:
     """Child process for the SESSIONIZE soak (round 10): the graph
     carries the EventTimeTimeout sessionizer with the per-(key,queue)
     hwm map, at the nonzero watermark delay where broker replay
     actually reaches live state (see sessionize's docstring). Closed
-    sessions flow append-mode to the idempotent sink."""
+    sessions flow append-mode to the idempotent sink.
+
+    ``engine='v2'`` (round 12) runs ``sessionize_tws`` instead — the
+    transformWithState twin on event-time timers + RocksDB + the
+    protobuf state server (vendor/pbshim in this container) — under
+    the IDENTICAL kill-restart contract: session-level exactness
+    through a SIGKILL is the one claim the in-test graceful restarts
+    cannot make."""
     import uuid
 
     from solace_apache_beam_spark.session import get_spark
     from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
     from solace_apache_beam_spark.streaming.pipelines import open_stream
-    from solace_apache_beam_spark.streaming.stateful import sessionize
+
+    if engine == "v2":
+        from solace_apache_beam_spark.streaming.stateful_v2 import (
+            ROCKSDB_PROVIDER,
+            sessionize_tws as _sessionize,
+        )
+    else:
+        from solace_apache_beam_spark.streaming.stateful import (
+            sessionize as _sessionize,
+        )
 
     queues = [f"q{i}" for i in range(1, k + 1)]
     broker_dir = os.path.join(work, "broker")
     spark = get_spark("soak_sessionize_phase")
+    if engine == "v2":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     stream = open_stream(
         spark, broker_dir, queues, max_records_per_batch=max_per_batch
     )
     q = (
-        sessionize(
+        _sessionize(
             stream,
             gap_seconds=30,
             watermark="120 seconds",
@@ -465,7 +487,9 @@ def sessionize_drain_phase(work: str, k: int, max_per_batch: int) -> None:
         json.dump({"elapsed": round(elapsed, 2), "state_rows_peak": peak_state}, f)
 
 
-def sessionize_kill_restart_soak(n: int, k: int, skew: int = 1) -> None:
+def sessionize_kill_restart_soak(
+    n: int, k: int, skew: int = 1, engine: str = "v1"
+) -> None:
     """Kill-restart soak THROUGH the hwm sessionizer. The evidence is
     session-level exactness: every queue's closed sessions must EXACTLY
     match the arithmetic session partition of its published stream —
@@ -505,6 +529,7 @@ def sessionize_kill_restart_soak(n: int, k: int, skew: int = 1) -> None:
                 work,
                 str(k),
                 str(max_per_batch),
+                engine,
             ],
             start_new_session=True,
             stdout=subprocess.DEVNULL,
@@ -568,7 +593,8 @@ def sessionize_kill_restart_soak(n: int, k: int, skew: int = 1) -> None:
     dupes = [r for r in rows if r[4] > 1]
     acked = sum(fake_broker.acked_count(broker, qq) for qq in queues)
     out = {
-        "mode": "sessionize",
+        "mode": "sessionize" if engine == "v1" else f"sessionize_{engine}",
+        "engine": engine,
         "messages": sum(counts),
         "queues": k,
         "skew": skew,
@@ -2249,7 +2275,10 @@ def main() -> None:
     if "--phase-sessionize" in sys.argv:
         i = sys.argv.index("--phase-sessionize")
         sessionize_drain_phase(
-            sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3])
+            sys.argv[i + 1],
+            int(sys.argv[i + 2]),
+            int(sys.argv[i + 3]),
+            sys.argv[i + 4] if len(sys.argv) > i + 4 else "v1",
         )
         return
     if "--phase-funnel" in sys.argv:
@@ -2309,6 +2338,8 @@ def main() -> None:
         return
     if "--stateful" in sys.argv:
         stateful_kill_restart_soak(n, k)
+    elif "--sessionize-v2" in sys.argv:
+        sessionize_kill_restart_soak(n, k, skew, engine="v2")
     elif "--sessionize" in sys.argv:
         sessionize_kill_restart_soak(n, k, skew)
     elif "--funnel" in sys.argv:

@@ -50,6 +50,7 @@ _SCENARIOS: dict[str, list[str]] = {
     "conservation": ["4000", "2", "--kill-restart"],
     "stateful": ["4000", "2", "--stateful"],
     "sessionize": ["4000", "2", "--sessionize"],
+    "sessionize_v2": ["4000", "2", "--sessionize-v2"],
     "funnel": ["4000", "2", "--funnel"],
     "sessionize_skew": ["6000", "2", "--sessionize", "--skew", "100"],
     "funnel_skew": ["6400", "2", "--funnel", "--skew", "100"],
@@ -126,6 +127,24 @@ def test_sessionize_kill_restart_sessions_exact(soak):
     its publishing arithmetic — exact set equality, zero duplicate
     emissions, through a mid-drain process-group SIGKILL."""
     out = _out(soak, "sessionize")
+    assert out["sessions_exact"] is True
+    assert out["duplicate_rows"] == 0
+    assert out["sessions_at_sink"] == out["sessions_expected"] == 80
+    assert out["epochs_at_kill"] >= 3
+    assert out["acked"] >= 4000
+
+
+@soak_tier
+def test_sessionize_v2_kill_restart_sessions_exact(soak):
+    """The transformWithState sessionizer (round 12) under the SAME
+    mid-drain SIGKILL contract as its v1 sibling: event-time timers +
+    RocksDB state store + the protobuf state server (vendor/pbshim in
+    this container) must restore state and timers from the checkpoint
+    through an unclean death — exact session-set equality, zero
+    duplicate emissions. This is the claim the in-test graceful
+    stop/starts (test_stateful_v2) cannot make."""
+    out = _out(soak, "sessionize_v2")
+    assert out["engine"] == "v2"
     assert out["sessions_exact"] is True
     assert out["duplicate_rows"] == 0
     assert out["sessions_at_sink"] == out["sessions_expected"] == 80
