@@ -200,7 +200,14 @@ def compact_grown_index(
     parts = ("",) if semantic else _INDEX_PARTS
     for name in parts:
         path = os.path.join(grown_dir, name) if name else grown_dir
-        if os.path.exists(path):
+        # also proceed when only CRASH BREADCRUMBS exist: a compaction
+        # killed between its renames leaves the published dir absent
+        # with the data in <path>.bak — compact_epochs' entry recovery
+        # is what restores it, so skipping here would strand the index
+        breadcrumbs = os.path.exists(path.rstrip("/") + ".bak") or (
+            os.path.exists(path.rstrip("/") + ".compact.json")
+        )
+        if os.path.exists(path) or breadcrumbs:
             compact_epochs(
                 spark,
                 path,

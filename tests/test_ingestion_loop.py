@@ -212,3 +212,68 @@ def test_compact_grown_index_preserves_growth_and_reexecution(
     )
     screen(_batch(spark, last[1]), last[0])
     assert _statuses(comp_dirs["status"]) == ctrl
+
+
+def test_compact_grown_index_crash_recovery_epoch_col(
+    spark, base_index, tmp_path
+):
+    """The compaction crash-recovery breadcrumbs work under the grown
+    index's `epoch=` partition naming (the epoch_col generalization):
+
+    - crash BETWEEN the renames (bands dir absent, .bak + manifest
+      present) — the next compact_grown_index call restores and
+      recompacts, and a later epoch's growth match still resolves;
+    - mid-carryover crash — only the NOT-folded epoch dir returns from
+      the backup (a folded dir coming back would duplicate index rows
+      and turn one match into two)."""
+    import json
+    import os
+    import shutil
+
+    from solace_apache_beam_spark.streaming.ingestion import (
+        compact_grown_index,
+    )
+
+    dirs = {n: str(tmp_path / f"cr_{n}") for n in ("status", "grown", "book")}
+    screen = make_corpus_ingestion_screen(
+        spark, base_index, dirs["status"], dirs["grown"], dirs["book"],
+        **_PARAMS,
+    )
+    screen(_batch(spark, [("q1", 0, 500, _text(970))]), 0)
+    screen(_batch(spark, [("q1", 1, 501, _text(971))]), 1)
+
+    bands = os.path.join(dirs["grown"], "bands")
+    rows_before = spark.read.parquet(bands).count()
+
+    # crash between the renames: published dir gone, breadcrumbs left
+    os.rename(bands, bands + ".bak")
+    with open(bands + ".compact.json", "w") as f:
+        json.dump({"foldable": [], "tmp": str(tmp_path / "gone")}, f)
+
+    compact_grown_index(spark, dirs["grown"], committed_through=1)
+    assert spark.read.parquet(bands).count() == rows_before
+    assert not os.path.exists(bands + ".bak")
+    names = {n for n in os.listdir(bands) if n.startswith("epoch=")}
+    assert names == {"epoch=-1"}, names
+
+    # the loop still resolves growth matches against the recovered,
+    # folded index
+    screen(_batch(spark, [("q2", 0, 502, _text(970))]), 2)
+    got = _statuses(dirs["status"])
+    assert got[502] == ("exact_dup", 500, 2)
+
+    # mid-carryover crash: a folded dir must NOT come back, a late one
+    # must
+    folded_src = os.path.join(bands, "epoch=-1")
+    bak = bands + ".bak"
+    os.makedirs(bak)
+    shutil.copytree(folded_src, os.path.join(bak, "epoch=0"))
+    shutil.copytree(folded_src, os.path.join(bak, "epoch=88"))
+    with open(bands + ".compact.json", "w") as f:
+        json.dump({"foldable": ["epoch=0"], "tmp": str(tmp_path / "gone2")}, f)
+    n_now = spark.read.parquet(bands).count()
+    compact_grown_index(spark, dirs["grown"], committed_through=88)
+    assert not os.path.exists(bak)
+    # late epoch=88 carried over (a copy of the fold), folded epoch=0
+    # did not return
+    assert spark.read.parquet(bands).count() == 2 * n_now
