@@ -174,32 +174,59 @@ def drain_phase(work: str, k: int, max_per_batch: int) -> None:
         json.dump({"elapsed": round(elapsed, 2), "state_rows_peak": peak_state}, f)
 
 
-def stateful_drain_phase(work: str, k: int, max_per_batch: int) -> None:
+def stateful_drain_phase(
+    work: str, k: int, max_per_batch: int, engine: str = "v1"
+) -> None:
     """Child process for the STATEFUL soak (VERDICT r8 Next #6): the
     graph carries applyInPandasWithState (running_counts — lifetime
     per-key count+bytes) between the source and the idempotent
     appender, so the SIGKILL lands on live state-store versions, not
-    just source offsets. Same drain/flush discipline as drain_phase."""
+    just source offsets. Same drain/flush discipline as drain_phase.
+    ``engine='v2'`` runs ``running_counts_tws`` (typed ValueState +
+    native MapState marks on RocksDB) under the identical broker-log
+    ground-truth contract."""
     import uuid
 
     from solace_apache_beam_spark.session import get_spark
     from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
     from solace_apache_beam_spark.streaming.pipelines import open_stream
-    from solace_apache_beam_spark.streaming.stateful import running_counts
 
     queues = [f"q{i}" for i in range(1, k + 1)]
     broker_dir = os.path.join(work, "broker")
     spark = get_spark("soak_stateful_phase")
+    if engine == "v2":
+        from solace_apache_beam_spark.streaming.stateful_v2 import (
+            ROCKSDB_PROVIDER,
+            running_counts_tws,
+        )
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+
+        def _counts(st):
+            # the v2 marks are a (queue, id) MapState; with the key
+            # being the queue itself the map holds one entry — same
+            # replay algebra as v1's single-long hwm
+            return running_counts_tws(
+                st, dedupe_by=("destination", "message_id")
+            )
+    else:
+        from solace_apache_beam_spark.streaming.stateful import running_counts
+
+        def _counts(st):
+            return running_counts(st, dedupe_by="message_id")
+
     stream = open_stream(
         spark, broker_dir, queues, max_records_per_batch=max_per_batch
     )
     q = (
-        # dedupe_by=message_id: the source is at-least-once across an
+        # dedupe_by: the source is at-least-once across an
         # unclean restart (broker replays delivered-but-unacked
         # messages — S4/S6), so raw counting overcounts by exactly the
         # redelivered batch; the hwm state skips redeliveries (the
         # 500k soak found this — see running_counts' docstring)
-        running_counts(stream, dedupe_by="message_id")
+        _counts(stream)
         .writeStream.outputMode("update")
         .foreachBatch(make_idempotent_appender(os.path.join(work, "sink")))
         .option("checkpointLocation", os.path.join(work, "cp"))
@@ -232,7 +259,7 @@ def stateful_drain_phase(work: str, k: int, max_per_batch: int) -> None:
         json.dump({"elapsed": round(elapsed, 2), "state_rows_peak": peak_state}, f)
 
 
-def stateful_kill_restart_soak(n: int, k: int) -> None:
+def stateful_kill_restart_soak(n: int, k: int, engine: str = "v1") -> None:
     """Kill-restart soak THROUGH the stateful operator. The evidence is
     stronger than delivery conservation alone: the final per-key
     lifetime totals must EXACTLY equal the broker log's ground truth
@@ -259,6 +286,7 @@ def stateful_kill_restart_soak(n: int, k: int) -> None:
                 work,
                 str(k),
                 str(max_per_batch),
+                engine,
             ],
             start_new_session=True,
             stdout=subprocess.DEVNULL,
@@ -328,7 +356,8 @@ def stateful_kill_restart_soak(n: int, k: int) -> None:
     got = {r[0]: (r[1], r[2]) for r in rows}
     acked = sum(fake_broker.acked_count(broker, q) for q in queues)
     out = {
-        "mode": "stateful",
+        "mode": "stateful" if engine == "v1" else f"stateful_{engine}",
+        "engine": engine,
         "messages": per_q * k,
         "queues": k,
         "epochs_at_kill": epochs_at_kill,
@@ -691,11 +720,16 @@ def _publish_funnel_skew(
         )
 
 
-def funnel_drain_phase(work: str, k: int, max_per_batch: int) -> None:
+def funnel_drain_phase(
+    work: str, k: int, max_per_batch: int, engine: str = "v1"
+) -> None:
     """Child process for the FUNNEL soak (round 10): the per-user stage
     machine with the per-(key,queue) hwm map sits between the source
     and the idempotent sink, so the SIGKILL lands on live funnel state
-    across ~10k users."""
+    across ~10k users. ``engine='v2'`` (round 12) runs
+    ``funnel_progress_tws`` — typed ValueState + native MapState on
+    RocksDB through the protobuf state server — under the identical
+    per-user-exact kill-restart contract."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -703,11 +737,24 @@ def funnel_drain_phase(work: str, k: int, max_per_batch: int) -> None:
     from solace_apache_beam_spark.session import get_spark
     from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
     from solace_apache_beam_spark.streaming.pipelines import open_stream
-    from solace_apache_beam_spark.streaming.stateful import funnel_progress
+
+    if engine == "v2":
+        from solace_apache_beam_spark.streaming.stateful_v2 import (
+            ROCKSDB_PROVIDER,
+            funnel_progress_tws as _funnel,
+        )
+    else:
+        from solace_apache_beam_spark.streaming.stateful import (
+            funnel_progress as _funnel,
+        )
 
     queues = [f"q{i}" for i in range(1, k + 1)]
     broker_dir = os.path.join(work, "broker")
     spark = get_spark("soak_funnel_phase")
+    if engine == "v2":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     stream = open_stream(
         spark, broker_dir, queues, max_records_per_batch=max_per_batch
     ).select(
@@ -718,7 +765,7 @@ def funnel_drain_phase(work: str, k: int, max_per_batch: int) -> None:
         "destination",
     )
     q = (
-        funnel_progress(
+        _funnel(
             stream,
             _FUNNEL_STAGES,
             key_col="user",
@@ -756,7 +803,9 @@ def funnel_drain_phase(work: str, k: int, max_per_batch: int) -> None:
         json.dump({"elapsed": round(elapsed, 2), "state_rows_peak": peak_state}, f)
 
 
-def funnel_kill_restart_soak(n: int, k: int, skew: int = 1) -> None:
+def funnel_kill_restart_soak(
+    n: int, k: int, skew: int = 1, engine: str = "v1"
+) -> None:
     """Kill-restart soak THROUGH the funnel stage machine. Ground truth
     is per-user exact: user parity picks the event-type pattern, so
     every odd user must finish at stage 3 and every even user at stage
@@ -805,6 +854,7 @@ def funnel_kill_restart_soak(n: int, k: int, skew: int = 1) -> None:
                 work,
                 str(k),
                 str(max_per_batch),
+                engine,
             ],
             start_new_session=True,
             stdout=subprocess.DEVNULL,
@@ -885,7 +935,8 @@ def funnel_kill_restart_soak(n: int, k: int, skew: int = 1) -> None:
         if got.get(u) != expected[u]
     }
     out = {
-        "mode": "funnel",
+        "mode": "funnel" if engine == "v1" else f"funnel_{engine}",
+        "engine": engine,
         "messages": per_q * k,
         "queues": k,
         "users": len(expected),
@@ -2269,7 +2320,10 @@ def main() -> None:
     if "--phase-stateful" in sys.argv:
         i = sys.argv.index("--phase-stateful")
         stateful_drain_phase(
-            sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3])
+            sys.argv[i + 1],
+            int(sys.argv[i + 2]),
+            int(sys.argv[i + 3]),
+            sys.argv[i + 4] if len(sys.argv) > i + 4 else "v1",
         )
         return
     if "--phase-sessionize" in sys.argv:
@@ -2284,7 +2338,10 @@ def main() -> None:
     if "--phase-funnel" in sys.argv:
         i = sys.argv.index("--phase-funnel")
         funnel_drain_phase(
-            sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3])
+            sys.argv[i + 1],
+            int(sys.argv[i + 2]),
+            int(sys.argv[i + 3]),
+            sys.argv[i + 4] if len(sys.argv) > i + 4 else "v1",
         )
         return
     if "--phase-incdedup" in sys.argv:
@@ -2336,12 +2393,16 @@ def main() -> None:
     if "--semdedup-throughput" in sys.argv:
         semgrow_throughput_soak(n, k, batch_per_q)
         return
-    if "--stateful" in sys.argv:
+    if "--stateful-v2" in sys.argv:
+        stateful_kill_restart_soak(n, k, engine="v2")
+    elif "--stateful" in sys.argv:
         stateful_kill_restart_soak(n, k)
     elif "--sessionize-v2" in sys.argv:
         sessionize_kill_restart_soak(n, k, skew, engine="v2")
     elif "--sessionize" in sys.argv:
         sessionize_kill_restart_soak(n, k, skew)
+    elif "--funnel-v2" in sys.argv:
+        funnel_kill_restart_soak(n, k, skew, engine="v2")
     elif "--funnel" in sys.argv:
         funnel_kill_restart_soak(n, k, skew)
     elif "--incdedup-grow" in sys.argv:

@@ -51,6 +51,8 @@ _SCENARIOS: dict[str, list[str]] = {
     "stateful": ["4000", "2", "--stateful"],
     "sessionize": ["4000", "2", "--sessionize"],
     "sessionize_v2": ["4000", "2", "--sessionize-v2"],
+    "stateful_v2": ["4000", "2", "--stateful-v2"],
+    "funnel_v2": ["4000", "2", "--funnel-v2"],
     "funnel": ["4000", "2", "--funnel"],
     "sessionize_skew": ["6000", "2", "--sessionize", "--skew", "100"],
     "funnel_skew": ["6400", "2", "--funnel", "--skew", "100"],
@@ -161,6 +163,30 @@ def test_funnel_kill_restart_stages_exact(soak):
     below the top stage, so overcounts are visible, not hidden at the
     cap)."""
     out = _out(soak, "funnel")
+    assert out["stages_exact"] is True and out["n_diverged"] == 0
+    assert out["epochs_at_kill"] >= 3
+    assert out["acked"] >= 4000
+
+
+@soak_tier
+def test_stateful_v2_kill_restart_state_restored_exactly(soak):
+    """running_counts_tws under the same mid-drain SIGKILL: typed
+    ValueState + native MapState marks on RocksDB through the protobuf
+    state server must restore to broker-log-exact per-key totals."""
+    out = _out(soak, "stateful_v2")
+    assert out["engine"] == "v2"
+    assert out["per_key_totals_exact"] is True
+    assert out["epochs_at_kill"] >= 3
+    assert out["acked"] >= 4000
+
+
+@soak_tier
+def test_funnel_v2_kill_restart_stages_exact(soak):
+    """funnel_progress_tws under the same mid-drain SIGKILL: per-user
+    stage machine on v2 state restores exactly (completing odd users
+    at stage 3, stalling even users at stage 1, zero divergence)."""
+    out = _out(soak, "funnel_v2")
+    assert out["engine"] == "v2"
     assert out["stages_exact"] is True and out["n_diverged"] == 0
     assert out["epochs_at_kill"] >= 3
     assert out["acked"] >= 4000
