@@ -61,6 +61,24 @@ CONFIRM_RUNS = 2
 MAX_HEADLINE_CHARS = 1900  # driver tail capture is ~2,000 chars
 
 
+def corpus_fingerprint(sf_dir: str) -> str:
+    """Stable digest of the dataset a set of anchors was sampled on:
+    (name, size) of every parquet in ``sf_dir``. Byte size changes
+    whenever the driver regenerates the corpus (content-dependent
+    encoding) — exactly the event that decouples anchors from the data
+    (round 12: aggregate drifted to 1.48x the anchor total from a
+    corpus regeneration alone, code time-neutral). Recorded in
+    BENCH_ANCHOR.json at re-anchor time; bench warns on mismatch so a
+    vintage change is never silently read as code drift."""
+    import hashlib
+
+    parts = []
+    for fn in sorted(os.listdir(sf_dir)):
+        if fn.endswith(".parquet"):
+            parts.append(f"{fn}:{os.path.getsize(os.path.join(sf_dir, fn))}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
 def compute_regressions(
     timings: dict[str, float],
     anchor: dict[str, float],
@@ -102,6 +120,8 @@ def compact_headline(full: dict, cap: int = MAX_HEADLINE_CHARS) -> str:
         "regressions": full["regressions"],
         "errors": {k: v[:80] for k, v in full["errors"].items()},
     }
+    if full.get("anchor_vintage_mismatch"):
+        headline["anchor_vintage_mismatch"] = True
     fallbacks = [
         lambda h: h.update(errors={k: v[:20] for k, v in list(h["errors"].items())[:5]}),
         lambda h: h.update(regressions=dict(list(h["regressions"].items())[:5])),
@@ -191,8 +211,24 @@ def main() -> None:
             print(f"[bench] ERROR {name}: {errors[name]}", file=sys.stderr)
 
     anchor: dict[str, float] = {}
+    vintage_mismatch = False
     if not sf1_mode and os.path.exists(ANCHOR_PATH):
-        anchor = json.load(open(ANCHOR_PATH)).get("queries", {})
+        anchor_doc = json.load(open(ANCHOR_PATH))
+        anchor = anchor_doc.get("queries", {})
+        recorded = anchor_doc.get("corpus_fingerprint")
+        if recorded and sf == 0.1:
+            current = corpus_fingerprint(sf_dir)
+            if current != recorded:
+                vintage_mismatch = True
+                print(
+                    f"[bench] WARNING: corpus fingerprint {current} != "
+                    f"anchor vintage {recorded} — the driver regenerated "
+                    "the sf0.1 corpus since BENCH_ANCHOR.json was "
+                    "sampled; treat anchor ratios as cross-vintage "
+                    "(re-anchor per the round-13 methodology in "
+                    "PLANS.md before reading them as code drift)",
+                    file=sys.stderr,
+                )
     # contention-spike filter: re-measure in isolation every query past
     # CONFIRM_FACTOR x anchor — including sub-second ones the gate's
     # min_delta would never flag — so VM noise can't be recorded as drift
@@ -216,6 +252,8 @@ def main() -> None:
         "regressions": regressions,
         "errors": errors,
     }
+    if vintage_mismatch:
+        full["anchor_vintage_mismatch"] = True
     # durable full record (committed per round; survives tail truncation)
     self_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",

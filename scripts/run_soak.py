@@ -1630,6 +1630,12 @@ def incgrow_throughput_soak(n: int, k: int, batch_per_q: int) -> None:
         os.path.join(work, "sink"),
         grow_dir,
         os.path.join(work, "book"),
+        # production-tuned reducer count: the screen's frames are
+        # epoch-bounded, so corpus-scale reducers (local default 32)
+        # buy pure task-scheduling overhead — the knob this throughput
+        # mode exists to measure (round 13); the kill-restart soaks
+        # deliberately leave it at None so BOTH paths stay exercised
+        shuffle_partitions=8,
         **_INC_PARAMS,
     )
 
@@ -1712,6 +1718,7 @@ def incgrow_throughput_soak(n: int, k: int, batch_per_q: int) -> None:
     tail_s = sum(t for _, t, _ in tail)
     out = {
         "mode": "incdedup_grow_throughput",
+        "shuffle_partitions": 8,
         "messages": per_q * k,
         "queues": k,
         "batch_per_q": batch_per_q,
@@ -2213,6 +2220,13 @@ def semgrow_throughput_soak(n: int, k: int, batch_per_q: int) -> None:
         os.path.join(work, "book"),
         doc_col="doc_id",
         vec_col="embedding",
+        # deliberately NOT setting shuffle_partitions here: the
+        # semantic screen's heavy stage is the post-shuffle bucket
+        # matmul, which is REDUCER-bound at production vector epochs —
+        # 8 reducers measured 1,564 msg/s at 60k-vector epochs vs
+        # 3,205+ at the session default 32 (round 13). The knob helps
+        # screens whose cost is map-side kernels + commit latency (the
+        # MinHash twin), not reducer-parallel compute.
         **_SEM_PARAMS,
     )
 
@@ -2292,6 +2306,7 @@ def semgrow_throughput_soak(n: int, k: int, batch_per_q: int) -> None:
     tail_s = sum(t for _, t, _ in tail)
     out = {
         "mode": "semdedup_grow_throughput",
+        "shuffle_partitions": None,
         "messages": per_q * k,
         "queues": k,
         "batch_per_q": batch_per_q,

@@ -37,7 +37,7 @@ PRESETS = {
     ],
     "@embeddings": [
         "knn_brute_cosine", "ann_lsh_cosine", "ann_ivf_cosine",
-        "ivf_kmeans_assign", "embedding_neardup", "embedding_coverage",
+        "ivf_kmeans_assign", "embedding_neardup_auto", "embedding_coverage",
     ],
 }
 

@@ -1271,16 +1271,34 @@ def incremental_dedup(
         StorageLevel.MEMORY_AND_DISK
     )
     own_caches.append(sh_new)
-    bands_new = _band_hashes_from_shingles(sh_new, id_col, n_perm, n_bands).select(
-        F.col(id_col).alias("new_id"), "band", "band_hash"
+    # persisted too (batch-bounded: n_bands rows per surviving doc):
+    # the candidate join consumes it here, and the ingestion loop's
+    # grown-index build re-reads BOTH batch-side frames from cache —
+    # without the exposure below, every epoch re-ran the tokenize/
+    # shingle/MinHash Arrow kernels a second time over the unique docs
+    # (measured 8-11 s of the 19 s epoch at 10k-doc epochs, round 13)
+    bands_new = (
+        _band_hashes_from_shingles(sh_new, id_col, n_perm, n_bands)
+        .select(F.col(id_col).alias("new_id"), "band", "band_hash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    own_caches.append(bands_new)
     # bucket-size guard via a window count over the SAME (band,
     # band_hash) exchange the candidate join needs — one shuffle of the
     # corpus band index total, vs the former groupBy-count + double join
-    # that shuffled bands_corp twice and sorted ok_buckets separately
+    # that shuffled bands_corp twice and sorted ok_buckets separately.
+    # Round 13: count populations only for buckets the BATCH touches —
+    # the cap decision for untouched buckets is unobservable downstream
+    # (they produce no candidates), each touched bucket's population is
+    # still counted over its FULL corpus membership, and the join
+    # stays statistics-driven (never forced) so the runtime may
+    # broadcast the batch-derived bucket list and filter the corpus
+    # index map-side instead of shuffling all of it into the window.
     bucket_w = Window.partitionBy("band", "band_hash")
+    touched = bands_new.select("band", "band_hash").distinct()
     bc_ok = (
-        bands_corp.withColumn("n", F.count(F.lit(1)).over(bucket_w))
+        bands_corp.join(touched, ["band", "band_hash"])
+        .withColumn("n", F.count(F.lit(1)).over(bucket_w))
         .filter(F.col("n") <= max_bucket)
         .drop("n")
     )
@@ -1336,9 +1354,21 @@ def incremental_dedup(
         F.lit(None).cast("long").alias("match_id"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return attach_plan_caches(
+    out = attach_plan_caches(
         exact_out.union(near_out).union(unique_out), own_caches
     )
+    # expose the PERSISTED batch-side artifacts for downstream index
+    # growth (streaming/ingestion.py): shingle-hash sets and band
+    # hashes of every exact-stage survivor — a superset of the unique
+    # docs, deterministic per doc, so subsetting them by the unique ids
+    # reproduces build_corpus_index(unique_docs) bit-identically
+    # without re-running the Arrow kernels (pinned by
+    # tests/test_incremental_dedup.py). Valid until plan_caches
+    # releases (the frames recompute from lineage afterwards — slower,
+    # not wrong).
+    out.batch_shingles = sh_new  # (id_col, hs)
+    out.batch_bands = bands_new  # (new_id, band, band_hash)
+    return out
 
 
 def _local_checkpoint_rdd(df: DataFrame):
@@ -1423,37 +1453,57 @@ def connected_components(
     (:class:`CheckpointCaches`) — release it once the labels are fully
     consumed. Unlike ``plan_caches``, the frame cannot be recomputed
     after release (the checkpoint is the lineage)."""
-    edges = pairs.select(
+    # materialize the pair frame ONCE before the symmetrize union: the
+    # two union branches are otherwise independent subplans, so a
+    # caller handing in an unmaterialized pipeline (dedup_clusters
+    # hands the full MinHash-LSH verify pipeline) pays for it TWICE in
+    # the first action — measured 2.5 s of dedup_clusters' 7.0 s at
+    # sf0.1 (round-13 profiling). localCheckpoint is eager; the blocks
+    # are released as soon as the persisted edge frame is filled.
+    src_pairs = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    # initialize straight to min(node, min neighbor): exactly round
-    # one's neighbor-min folded into the init groupBy — one fewer loop
-    # iteration (each costs a join + two shuffles + a checkpoint job)
+    ).localCheckpoint()
+    # symmetrize AND add self-loops in one persisted frame: with
+    # (n, n) present, min over dst-labels of a node's incident edges IS
+    # min(own label, neighbor labels) — so the loop needs a single
+    # join+groupBy per round instead of the old two-step (neighbor-min
+    # groupBy, then a second left-join back onto labels): one fewer
+    # shuffle per round, bit-identical labels.
+    nodes = (
+        src_pairs.select("src")
+        .union(src_pairs.select(F.col("dst").alias("src")))
+        .distinct()
+    )
+    edges = (
+        src_pairs.union(
+            src_pairs.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .union(nodes.select("src", F.col("src").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # initialize straight to min over N(n) ∪ {n} (the self-loop row
+    # carries the node's own id): exactly round one's neighbor-min
+    # folded into the init groupBy — one fewer loop iteration (each
+    # costs a join + two shuffles + a checkpoint job)
     labels = (
         edges.groupBy("src")
-        .agg(F.min("dst").alias("mind"))
-        .select(
-            F.col("src").alias("node"),
-            F.least(F.col("src"), F.col("mind")).alias("label"),
-        )
+        .agg(F.min("dst").alias("label"))
+        .withColumnRenamed("src", "node")
         .localCheckpoint()
     )
+    # labels init materialized the persisted edge cache — the one-shot
+    # pair checkpoint behind it is now dead weight; free its blocks
+    _release_local_checkpoint(src_pairs)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iters):
-        neighbor_min = (
+        propagated = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        propagated = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            F.col("node"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("label"),
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "node")
         )
         # pointer jumping: label := label(label). Every label value is
         # itself a node (labels start as node ids and only copy existing

@@ -1978,4 +1978,12 @@ def incremental_semantic_dedup(
             "match_id",
         )
     )
-    return attach_plan_caches(out, (b,))
+    out = attach_plan_caches(out, (b,))
+    # expose the PERSISTED batch-side bucketed rows for downstream
+    # index growth (streaming/ingestion.py): build_vector_index is
+    # deterministic per vector, so subsetting this frame by the unique
+    # ids reproduces build_vector_index(unique_docs) exactly without
+    # re-running the quantize/plane-projection kernel. Valid until
+    # plan_caches releases (recomputes from lineage afterwards).
+    out.batch_index = b
+    return out

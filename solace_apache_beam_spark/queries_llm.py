@@ -621,50 +621,13 @@ def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_pq_cosine",
-    oracle=f"""
-    {_PQ_PREFIX},
-    recon AS (
-      SELECT q0.vec_id, {_PQ_RECON} AS r
-      FROM q0 JOIN {_PQ_CODES_JOIN}
-    ),
-    qn AS (SELECT vec_id, q, list_inner_product(q, q) AS n2 FROM q0),
-    rc AS (SELECT vec_id, r, list_inner_product(r, r) AS rn2 FROM recon),
-    -- n2/rn2 > 0 mirror the kernel's isfinite mask (see knn_brute_cosine)
-    pairs AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             round(list_inner_product(a.q, b.r)
-                   / (sqrt(a.n2) * sqrt(b.rn2)), 6) AS cos_sim
-      FROM qn a, rc b
-      WHERE a.vec_id < 100 AND a.vec_id != b.vec_id
-        AND a.n2 > 0 AND b.rn2 > 0
-    )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
-      FROM pairs
-    ) WHERE rank <= {_PQ_TOPK}
-    """,
-)
-def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-compressed approximate top-{_PQ_TOPK} cosine search for the
-    first 100 vectors: asymmetric distance computation — exact query
-    vectors scored against the corpus's PQ reconstructions. The oracle
-    replays subquantizer training, encoding, reconstruction, AND the
-    ranked search."""
-    from solace_apache_beam_spark.llm.similarity import pq_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pq_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 100),
-        m=_PQ_M,
-        k_codes=_PQ_K,
-        n_iters=_PQ_ITERS,
-        k=_PQ_TOPK,
-    ).select("query_id", "neighbor_id", "cos_sim", "rank")
-
+# ann_pq_cosine (flat-PQ asymmetric search over pq_topk) was a
+# registered gate through round 12; consolidated round 13 (VERDICT r12
+# Next #6, registry growth freeze): ann_ivf_pq_cosine's oracle already
+# replays the identical PQ train/encode/reconstruct/ADC-score brute arm
+# inside its probed cells, so the flat variant's gate row was a
+# superseded baseline. The pq_topk kernel keeps randomized-differential
+# coverage in test_properties_similarity.test_pq_topk_matches_reference.
 
 _IVF_PQ_NPROBE = 2
 
@@ -1870,14 +1833,13 @@ _NEARDUP_ORACLE = f"""
     """
 
 
-@query("embedding_neardup", oracle=_NEARDUP_ORACLE)
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.4)."""
-    from solace_apache_beam_spark.llm.similarity import neardup_pairs
-
-    return neardup_pairs(load_table(spark, sf_dir, "embeddings")).select(
-        "id_a", "id_b", "cos_sim"
-    )
+# embedding_neardup (the FIXED exact route) was a registered gate
+# through round 12; consolidated round 13 (VERDICT r12 Next #6,
+# registry growth freeze): embedding_neardup_auto runs the SAME oracle
+# verbatim and routes to the same exact kernel at every gate scale, so
+# the fixed-route row was a superseded baseline. The exact route keeps
+# randomized-differential coverage in test_properties_similarity.
+# test_neardup_pairs_matches_reference(route="exact").
 
 
 @query("embedding_neardup_auto", oracle=_NEARDUP_ORACLE)

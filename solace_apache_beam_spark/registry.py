@@ -76,67 +76,63 @@ def _load() -> None:
 # window.  Retired queries keep their kernels and pytest coverage; only
 # the driver-gate registration is consolidated.
 #
-# Round-12 rotation at ROUND CLOSE (standing rule from VERDICT r8
+# Round-13 rotation at ROUND OPEN (standing rule from VERDICT r8
 # Next #3: keep every gate row <= 1 round old): set 1 is exactly the
-# 35 queries whose newest driver row was r10 at round open — the
-# audit's stale set — alphabetical; set 0 is the round's only three
-# lockstep re-pins (the pq_encode single-persisted-frame rewrite and
-# the semantic_dedup n_cells derivation-order fix, each pinned in the
-# same commit as the plan change).  38 head entries <= the ~50-row
-# snapshot window.  No other registered query's plan or oracle changed
-# this round: the similarity-module consolidation extracted shared
-# helpers with operator-identical plans (verified by the full 85-query
-# oracle sweep at sf0.001 AND sf0.01 post-refactor), and zero queries
-# were registered or retired (the growth freeze above holds at 85).
+# 35 queries whose newest driver row was r11 at round open — the
+# audit's stale set — alphabetical; set 0 is the round's lockstep
+# re-pin (dedup_clusters: connected_components rewritten — pair frame
+# materialized once before the symmetrize union, self-loop edges fold
+# the neighbor-min two-step into one join+groupBy per round; labels
+# bit-identical, re-proven against the recursive-CTE oracle at sf0.01
+# AND sf0.1 in the same session as the change).  36 head entries <=
+# the ~50-row snapshot window.  Registry count 85 -> 83 this round
+# under the growth freeze: embedding_neardup folded into
+# embedding_neardup_auto (same oracle verbatim, auto routes exact at
+# gate scale) and ann_pq_cosine folded into ann_ivf_pq_cosine (its
+# oracle replays the same PQ brute arm inside probed cells); both
+# kernels keep randomized-differential pytest coverage
+# (test_properties_similarity: test_neardup_pairs_matches_reference,
+# test_pq_topk_matches_reference).
 _PRIORITY: tuple[str, ...] = (
-    # 0. lockstep re-pins (round-12 changes to plans/oracles).
-    #    pq_code_assign / ann_pq_cosine: pq_encode(books=None) now
-    #    builds ONE persisted quantized frame instead of three
-    #    independent _quantized_vectors passes (ADVICE r11 #4);
-    #    outputs bit-identical, scan count reduced.
-    "pq_code_assign",
-    "ann_pq_cosine",
-    # 0. lockstep: semantic_dedup — n_cells=None now derives the count
-    #    from the persisted quantized frame instead of an extra raw
-    #    corpus scan (ADVICE r11 #3); outputs bit-identical.
-    "semantic_dedup",
-    # 1. newest driver row: round 10 — refresh (alphabetical; the
-    #    audit's stale set at round-12 open).
-    "analytic_user_running",
-    "ann_ivf_cosine",
-    "ann_lsh_cosine",
-    "asof_click_view",
-    "chunk_documents",
-    "corpus_stats",
-    "cube_order_stats",
-    "customers_without_orders",
-    "data_quality_events",
+    # 0. lockstep re-pin (round-13 plan change, oracle unchanged).
     "dedup_clusters",
-    "dedup_rate_report",
-    "dedup_simhash_pairs",
-    "dedup_simhash_pairs_auto",
-    "embedding_neardup",
-    "embedding_neardup_auto",
-    "expectation_report_lineitem",
-    "funnel_view_click_purchase",
-    "hypertable_rollup_events",
-    "kmv_distinct_parts",
-    "knn_brute_cosine",
-    "multimodal_frame_sample",
-    "orders_above_customer_avg",
-    "percentiles_event_value",
-    "pivot_linestatus",
-    "protobuf_roundtrip",
-    "salted_revenue_by_segment",
-    "sample_documents_10pct",
-    "sequence_packing",
-    "split_train_val_test",
-    "stratified_sample_lineitem",
-    "suppliers_with_large_parts",
-    "text_normalize",
-    "text_pii_redact",
-    "tpch_q3_shipping_priority",
-    "training_shard_stats",
+    # 1. newest driver row: round 11 — refresh (alphabetical; the
+    #    audit's stale set at round-13 open).
+    "ann_ivf_pq_cosine",
+    "ann_ivf_pq_residual",
+    "ann_sq8_cosine",
+    "bm25_components",
+    "curation_pipeline",
+    "decontamination_report",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_rescue",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "duplicate_spans",
+    "embedding_centroids",
+    "embedding_coverage",
+    "embedding_neardup_lsh",
+    "incremental_dedup",
+    "ivf_kmeans_assign",
+    "minhash_band_hashes",
+    "multimodal_features",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "range_join_error_clicks",
+    "rollup_pricing",
+    "set_ops_custkeys",
+    "source_quality_gate",
+    "sq8_code_assign",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality",
+    "text_repetition",
+    "text_token_counts",
+    "top_customers_per_segment",
+    "training_data_pipeline",
+    "training_shuffle_manifest",
+    "vocab_top_words",
 )
 
 

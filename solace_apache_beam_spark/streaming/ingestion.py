@@ -90,6 +90,7 @@ def make_corpus_ingestion_screen(
     n_bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    shuffle_partitions: int | None = None,
 ):
     """``foreachBatch(batch_df, epoch_id)`` callable for the growing-
     corpus loop (module docstring). ``batch_df`` must carry
@@ -97,20 +98,56 @@ def make_corpus_ingestion_screen(
     of ``writeStream``. ``base_index`` is the ``build_corpus_index``
     mapping (read back from its persisted tables in production).
     Dedup parameters must match the ones the base index was built
-    with."""
+    with.
+
+    ``shuffle_partitions``: reducer count for the screen's plans,
+    applied (and restored) around each batch. The screen's frames are
+    bounded by the EPOCH size, not the corpus — a session-wide reducer
+    count sized for corpus-scale queries buys pure task-scheduling
+    overhead here (measured: 32 reducers on local[32] cost ~2 s/epoch
+    over 8 at 10k-doc epochs; round-13 curve in PLANS.md). Size it to
+    batch-bytes / target-partition-bytes in production; None leaves
+    the session setting untouched."""
     from pyspark.storagelevel import StorageLevel
 
-    from solace_apache_beam_spark.llm.dedup import (
-        build_corpus_index,
-        incremental_dedup,
-    )
+    from solace_apache_beam_spark.llm.dedup import incremental_dedup
     from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
 
     appender = make_idempotent_appender(status_dir)
 
     def screen(batch_df: DataFrame, epoch_id: int) -> None:
+        if shuffle_partitions is None:
+            _screen(batch_df, epoch_id)
+            return
+        # scoped conf override: microbatches are driver-sequential, so
+        # the set/restore cannot race another batch of THIS stream;
+        # a concurrently-running foreign query in the same session
+        # would see the override — dedicate a session to the loop (the
+        # production posture anyway) if that matters
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(shuffle_partitions))
+        try:
+            _screen(batch_df, epoch_id)
+        finally:
+            spark.conf.set(key, prev)
+
+    def _screen(batch_df: DataFrame, epoch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         rows = batch_df.select(queue_col, id_col, doc_col, text_col)
-        book = _read_before(spark, book_dir, epoch_id)
+        # the four per-epoch sink reads are independent driver-side
+        # listing+footer probes (~0.15 s each) — overlap them
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_book = pool.submit(_read_before, spark, book_dir, epoch_id)
+            f_grown = {
+                name: pool.submit(
+                    _read_before, spark, f"{grown_dir}/{name}", epoch_id
+                )
+                for name in _INDEX_PARTS
+            }
+            book = f_book.result()
+            grown_parts = {n: f.result() for n, f in f_grown.items()}
         if book is not None:
             hwm = book.groupBy(queue_col).agg(F.max("max_id").alias("_hwm"))
             # the mark table is one row per queue — always broadcast
@@ -122,9 +159,10 @@ def make_corpus_ingestion_screen(
         rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
         idx = dict(base_index)
         for name in _INDEX_PARTS:
-            grown = _read_before(spark, f"{grown_dir}/{name}", epoch_id)
-            if grown is not None:
-                idx[name] = idx[name].unionByName(grown.drop("epoch"))
+            if grown_parts[name] is not None:
+                idx[name] = idx[name].unionByName(
+                    grown_parts[name].drop("epoch")
+                )
         out = incremental_dedup(
             rows.select(doc_col, text_col),
             corpus_index=idx,
@@ -136,26 +174,57 @@ def make_corpus_ingestion_screen(
             threshold=threshold,
             max_bucket=max_bucket,
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        appender(out, epoch_id)
-        uniq = rows.select(doc_col, text_col).join(
-            out.filter(F.col("status") == "unique").select(doc_col), doc_col
+        # materialize the status frame (fills every internal cache the
+        # five sinks below read) with ONE job, then commit all five
+        # concurrently — sequential commits paid ~5 write latencies
+        out.count()
+        # grown-index parts from the screen's OWN persisted batch-side
+        # artifacts (out.batch_shingles / out.batch_bands): the unique
+        # docs are a subset of the exact-stage survivors those frames
+        # cover, and both kernels are deterministic per doc, so the
+        # subsetted frames ARE build_corpus_index(unique_docs) —
+        # without this the loop re-ran the tokenize/shingle/MinHash
+        # Arrow kernels a second time every epoch (8-11 s of the 19 s
+        # epoch at 10k-doc epochs; round-13 profiling). Equality with
+        # the recompute path is pinned by tests/test_incremental_dedup.
+        # broadcast the id filter: batch-derived, bounded by the epoch
+        # size by design (the legitimate broadcast side per
+        # incremental_dedup's boundedness contract) — a sort-merge here
+        # would shuffle+sort the WIDE shingle arrays just to subset them
+        uniq_ids = F.broadcast(
+            out.filter(F.col("status") == "unique").select(doc_col)
         )
-        gidx = build_corpus_index(
-            uniq,
-            text_col=text_col,
-            id_col=doc_col,
-            shingle_n=shingle_n,
-            n_perm=n_perm,
-            n_bands=n_bands,
-        )
-        for name in _INDEX_PARTS:
-            _epoch_write(gidx[name], f"{grown_dir}/{name}", epoch_id)
-        gidx.unpersist()
-        _epoch_write(
-            rows.groupBy(queue_col).agg(F.max(id_col).alias("max_id")),
-            book_dir,
-            epoch_id,
-        )
+        uniq = rows.select(doc_col, text_col).join(uniq_ids, doc_col)
+        gparts = {
+            "hashes": uniq.select(
+                F.col(doc_col).alias("corp_id"),
+                F.md5(F.col(text_col)).alias("h"),
+            ),
+            "shingles": out.batch_shingles.join(uniq_ids, doc_col).select(
+                F.col(doc_col).alias("corp_id"), "hs"
+            ),
+            "bands": out.batch_bands.withColumnRenamed("new_id", doc_col)
+            .join(uniq_ids, doc_col)
+            .select(F.col(doc_col).alias("corp_id"), "band", "band_hash"),
+        }
+        marks = rows.groupBy(queue_col).agg(F.max(id_col).alias("max_id"))
+        # the five sinks are independent epoch-partition overwrites
+        # (each replaces only its own epoch=N dir, and the replay
+        # contract re-writes ALL of them on a re-executed epoch, so
+        # completion order is immaterial to recovery) — submit them as
+        # concurrent Spark jobs instead of five sequential commit
+        # latencies, all reading the caches the count() above filled
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            futs = [pool.submit(appender, out, epoch_id)]
+            futs += [
+                pool.submit(
+                    _epoch_write, gparts[name], f"{grown_dir}/{name}", epoch_id
+                )
+                for name in _INDEX_PARTS
+            ]
+            futs.append(pool.submit(_epoch_write, marks, book_dir, epoch_id))
+            for f in futs:
+                f.result()  # re-raise the first failure
         out.plan_caches.unpersist()
         out.unpersist()
         rows.unpersist()
@@ -230,6 +299,7 @@ def make_semantic_ingestion_screen(
     n_planes: int = 6,
     n_tables: int = 2,
     block_size: int = 4096,
+    shuffle_partitions: int | None = None,
 ):
     """``foreachBatch`` callable for the growing-corpus SEMANTIC dedup
     loop — the embedding twin of :func:`make_corpus_ingestion_screen`
@@ -256,7 +326,6 @@ def make_semantic_ingestion_screen(
     from pyspark.storagelevel import StorageLevel
 
     from solace_apache_beam_spark.llm.similarity import (
-        build_vector_index,
         incremental_semantic_dedup,
     )
     from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
@@ -264,8 +333,33 @@ def make_semantic_ingestion_screen(
     appender = make_idempotent_appender(status_dir)
 
     def screen(batch_df: DataFrame, epoch_id: int) -> None:
+        # scoped reducer-count override — same mechanics as
+        # make_corpus_ingestion_screen's shuffle_partitions, but note
+        # the cost model differs: THIS screen's heavy stage is the
+        # post-shuffle bucket matmul, which is REDUCER-bound at
+        # production vector epochs (8 reducers measured 2x slower than
+        # 32 at 60k-vector epochs, round 13) — lower it only for
+        # small-batch deployments where commit latency dominates
+        if shuffle_partitions is None:
+            _screen(batch_df, epoch_id)
+            return
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(shuffle_partitions))
+        try:
+            _screen(batch_df, epoch_id)
+        finally:
+            spark.conf.set(key, prev)
+
+    def _screen(batch_df: DataFrame, epoch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         rows = batch_df.select(queue_col, id_col, doc_col, vec_col)
-        book = _read_before(spark, book_dir, epoch_id)
+        # overlap the two driver-side sink probes
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_book = pool.submit(_read_before, spark, book_dir, epoch_id)
+            f_grown = pool.submit(_read_before, spark, grown_dir, epoch_id)
+            book, grown = f_book.result(), f_grown.result()
         if book is not None:
             hwm = book.groupBy(queue_col).agg(F.max("max_id").alias("_hwm"))
             rows = (
@@ -275,7 +369,6 @@ def make_semantic_ingestion_screen(
             )
         rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
         idx = base_index
-        grown = _read_before(spark, grown_dir, epoch_id)
         if grown is not None:
             idx = idx.unionByName(grown.drop("epoch"))
         out = incremental_semantic_dedup(
@@ -288,20 +381,29 @@ def make_semantic_ingestion_screen(
             n_tables=n_tables,
             block_size=block_size,
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # one materializing job, then the three sinks commit from the
+        # filled caches. Writes stay SEQUENTIAL here, unlike the
+        # MinHash twin's pooled commit: this screen's frames are
+        # vector-heavy (32-dim arrays on status/index rows), and
+        # concurrent write jobs at production vector epochs measured
+        # 2x SLOWER under the live stream (1,634 vs 4,030 msg/s at
+        # 60k-vector epochs, round 13) — the three commits on cached
+        # frames total ~1-3 s, not worth contending for.
+        out.count()
+        # grown-index rows from the screen's OWN persisted batch-side
+        # bucketed frame (out.batch_index): deterministic per vector,
+        # so the unique-id subset IS build_vector_index(unique_docs) —
+        # no second run of the quantize/plane-projection kernel. The
+        # id filter is batch-bounded: broadcast, never sort-merge.
+        uniq_ids = F.broadcast(
+            out.filter(F.col("status") == "unique").select(doc_col)
+        )
+        gidx = out.batch_index.join(uniq_ids, doc_col)
+        marks = rows.groupBy(queue_col).agg(F.max(id_col).alias("max_id"))
+        # sequential on purpose — see the materializer comment above
         appender(out, epoch_id)
-        uniq = rows.select(doc_col, vec_col).join(
-            out.filter(F.col("status") == "unique").select(doc_col), doc_col
-        )
-        _epoch_write(
-            build_vector_index(uniq, vec_col, doc_col, n_planes, n_tables),
-            grown_dir,
-            epoch_id,
-        )
-        _epoch_write(
-            rows.groupBy(queue_col).agg(F.max(id_col).alias("max_id")),
-            book_dir,
-            epoch_id,
-        )
+        _epoch_write(gidx, grown_dir, epoch_id)
+        _epoch_write(marks, book_dir, epoch_id)
         out.plan_caches.unpersist()
         out.unpersist()
         rows.unpersist()

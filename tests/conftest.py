@@ -26,8 +26,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 #                              full oracle-parity sweep (preflight sets)
 #   SPARK_GRAFT_SOAK=1         run the 2-JVM kill-restart soak tier
 #   SPARK_GRAFT_SOAK_POOL=N    soak scenario concurrency (default 4;
-#                              9 runs every scenario in one wave on an
-#                              idle 32-core VM with SOAK_CPUS=4)
+#                              12 runs all 12 scenarios in one wave on
+#                              an idle 32-core VM with SOAK_CPUS=4 —
+#                              the 1.5x thread oversubscription costs
+#                              ~40 s vs a 10-wide wave, still one wave)
 #   SPARK_GRAFT_SOAK_CPUS=N    local[N] per soak JVM (default 8)
 #   SPARK_GRAFT_FUZZ_SCALE=F   fractional multiplier on hypothesis
 #                              example counts (floor 1; preflight never

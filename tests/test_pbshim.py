@@ -248,3 +248,152 @@ def test_list_response_roundtrip(status, err, values, more):
     assert back.errorMessage == err
     assert list(back.value) == values
     assert back.requireNextFetch == more
+
+
+# --- spec-conformance fixes (ADVICE r12): unsigned fixed widths and
+# split-singular-message merge ----------------------------------------
+
+
+def test_fixed_width_unsigned_spec_semantics():
+    """fixed64/fixed32 are UNSIGNED per the encoding spec; sfixed* are
+    the signed variants. StateMessage has no fixed fields, so pin the
+    semantics on a synthetic descriptor (values >= 2^63 / 2^31 must
+    serialize, and must round-trip non-negative)."""
+    from solace_apache_beam_spark.vendor.pbshim.google.protobuf import (
+        _descriptors as dd,
+        _message_impl as mi,
+    )
+
+    desc = dd.MessageDesc()
+    desc.name = desc.full_name = "FixedProbe"
+    for i, (nm, t) in enumerate(
+        [
+            ("u64", dd.TYPE_FIXED64),
+            ("u32", dd.TYPE_FIXED32),
+            ("s64", dd.TYPE_SFIXED64),
+            ("s32", dd.TYPE_SFIXED32),
+        ],
+        start=1,
+    ):
+        f = dd.FieldDesc()
+        f.name, f.number, f.type = nm, i, t
+        desc.fields.append(f)
+    FixedProbe = mi.MessageMeta("FixedProbe", (mi.Message,), {}, desc=desc, pool=None)
+
+    m = FixedProbe(u64=2**64 - 1, u32=2**32 - 1, s64=-2, s32=-2)
+    raw = m.SerializeToString()
+    # spec LE bytes: tag 0x09 + ff*8, 0x15 + ff*4, 0x19 + fe ff*7, 0x25 + fe ff*3
+    assert raw == bytes.fromhex(
+        "09ffffffffffffffff15ffffffff19feffffffffffffff25feffffff"
+    )
+    back = FixedProbe()
+    back.ParseFromString(raw)
+    assert (back.u64, back.u32, back.s64, back.s32) == (
+        2**64 - 1,
+        2**32 - 1,
+        -2,
+        -2,
+    )
+
+
+def test_split_singular_message_field_merges():
+    """Spec: repeated wire occurrences of a SINGULAR message field merge
+    (a conformant serializer may split one message across chunks).
+    Concatenating two serialized messages is the canonical way to hit
+    this: each chunk carries one occurrence of getValueState."""
+    a = sm.StatefulProcessorCall()
+    a.getValueState.stateName = "totals"
+    b = sm.StatefulProcessorCall()
+    b.getValueState.ttl.durationMs = 5000
+    back = sm.StatefulProcessorCall()
+    back.ParseFromString(a.SerializeToString() + b.SerializeToString())
+    assert back.getValueState.stateName == "totals"
+    assert back.getValueState.ttl.durationMs == 5000
+
+
+# --- differential insurance (VERDICT r12 Next #7) ---------------------
+# Build a SECOND, independent family of shim message classes straight
+# from the gencode's serialized FileDescriptorProto (private pool) and
+# byte-compare serializations over a hypothesis corpus.
+#
+# - wheel ABSENT (this container): `sm` above resolved to the shim
+#   gencode, so the arm proves the descriptor-parse + class-build
+#   plumbing reproduces the gencode family bit-exactly (exercised in
+#   every preflight — documented in PLANS.md round 13);
+# - wheel PRESENT (any CI that ships protobuf): `sm` is REAL protobuf
+#   and the same test becomes a true shim-vs-real byte differential,
+#   converting the clean-room claim into a continuously verified one.
+
+_FRESH_FAMILY = None
+
+
+def _fresh_shim_family():
+    """StateMessage classes built by the SHIM from serialized_pb, in a
+    private pool (never touches the default pool the gencode uses)."""
+    global _FRESH_FAMILY
+    if _FRESH_FAMILY is None:
+        from solace_apache_beam_spark.vendor.pbshim.google.protobuf import (
+            _message_impl as mi,
+            descriptor_pool as dp,
+        )
+        from solace_apache_beam_spark.vendor.pbshim.google.protobuf._descriptors import (
+            parse_file_descriptor,
+        )
+
+        fd = parse_file_descriptor(sm.DESCRIPTOR.serialized_pb)
+        pool = dp.DescriptorPool()
+        fam = {}
+        for m in fd.messages:
+            fam[m.name] = mi.build_message_class(m, pool)
+        _FRESH_FAMILY = fam
+    return _FRESH_FAMILY
+
+
+_TTLS = st.one_of(st.none(), st.integers(min_value=0, max_value=2**40))
+_REQ_SPECS = st.one_of(
+    st.tuples(st.just("getValueState"), _names, _names, _TTLS),
+    st.tuples(st.just("getMapState"), _names, _names, _TTLS),
+    st.tuples(st.just("setImplicitKey"), _blobs),
+    st.tuples(st.just("registerTimer"), _longs),
+)
+
+
+def _build_request(get, spec):
+    kind = spec[0]
+    if kind in ("getValueState", "getMapState"):
+        _, name, schema, ttl = spec
+        c = get("StateCallCommand")()
+        c.stateName = name
+        c.schema = schema
+        if ttl is not None:
+            c.ttl.durationMs = ttl
+        return get("StateRequest")(
+            statefulProcessorCall=get("StatefulProcessorCall")(**{kind: c})
+        )
+    if kind == "setImplicitKey":
+        return get("StateRequest")(
+            implicitGroupingKeyRequest=get("ImplicitGroupingKeyRequest")(
+                setImplicitKey=get("SetImplicitKey")(key=spec[1])
+            )
+        )
+    return get("StateRequest")(
+        statefulProcessorCall=get("StatefulProcessorCall")(
+            timerStateCall=get("TimerStateCallCommand")(
+                register=get("RegisterTimer")(expiryTimestampMs=spec[1])
+            )
+        )
+    )
+
+
+@settings(max_examples=n_examples(200, 25), deadline=None)
+@given(_REQ_SPECS)
+def test_differential_serialization_vs_gencode_family(spec):
+    gencode = _build_request(lambda n: getattr(sm, n), spec)
+    fresh = _build_request(_fresh_shim_family().__getitem__, spec)
+    raw = gencode.SerializeToString()
+    assert fresh.SerializeToString() == raw
+    # cross-parse: the fresh shim family parses the gencode bytes back
+    # to the identical canonical serialization
+    back = _fresh_shim_family()["StateRequest"]()
+    back.ParseFromString(raw)
+    assert back.SerializeToString() == raw

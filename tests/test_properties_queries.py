@@ -454,7 +454,11 @@ EMB_QUERY_NAMES = (
     "ann_lsh_cosine",
     "ann_ivf_cosine",
     "ivf_kmeans_assign",
-    "embedding_neardup",
+    # embedding_neardup (fixed exact route) retired round 13 into
+    # embedding_neardup_auto: same oracle verbatim, auto routes to the
+    # exact kernel at every gate scale; the exact route keeps kernel
+    # coverage in test_properties_similarity.test_neardup_pairs_
+    # matches_reference(route="exact")
     "embedding_neardup_auto",
     "embedding_neardup_lsh",
     "embedding_coverage",

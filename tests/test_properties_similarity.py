@@ -250,6 +250,66 @@ def test_pq_encode_matches_reference(spark, vec_lists, m):
     assert got_recon == recon
 
 
+def _reference_pq_topk(
+    vecs: dict[int, list[float]], m: int, k_codes: int, iters: int, k: int
+):
+    """Scalar replay of pq_topk's asymmetric-distance search: exact
+    (quantized) query vectors scored against PQ reconstructions — the
+    flat sibling of :func:`_reference_ivf_pq` (no coarse cells, no
+    residual), sharing its exclusion rules: self-pairs out, zero-norm /
+    non-finite scores out, rank on (round6 cos desc, neighbor asc)."""
+    ids = sorted(vecs)
+    q = {i: _quant_np(vecs[i]) for i in ids}
+    _, recon = _reference_pq(vecs, m, k_codes, iters)
+    rows = set()
+    for qi in ids:
+        scored = []
+        for ci in ids:
+            if ci == qi:
+                continue
+            r = np.array(recon[ci])
+            denom = float(np.sqrt((q[qi] ** 2).sum()) * np.sqrt((r**2).sum()))
+            if denom == 0.0:
+                continue
+            cos = float(q[qi] @ r) / denom
+            if not np.isfinite(cos):
+                continue
+            scored.append((-_round6_half_up(cos), ci))
+        scored.sort()
+        for rank, (neg, ci) in enumerate(scored[:k], start=1):
+            rows.add((qi, ci, -neg, rank))
+    return rows
+
+
+@settings(**SETTINGS)
+@given(
+    vec_lists=st.lists(
+        st.lists(_component, min_size=3, max_size=3),
+        min_size=2,
+        max_size=12,
+    ),
+    m=st.sampled_from([1, 2]),
+)
+def test_pq_topk_matches_reference(spark, vec_lists, m):
+    """Randomized differential for the FLAT PQ search (pq_topk): took
+    over ann_pq_cosine's kernel coverage when that gate row was
+    consolidated into ann_ivf_pq_cosine (round 13, VERDICT r12 Next #6)
+    — training, encoding, reconstruction, and the ranked asymmetric
+    search must all match the scalar replay. Duplicate vectors (score
+    ties), zero vectors (zero-norm recon excluded) and the uneven
+    dim-3/m-2 split are common under this grid."""
+    from solace_apache_beam_spark.llm.similarity import pq_topk
+
+    vecs = dict(enumerate(vec_lists))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = pq_topk(df, m=m, k_codes=2, n_iters=1, k=3)
+    got = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in out.collect()}
+    out.plan_caches.unpersist()
+    assert got == _reference_pq_topk(vecs, m, 2, 1, 3)
+
+
 def _reference_semantic_dedup(
     vecs: dict[int, list[float]], n_cells: int, iters: int, tau: float
 ):
