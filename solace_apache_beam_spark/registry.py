@@ -76,7 +76,7 @@ def _load() -> None:
 # window.  Retired queries keep their kernels and pytest coverage; only
 # the driver-gate registration is consolidated.
 #
-# Round-13 rotation at ROUND OPEN (standing rule from VERDICT r8
+# Round-13 rotation at ROUND CLOSE (standing rule from VERDICT r8
 # Next #3: keep every gate row <= 1 round old): set 1 is exactly the
 # 35 queries whose newest driver row was r11 at round open — the
 # audit's stale set — alphabetical; set 0 is the round's lockstep
@@ -84,15 +84,20 @@ def _load() -> None:
 # materialized once before the symmetrize union, self-loop edges fold
 # the neighbor-min two-step into one join+groupBy per round; labels
 # bit-identical, re-proven against the recursive-CTE oracle at sf0.01
-# AND sf0.1 in the same session as the change).  36 head entries <=
-# the ~50-row snapshot window.  Registry count 85 -> 83 this round
-# under the growth freeze: embedding_neardup folded into
-# embedding_neardup_auto (same oracle verbatim, auto routes exact at
-# gate scale) and ann_pq_cosine folded into ann_ivf_pq_cosine (its
-# oracle replays the same PQ brute arm inside probed cells); both
-# kernels keep randomized-differential pytest coverage
-# (test_properties_similarity: test_neardup_pairs_matches_reference,
-# test_pq_topk_matches_reference).
+# AND sf0.1 in the same session as the change).  The round's only
+# other plan change to a registered query is incremental_dedup
+# (touched-bucket prefilter before the cap window + persisted/exposed
+# batch-side frames; outputs oracle-identical) — its lockstep slot is
+# ALREADY in the head via the stale set below.  36 head entries <=
+# the ~50-row snapshot window.  A full 83-query oracle-parity sweep
+# passed at sf0.1 this round (PLANS.md) on top of the two gate SFs.
+# Registry count 85 -> 83 this round under the growth freeze:
+# embedding_neardup folded into embedding_neardup_auto (same oracle
+# verbatim, auto routes exact at gate scale) and ann_pq_cosine folded
+# into ann_ivf_pq_cosine (its oracle replays the same PQ brute arm
+# inside probed cells); both kernels keep randomized-differential
+# pytest coverage (test_properties_similarity:
+# test_neardup_pairs_matches_reference, test_pq_topk_matches_reference).
 _PRIORITY: tuple[str, ...] = (
     # 0. lockstep re-pin (round-13 plan change, oracle unchanged).
     "dedup_clusters",
