@@ -1459,7 +1459,8 @@ def connected_components(
     # hands the full MinHash-LSH verify pipeline) pays for it TWICE in
     # the first action — measured 2.5 s of dedup_clusters' 7.0 s at
     # sf0.1 (round-13 profiling). localCheckpoint is eager; the blocks
-    # are released as soon as the persisted edge frame is filled.
+    # are released when the loop ends (they back the persisted edge
+    # frame's recompute lineage — see the NOTE below the init).
     src_pairs = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint()
@@ -1493,9 +1494,12 @@ def connected_components(
         .withColumnRenamed("src", "node")
         .localCheckpoint()
     )
-    # labels init materialized the persisted edge cache — the one-shot
-    # pair checkpoint behind it is now dead weight; free its blocks
-    _release_local_checkpoint(src_pairs)
+    # NOTE: src_pairs' checkpoint blocks stay alive until the loop
+    # ends — the persisted edge frame's RECOMPUTE lineage roots on
+    # them, and every round reads edges, so releasing early would
+    # leave edges unrecoverable if an executor drops cache blocks
+    # mid-loop (round-13 review finding; the storage cost is one pair
+    # frame for the loop's duration).
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iters):
@@ -1533,6 +1537,7 @@ def connected_components(
             break
         prev_sum = new_sum
     edges.unpersist()
+    _release_local_checkpoint(src_pairs)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "

@@ -55,6 +55,31 @@ except ImportError:  # pragma: no cover
 _INDEX_PARTS = ("hashes", "shingles", "bands")
 
 
+def _scoped_shuffle_partitions(batch_df: DataFrame, n: int | None, fn) -> None:
+    """Run ``fn()`` with ``spark.sql.shuffle.partitions`` set to ``n``
+    on the session that will actually EXECUTE the screen's plans, then
+    restore. That session is ``batch_df.sparkSession`` — under a real
+    stream, foreachBatch hands a frame bound to the stream execution's
+    CLONED session, and a conf set on the outer/builder session is
+    invisible to it (verified live on Spark 4.1.2; round-13 review
+    finding). Microbatches are driver-sequential, so the set/restore
+    cannot race another batch of the same stream; a concurrent foreign
+    query sharing the clone would see the override — dedicate a
+    session to the loop (the production posture anyway) if that
+    matters. ``n=None`` runs ``fn`` untouched."""
+    if n is None:
+        fn()
+        return
+    sess = batch_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = sess.conf.get(key)
+    sess.conf.set(key, str(n))
+    try:
+        fn()
+    finally:
+        sess.conf.set(key, prev)
+
+
 def _epoch_write(df: DataFrame, path: str, epoch_id: int) -> None:
     (
         df.withColumn("epoch", F.lit(epoch_id))
@@ -116,21 +141,9 @@ def make_corpus_ingestion_screen(
     appender = make_idempotent_appender(status_dir)
 
     def screen(batch_df: DataFrame, epoch_id: int) -> None:
-        if shuffle_partitions is None:
-            _screen(batch_df, epoch_id)
-            return
-        # scoped conf override: microbatches are driver-sequential, so
-        # the set/restore cannot race another batch of THIS stream;
-        # a concurrently-running foreign query in the same session
-        # would see the override — dedicate a session to the loop (the
-        # production posture anyway) if that matters
-        key = "spark.sql.shuffle.partitions"
-        prev = spark.conf.get(key)
-        spark.conf.set(key, str(shuffle_partitions))
-        try:
-            _screen(batch_df, epoch_id)
-        finally:
-            spark.conf.set(key, prev)
+        _scoped_shuffle_partitions(
+            batch_df, shuffle_partitions, lambda: _screen(batch_df, epoch_id)
+        )
 
     def _screen(batch_df: DataFrame, epoch_id: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
@@ -333,23 +346,16 @@ def make_semantic_ingestion_screen(
     appender = make_idempotent_appender(status_dir)
 
     def screen(batch_df: DataFrame, epoch_id: int) -> None:
-        # scoped reducer-count override — same mechanics as
-        # make_corpus_ingestion_screen's shuffle_partitions, but note
-        # the cost model differs: THIS screen's heavy stage is the
-        # post-shuffle bucket matmul, which is REDUCER-bound at
-        # production vector epochs (8 reducers measured 2x slower than
-        # 32 at 60k-vector epochs, round 13) — lower it only for
-        # small-batch deployments where commit latency dominates
-        if shuffle_partitions is None:
-            _screen(batch_df, epoch_id)
-            return
-        key = "spark.sql.shuffle.partitions"
-        prev = spark.conf.get(key)
-        spark.conf.set(key, str(shuffle_partitions))
-        try:
-            _screen(batch_df, epoch_id)
-        finally:
-            spark.conf.set(key, prev)
+        # scoped reducer-count override (shared helper — applies to the
+        # clone session executing the batch). Cost-model note vs the
+        # MinHash twin: THIS screen's heavy stage is the post-shuffle
+        # bucket matmul, which is REDUCER-bound at production vector
+        # epochs (8 reducers measured 2x slower than 32 at 60k-vector
+        # epochs, round 13) — lower it only for small-batch
+        # deployments where commit latency dominates.
+        _scoped_shuffle_partitions(
+            batch_df, shuffle_partitions, lambda: _screen(batch_df, epoch_id)
+        )
 
     def _screen(batch_df: DataFrame, epoch_id: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
