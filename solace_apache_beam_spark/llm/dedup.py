@@ -1425,6 +1425,30 @@ class CheckpointCaches:
         return False
 
 
+_CC_OBS_SEQ = [0]  # Observation names must be unique per session
+
+
+def _checkpoint_with_sum(labels_df: DataFrame):
+    """Eagerly localCheckpoint a (node, label) frame and return
+    (checkpointed_frame, sum_of_labels) paying ONE Spark job: the
+    convergence sum rides the checkpoint's materializing job as an
+    Observation instead of a second agg job over the checkpointed
+    blocks (round 13 — the loop runs 5+ rounds on long-chain corpora,
+    so one job per round is material). Falls back to the plain agg if
+    the observation doesn't populate (the known large-scale
+    Observation.get failure mode the bucket-stats telemetry also
+    guards against)."""
+    from pyspark.sql import Observation
+
+    _CC_OBS_SEQ[0] += 1
+    obs = Observation(f"cc_label_sum_{_CC_OBS_SEQ[0]}")
+    ck = labels_df.observe(obs, F.sum("label").alias("s")).localCheckpoint()
+    try:
+        return ck, obs.get["s"]
+    except Exception:  # noqa: BLE001 — scale-path fallback, never wrong
+        return ck, ck.agg(F.sum("label")).collect()[0][0]
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -1488,11 +1512,10 @@ def connected_components(
     # carries the node's own id): exactly round one's neighbor-min
     # folded into the init groupBy — one fewer loop iteration (each
     # costs a join + two shuffles + a checkpoint job)
-    labels = (
+    labels, prev_sum = _checkpoint_with_sum(
         edges.groupBy("src")
         .agg(F.min("dst").alias("label"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint()
     )
     # NOTE: src_pairs' checkpoint blocks stay alive until the loop
     # ends — the persisted edge frame's RECOMPUTE lineage roots on
@@ -1500,7 +1523,6 @@ def connected_components(
     # leave edges unrecoverable if an executor drops cache blocks
     # mid-loop (round-13 review finding; the storage cost is one pair
     # frame for the loop's duration).
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iters):
         propagated = (
@@ -1516,15 +1538,13 @@ def connected_components(
         lab = propagated.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
-        new_labels = (
+        new_labels, new_sum = _checkpoint_with_sum(
             propagated.join(lab, propagated.label == lab.jnode, "left")
             .select(
                 F.col("node"),
                 F.coalesce(F.col("jlabel"), F.col("label")).alias("label"),
             )
-            .localCheckpoint()  # eager: materializes + truncates lineage
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         # release the superseded round's checkpoint blocks — without
         # this every round's full labels frame stays in the block
         # manager for the query's lifetime (must go through the RDD:
