@@ -76,68 +76,58 @@ def _load() -> None:
 # window.  Retired queries keep their kernels and pytest coverage; only
 # the driver-gate registration is consolidated.
 #
-# Round-13 rotation at ROUND CLOSE (standing rule from VERDICT r8
-# Next #3: keep every gate row <= 1 round old): set 1 is exactly the
-# 35 queries whose newest driver row was r11 at round open — the
-# audit's stale set — alphabetical; set 0 is the round's lockstep
-# re-pin (dedup_clusters: connected_components rewritten — pair frame
-# materialized once before the symmetrize union, self-loop edges fold
-# the neighbor-min two-step into one join+groupBy per round; labels
-# bit-identical, re-proven against the recursive-CTE oracle at sf0.01
-# AND sf0.1 in the same session as the change).  The round's only
-# other plan change to a registered query is incremental_dedup
-# (touched-bucket prefilter before the cap window + persisted/exposed
-# batch-side frames; outputs oracle-identical) — its lockstep slot is
-# ALREADY in the head via the stale set below.  36 head entries <=
-# the ~50-row snapshot window.  A full 83-query oracle-parity sweep
-# passed at sf0.1 this round (PLANS.md) on top of the two gate SFs.
-# Registry count 85 -> 83 this round under the growth freeze:
-# embedding_neardup folded into embedding_neardup_auto (same oracle
-# verbatim, auto routes exact at gate scale) and ann_pq_cosine folded
-# into ann_ivf_pq_cosine (its oracle replays the same PQ brute arm
-# inside probed cells); both kernels keep randomized-differential
-# pytest coverage (test_properties_similarity:
-# test_neardup_pairs_matches_reference, test_pq_topk_matches_reference).
+# Round-14 rotation at ROUND OPEN (standing rule from VERDICT r8
+# Next #3: keep every gate row <= 1 round old; VERDICT r13 Next #7
+# made the rotation a mechanical round-open step): set 1 is exactly
+# the 33 queries whose newest driver row was r12 at round-14 open —
+# the audit's stale set — alphabetical.  Set 0 is the round's
+# lockstep re-pins: dedup_clusters (connected_components gains
+# large-star/small-star contraction so the edge set shrinks across
+# rounds — labels bit-identical, re-proven against the recursive-CTE
+# oracle in the same session as the change) and incremental_dedup
+# (ADVICE r13: the touched-bucket prefilter join now pins
+# F.broadcast on the batch-bounded `touched` side, removing the
+# corpus-broadcast misestimate risk; outputs oracle-identical).
+# 35 head entries <= the ~50-row snapshot window.
 _PRIORITY: tuple[str, ...] = (
-    # 0. lockstep re-pin (round-13 plan change, oracle unchanged).
+    # 0. lockstep re-pins (round-14 plan changes, oracles unchanged).
     "dedup_clusters",
-    # 1. newest driver row: round 11 — refresh (alphabetical; the
-    #    audit's stale set at round-13 open).
-    "ann_ivf_pq_cosine",
-    "ann_ivf_pq_residual",
-    "ann_sq8_cosine",
-    "bm25_components",
-    "curation_pipeline",
-    "decontamination_report",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_rescue",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "duplicate_spans",
-    "embedding_centroids",
-    "embedding_coverage",
-    "embedding_neardup_lsh",
     "incremental_dedup",
-    "ivf_kmeans_assign",
-    "minhash_band_hashes",
-    "multimodal_features",
-    "multimodal_metadata",
-    "multimodal_resize",
-    "range_join_error_clicks",
-    "rollup_pricing",
-    "set_ops_custkeys",
-    "source_quality_gate",
-    "sq8_code_assign",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality",
-    "text_repetition",
-    "text_token_counts",
-    "top_customers_per_segment",
-    "training_data_pipeline",
-    "training_shuffle_manifest",
-    "vocab_top_words",
+    # 1. newest driver row: round 12 — refresh (alphabetical; the
+    #    audit's stale set at round-14 open).
+    "ann_ivf_cosine",
+    "ann_lsh_cosine",
+    "asof_click_view",
+    "chunk_documents",
+    "corpus_stats",
+    "cube_order_stats",
+    "customers_without_orders",
+    "data_quality_events",
+    "dedup_rate_report",
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_auto",
+    "embedding_neardup_auto",
+    "expectation_report_lineitem",
+    "funnel_view_click_purchase",
+    "hypertable_rollup_events",
+    "kmv_distinct_parts",
+    "knn_brute_cosine",
+    "multimodal_frame_sample",
+    "orders_above_customer_avg",
+    "percentiles_event_value",
+    "pq_code_assign",
+    "protobuf_roundtrip",
+    "salted_revenue_by_segment",
+    "sample_documents_10pct",
+    "semantic_dedup",
+    "sequence_packing",
+    "split_train_val_test",
+    "stratified_sample_lineitem",
+    "suppliers_with_large_parts",
+    "text_normalize",
+    "text_pii_redact",
+    "tpch_q3_shipping_priority",
+    "training_shard_stats",
 )
 
 
