@@ -41,6 +41,16 @@ Methodology:
   the gate's min_delta exempts them from flagging — VM noise on a
   0.4 s query otherwise masquerades as drift in the recorded timing
   (observed: json_payload_parse at 1.78x anchor on unchanged code).
+- Noise self-adjudication (VERDICT r13 Next #3 — three rounds of
+  judging burned effort separating VM noise from drift AFTER the
+  fact): every sample records 1-min loadavg and iowait%, a query whose
+  samples spread past NOISE_SPREAD x (and by more than
+  NOISE_MIN_DELTA s — sub-second jitter is not a window problem) gets
+  NOISE_RERUNS extra samples (min still wins), and the query is
+  flagged in "noisy_windows" with its per-sample environment so the
+  recorded number carries its own adjudication. A flagged query's
+  timing is still the min — the flag says "this window was unstable
+  while measuring this query", not "this number is wrong".
 """
 
 from __future__ import annotations
@@ -58,7 +68,25 @@ REGRESSION_FACTOR = 2.0
 CONFIRM_FACTOR = 1.5  # isolated re-measure threshold (no flag implied)
 N_RUNS = 2
 CONFIRM_RUNS = 2
+NOISE_SPREAD = 1.5  # samples further apart than this ratio => noisy window
+NOISE_MIN_DELTA = 0.5  # ...and by at least this many seconds
+NOISE_RERUNS = 2  # extra samples a noisy-window query gets (min wins)
 MAX_HEADLINE_CHARS = 1900  # driver tail capture is ~2,000 chars
+
+
+def _load1() -> float:
+    return os.getloadavg()[0]
+
+
+def _cpu_times() -> tuple[int, int]:
+    """(total_jiffies, iowait_jiffies) from the /proc/stat cpu line."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals), vals[4]
+
+
+def sample_spread(samples: list[float]) -> float:
+    return max(samples) / max(1e-9, min(samples))
 
 
 def corpus_fingerprint(sf_dir: str) -> str:
@@ -122,7 +150,11 @@ def compact_headline(full: dict, cap: int = MAX_HEADLINE_CHARS) -> str:
     }
     if full.get("anchor_vintage_mismatch"):
         headline["anchor_vintage_mismatch"] = True
+    if full.get("noisy_windows"):
+        # names only — the per-sample environments live in BENCH_SELF
+        headline["noisy"] = sorted(full["noisy_windows"])
     fallbacks = [
+        lambda h: h.update(noisy=h.get("noisy", [])[:5]),
         lambda h: h.update(errors={k: v[:20] for k, v in list(h["errors"].items())[:5]}),
         lambda h: h.update(regressions=dict(list(h["regressions"].items())[:5])),
         lambda h: h.update(slowest=dict(list(h["slowest"].items())[:3])),
@@ -199,13 +231,40 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_sampled(name: str, envs: list[dict]) -> float:
+        """run_once wrapped with the load/iowait environment recording
+        the noise self-adjudication reads (VERDICT r13 Next #3)."""
+        l0, (tot0, io0) = _load1(), _cpu_times()
+        dt = run_once(name)
+        tot1, io1 = _cpu_times()
+        envs.append(
+            {
+                "sec": round(dt, 3),
+                "load": [round(l0, 2), round(_load1(), 2)],
+                "iowait_pct": round(100.0 * (io1 - io0) / max(1, tot1 - tot0), 1),
+            }
+        )
+        return dt
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    noisy_windows: dict[str, list[dict]] = {}
     for name in sorted(queries):
         # per-query isolation: one broken query records an error and the
         # bench keeps going (a crash here zeroed ALL round-4 telemetry)
         try:
-            timings[name] = round(min(run_once(name) for _ in range(N_RUNS)), 3)
+            envs: list[dict] = []
+            samples = [run_sampled(name, envs) for _ in range(N_RUNS)]
+            if (
+                sample_spread(samples) > NOISE_SPREAD
+                and max(samples) - min(samples) > NOISE_MIN_DELTA
+            ):
+                # unstable window: take extra samples (min still wins)
+                # and flag the query so the recorded number carries its
+                # own adjudication instead of a post-hoc narrative
+                samples += [run_sampled(name, envs) for _ in range(NOISE_RERUNS)]
+                noisy_windows[name] = envs
+            timings[name] = round(min(samples), 3)
         except Exception as ex:  # noqa: BLE001 — record anything, keep going
             errors[name] = f"{type(ex).__name__}: {ex}"[:200]
             print(f"[bench] ERROR {name}: {errors[name]}", file=sys.stderr)
@@ -251,6 +310,7 @@ def main() -> None:
         "sf": sf,
         "regressions": regressions,
         "errors": errors,
+        "noisy_windows": noisy_windows,
     }
     if vintage_mismatch:
         full["anchor_vintage_mismatch"] = True

@@ -80,6 +80,53 @@ def _scoped_shuffle_partitions(batch_df: DataFrame, n: int | None, fn) -> None:
         sess.conf.set(key, prev)
 
 
+def _commit_concurrently(sc, jobs) -> None:
+    """Run per-epoch sink commits as concurrent Spark jobs with
+    streaming-aware cancellation semantics (ADVICE r13):
+
+    - each pool thread INHERITS the calling (foreachBatch) thread's
+      Spark local properties — job group, description, tags — so a
+      ``query.stop()`` cancelJobGroup interrupts in-flight commits
+      instead of orphaning them (plain ThreadPoolExecutor threads carry
+      EMPTY local properties; this is pyspark.InheritableThread's
+      mechanism applied to a pool);
+    - every commit additionally carries a unique job tag; when one
+      commit fails, unstarted siblings are cancelled and in-flight ones
+      are killed via ``cancelJobsWithTag`` before the first failure
+      re-raises (futures otherwise all run to completion first). Safe
+      under the replay contract: a re-executed epoch re-writes EVERY
+      sink, so a killed sibling's torn partition is replaced.
+    """
+    import uuid
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
+
+    tag = f"solace-graft-epoch-commit-{uuid.uuid4().hex}"
+    snapshot = sc._jsc.sc().getLocalProperties().clone()
+
+    def _run(fn):
+        # per-thread clone: addJobTag MUTATES the Properties instance,
+        # so sharing one clone across pool threads would race
+        sc._jsc.sc().setLocalProperties(snapshot.clone())
+        sc.addJobTag(tag)
+        fn()
+
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futs = [pool.submit(_run, fn) for fn in jobs]
+        done, _not_done = wait(futs, return_when=FIRST_EXCEPTION)
+        err = next((f.exception() for f in done if f.exception()), None)
+        if err is not None:
+            for f in futs:
+                f.cancel()
+            try:
+                sc.cancelJobsWithTag(tag)
+            except Exception:  # noqa: BLE001 — cancellation is best-effort
+                pass
+            wait(futs)
+            raise err
+        for f in futs:
+            f.result()
+
+
 def _epoch_write(df: DataFrame, path: str, epoch_id: int) -> None:
     (
         df.withColumn("epoch", F.lit(epoch_id))
@@ -226,18 +273,18 @@ def make_corpus_ingestion_screen(
         # contract re-writes ALL of them on a re-executed epoch, so
         # completion order is immaterial to recovery) — submit them as
         # concurrent Spark jobs instead of five sequential commit
-        # latencies, all reading the caches the count() above filled
-        with ThreadPoolExecutor(max_workers=5) as pool:
-            futs = [pool.submit(appender, out, epoch_id)]
-            futs += [
-                pool.submit(
-                    _epoch_write, gparts[name], f"{grown_dir}/{name}", epoch_id
-                )
-                for name in _INDEX_PARTS
-            ]
-            futs.append(pool.submit(_epoch_write, marks, book_dir, epoch_id))
-            for f in futs:
-                f.result()  # re-raise the first failure
+        # latencies, all reading the caches the count() above filled;
+        # _commit_concurrently carries the stream's job group into the
+        # pool threads and kills siblings on first failure (ADVICE r13)
+        jobs = [lambda: appender(out, epoch_id)]
+        jobs += [
+            lambda name=name: _epoch_write(
+                gparts[name], f"{grown_dir}/{name}", epoch_id
+            )
+            for name in _INDEX_PARTS
+        ]
+        jobs.append(lambda: _epoch_write(marks, book_dir, epoch_id))
+        _commit_concurrently(rows.sparkSession.sparkContext, jobs)
         out.plan_caches.unpersist()
         out.unpersist()
         rows.unpersist()

@@ -112,6 +112,49 @@ def test_bench_main_isolates_broken_queries(tmp_path, spark, monkeypatch, capsys
     assert "good" in full["queries"] and "broken" not in full["queries"]
 
 
+def test_bench_flags_noisy_window(tmp_path, spark, monkeypatch, capsys):
+    """VERDICT r13 Next #3: a query whose samples spread past
+    NOISE_SPREAD x (by > NOISE_MIN_DELTA s) must get NOISE_RERUNS extra
+    samples, keep the min, and be flagged in noisy_windows with its
+    per-sample load/iowait environment — the bench self-adjudicates
+    noise at measurement time instead of a post-hoc narrative."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    calls = {"n": 0}
+
+    def flaky(spark, sf_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:  # contention spike on the first sample only
+            time.sleep(1.2)
+        return spark.range(5).agg(F.count(F.lit(1)).alias("n"))
+
+    def steady(spark, sf_dir):
+        return spark.range(5).agg(F.count(F.lit(1)).alias("n"))
+
+    import solace_apache_beam_spark.registry as registry
+
+    monkeypatch.setattr(
+        registry, "all_queries", lambda: {"flaky": flaky, "steady": steady}
+    )
+    out = tmp_path / "BENCH_SELF.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", str(out))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_STRICT", raising=False)
+    bench.main()
+    full = json.loads(out.read_text())
+    assert set(full["noisy_windows"]) == {"flaky"}
+    envs = full["noisy_windows"]["flaky"]
+    assert len(envs) == bench.N_RUNS + bench.NOISE_RERUNS
+    for env in envs:  # every sample carries its environment
+        assert "sec" in env and len(env["load"]) == 2 and "iowait_pct" in env
+    # min still wins: the recorded time is a clean sample, not the spike
+    assert full["queries"]["flaky"] < 1.0
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(last)["noisy"] == ["flaky"]
+
+
 def test_cli_lists_and_runs(tmp_path, spark):
     """python -m solace_apache_beam_spark: --list covers the registry;
     a query runs and writes parquet (reusing the session fixture via

@@ -92,6 +92,87 @@ def test_materialized_corpus_index_matches_recompute(spark, tmp_path):
     assert any(r[1] == "near_dup" for r in got)  # non-trivial corpus hit
 
 
+def test_batch_side_frames_match_build_corpus_index(spark):
+    """ADVICE r13: the riskiest equivalence in the round-13 index-reuse
+    change, asserted DIRECTLY (the ingestion-loop tests only exercise it
+    behaviorally) — subsetting the exposed batch-side frames
+    (out.batch_shingles / out.batch_bands) by the unique ids must
+    reproduce build_corpus_index(unique_docs) row-for-row, because
+    streaming/ingestion.py grows the persisted corpus index from exactly
+    that subset."""
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.dedup import (
+        build_corpus_index,
+        incremental_dedup,
+    )
+    from solace_apache_beam_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+
+    out = incremental_dedup(new, corpus)
+    uniq_ids = out.filter(F.col("status") == "unique").select("doc_id")
+    got_sh = sorted(
+        (r.doc_id, tuple(r.hs))
+        for r in out.batch_shingles.join(uniq_ids, "doc_id").collect()
+    )
+    got_bands = sorted(
+        map(
+            tuple,
+            out.batch_bands.withColumnRenamed("new_id", "doc_id")
+            .join(uniq_ids, "doc_id")
+            .collect(),
+        )
+    )
+
+    idx = build_corpus_index(new.join(uniq_ids, "doc_id"))
+    want_sh = sorted(
+        (r.corp_id, tuple(r.hs)) for r in idx["shingles"].collect()
+    )
+    want_bands = sorted(map(tuple, idx["bands"].collect()))
+    idx.unpersist()
+    out.plan_caches.unpersist()
+
+    assert len(got_sh) > 0 and len(got_bands) > 0
+    assert got_sh == want_sh
+    assert got_bands == want_bands
+
+
+def test_batch_index_matches_build_vector_index(spark):
+    """The semantic twin of the equivalence above (ADVICE r13):
+    out.batch_index subsetted by the unique ids must reproduce
+    build_vector_index(unique_vectors) — the frame the semantic
+    ingestion screen appends to its grown index."""
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.similarity import (
+        build_vector_index,
+        incremental_semantic_dedup,
+    )
+    from solace_apache_beam_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    index = build_vector_index(emb.filter(F.col("vec_id") % 4 != 0))
+
+    out = incremental_semantic_dedup(batch, index)
+    uniq_ids = out.filter(F.col("status") == "unique").select("vec_id")
+    got = sorted(
+        (r.vec_id, tuple(r.q), r.bucket)
+        for r in out.batch_index.join(uniq_ids, "vec_id").collect()
+    )
+    want = sorted(
+        (r.vec_id, tuple(r.q), r.bucket)
+        for r in build_vector_index(batch.join(uniq_ids, "vec_id")).collect()
+    )
+    out.plan_caches.unpersist()
+
+    assert len(got) > 0
+    assert got == want
+
+
 def test_incremental_dedup_rejects_ambiguous_corpus(spark):
     import pytest as _pytest
 

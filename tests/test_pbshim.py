@@ -397,3 +397,48 @@ def test_differential_serialization_vs_gencode_family(spec):
     back = _fresh_shim_family()["StateRequest"]()
     back.ParseFromString(raw)
     assert back.SerializeToString() == raw
+
+
+# --- true differential vs Google's protobuf-java (VERDICT r13 Next #5)
+# No python protobuf wheel is reachable in this sandbox (the configured
+# pip index publishes none — PLANS.md round 14 records the attempt), so
+# the wheel-based arm above cannot become a real differential here. But
+# Spark's orc-core jar ships a SHADED copy of the real protobuf-java
+# runtime (org.apache.orc.protobuf.*) on the driver classpath — the
+# canonical, independently-developed implementation of the wire format.
+# Differential: pbshim-serialized bytes must PARSE in protobuf-java and
+# RE-SERIALIZE bit-identically (both sides write canonical field-number
+# order), over the same hypothesis corpus as the shim-family arm. A
+# wrong tag, varint, length prefix, or field ordering on our side fails
+# the parse or changes the re-serialization.
+
+_JVM_PB = None
+
+
+def _jvm_state_request_descriptor(spark):
+    global _JVM_PB
+    if _JVM_PB is None:
+        jvm = spark.sparkContext._jvm
+        P = jvm.org.apache.orc.protobuf
+        fdp = P.DescriptorProtos.FileDescriptorProto.parseFrom(
+            bytes(sm.DESCRIPTOR.serialized_pb)
+        )
+        # FileDescriptor.buildFrom needs an (empty) FileDescriptor[] —
+        # StateMessage.proto imports nothing
+        cls = jvm.java.lang.Class.forName(
+            "org.apache.orc.protobuf.Descriptors$FileDescriptor"
+        )
+        deps = jvm.java.lang.reflect.Array.newInstance(cls, 0)
+        fd = P.Descriptors.FileDescriptor.buildFrom(fdp, deps)
+        _JVM_PB = (P, fd.findMessageTypeByName("StateRequest"))
+    return _JVM_PB
+
+
+@settings(max_examples=n_examples(150, 20), deadline=None)
+@given(_REQ_SPECS)
+def test_differential_serialization_vs_protobuf_java(spark, spec):
+    P, desc = _jvm_state_request_descriptor(spark)
+    msg = _build_request(lambda n: getattr(sm, n), spec)
+    raw = msg.SerializeToString()
+    dm = P.DynamicMessage.parseFrom(desc, raw)
+    assert bytes(dm.toByteArray()) == raw

@@ -717,3 +717,50 @@ def test_neardup_route_info_surfaces_decision_and_recall(spark):
     assert info["route"] == "lsh" and info["n_blocks"] == 70
     assert info["exact_block_pairs"] == 70 * 71 // 2
     assert info["recall"]["recall_band_08_10"] >= 0.99
+
+
+def test_connected_components_giant_component_hot_key(spark):
+    """Adversarial skew arm (VERDICT r13 Next #1): ONE giant component
+    whose min id becomes the hot key of every loop join at scale — the
+    hub's neighborhood is a hot groupBy key in the propagate step, and
+    once most nodes carry label 0 the pointer-jump join key is
+    maximally skewed. 100 chains of 12 hung off hub 0 (diameter 24):
+    labels must be bit-exact (everything reaches 0) and the round count
+    must stay logarithmic in the diameter, not linear."""
+    from solace_apache_beam_spark.llm.dedup import connected_components
+
+    chains, length = 100, 12
+    edges = []
+    for c in range(chains):
+        base = c * length
+        edges.append((0, base + 1))
+        edges += [(base + i, base + i + 1) for i in range(1, length)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(pairs)
+    rows = out.collect()
+    assert len(rows) == chains * length + 1
+    assert {r.cluster_rep for r in rows} == {0}
+    assert out.n_rounds <= 8  # ~log2(diameter 24) + confirm, with slack
+    out.checkpoint_caches.unpersist()
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """Adversarial diameter arm (VERDICT r13 Next #1): a 256-node path
+    is the worst case for label propagation — O(diameter) rounds
+    without pointer jumping. Labels must be exact (all reach node 1)
+    and rounds must track log2(diameter): distance covered grows
+    ~2^k per round, so 256 nodes need ~8 rounds + the confirming one.
+    A plan change that silently drops the jump fails here long before
+    it times out a 100 TB run."""
+    from solace_apache_beam_spark.llm.dedup import connected_components
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    out = connected_components(pairs)
+    rows = out.collect()
+    assert len(rows) == n - 1 + 1
+    assert {r.cluster_rep for r in rows} == {1}
+    assert out.n_rounds <= 10
+    out.checkpoint_caches.unpersist()
