@@ -1623,6 +1623,38 @@ def incgrow_throughput_soak(n: int, k: int, batch_per_q: int) -> None:
 
     spark = get_spark("soak_incgrow_throughput")
     base = _ensure_inc_index(work, spark)
+
+    # steady-state methodology (round 14, same rationale as bench.py's
+    # warmup): this mode measures the index-join-bound regime, so pay
+    # the one-time process costs BEFORE the stream starts — spawn the
+    # whole Python worker pool, then run ONE dry screen pass (no sink
+    # writes, throwaway ids far outside every real range) so the dedup
+    # DAG's codegen/Arrow serializers compile outside the timed epochs.
+    # Without this, epochs 0-3 measured 8-16 s against a 4.4-5 s steady
+    # tail on identical plans — the warmup cliff, not epoch work.
+    def _warm(it):
+        yield from it
+
+    spark.range(0, 32, 1, 32).mapInPandas(_warm, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    from pyspark.sql import Row
+
+    from solace_apache_beam_spark.llm.dedup import incremental_dedup
+
+    dry = incremental_dedup(
+        spark.createDataFrame(
+            [
+                Row(doc_id=-10_000_000 - i, text=_inc_grow_text(i, lag))
+                for i in range(500)
+            ]
+        ),
+        corpus_index=dict(base),
+        **_INC_PARAMS,
+    )
+    dry.write.format("noop").mode("overwrite").save()
+    dry.plan_caches.unpersist()
+
     grow_dir = os.path.join(work, "grown")
     screen = make_corpus_ingestion_screen(
         spark,

@@ -1311,12 +1311,21 @@ def incremental_dedup(
         .select("new_id", "corp_id")
         .distinct()
     )
+    # join ORDER matters for the exchange count (round 14): corpus
+    # shingles attach FIRST (keyed corp_id), batch shingles LAST (keyed
+    # new_id) — whenever the planner takes the sort-merge path for the
+    # batch-shingle join (corpus-scale batches; small batches may
+    # legitimately broadcast the batch side instead), the verified
+    # frame leaves that join already hash-partitioned on new_id, which
+    # is exactly the best-match window's required distribution: the
+    # window then needs a sort but NO exchange (inner joins commute;
+    # output identical either way)
     verified = (
-        cand.join(
+        cand.join(sh_corp_c.hint("merge"), "corp_id")
+        .join(
             sh_new.select(F.col(id_col).alias("new_id"), F.col("hs").alias("sh_n")),
             "new_id",
         )
-        .join(sh_corp_c.hint("merge"), "corp_id")
         .select(
             "new_id",
             "corp_id",

@@ -1949,48 +1949,55 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_features",
     oracle="""
-    -- restated over hex (round 9): DuckDB 1.0 cannot slice or iterate
-    -- BLOBs, but hex(encode(text)) exposes every UTF-8 BYTE as a hex
-    -- pair — ('0x' || pair)::INT is the byte value — so the oracle
-    -- replays the Spark-side Arrow decoder's byte histogram for ANY
-    -- text, multi-byte UTF-8 included (the former ord(codepoint) form
-    -- needed an ASCII-only corpus). The feature vector is posexploded
-    -- to scalar (doc_id, bin, value) rows so the driver's
-    -- sorted-column value-hash applies. NULL text -> NULL payload ->
-    -- NULL features -> posexplode emits nothing on the Spark side; the
-    -- WHERE mirrors that (absent media has no feature rows, same as
-    -- frame_sample/resize).
+    -- round 14 (real decode path): the Spark side wraps each doc's
+    -- UTF-8 bytes as an actual 24-bit BMP (attach_bmp_payload, width 4
+    -- so rows are padding-free), REAL-decodes it (decode_image), and
+    -- histograms the decoded pixel samples. Because the BMP wrap is
+    -- lossless over whole 12-byte rows and a histogram is
+    -- order-invariant, the decoded-sample histogram equals the
+    -- histogram over the first (octet_length // 12) * 12 text bytes —
+    -- which DuckDB computes via the hex trick (one byte = one hex
+    -- pair; ('0x' || pair)::INT is the byte value). Wrong header
+    -- offsets/strides on the decode side change the sample multiset
+    -- and break the match; row/channel ORDER is pinned separately by
+    -- the byte-level pytest vectors. Docs shorter than one pixel row
+    -- produce no record (absent-media convention) — mirrored by the
+    -- used > 0 filter.
     WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
-                      octet_length(encode(text)) AS total
-               FROM documents WHERE text IS NOT NULL),
-    pos AS (SELECT doc_id, hx, total,
-                   unnest(generate_series(1, total)) AS i
+                      (octet_length(encode(text)) // 12) * 12 AS used
+               FROM documents WHERE text IS NOT NULL
+                 AND octet_length(encode(text)) >= 12),
+    pos AS (SELECT doc_id, hx, used,
+                   unnest(generate_series(1, used)) AS i
             FROM d),
     cnt AS (SELECT doc_id,
                    ('0x' || substr(hx, 2 * i - 1, 2))::INT % 16 AS bin,
                    count(*) AS c
             FROM pos GROUP BY 1, 2),
-    bins AS (SELECT doc_id, total, unnest(generate_series(0, 15)) AS bin
+    bins AS (SELECT doc_id, used, unnest(generate_series(0, 15)) AS bin
              FROM d)
     SELECT bins.doc_id, CAST(bins.bin AS INT) AS bin,
-           CASE WHEN bins.total = 0 THEN 0.0
-                ELSE coalesce(cnt.c, 0) / CAST(bins.total AS DOUBLE) END AS value
+           coalesce(cnt.c, 0) / CAST(bins.used AS DOUBLE) AS value
     FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.bin = cnt.bin
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary payloads via mapInPandas
-    (deterministic fake decoder: normalized byte histogram), posexploded
-    to (doc_id, bin, value) scalars for the exact value-hash gate. The
-    per-bin values are counts over exact integers divided once in IEEE
-    double — identical on both engines."""
+    """Feature extraction over REAL-decoded image payloads: each doc's
+    bytes wrapped as a 24-bit BMP, decoded by the pure-python codec
+    (decode_image), normalized byte histogram over the decoded pixel
+    samples, posexploded to (doc_id, bin, value) scalars for the exact
+    value-hash gate. Per-bin values are integer counts divided once in
+    IEEE double — identical on both engines. (Round 14: consolidates
+    the former raw-payload histogram — extract_features keeps its own
+    pytest coverage — so the registry stays at 83 under the growth
+    freeze while the decode path gains a driver oracle gate.)"""
     from solace_apache_beam_spark.llm.multimodal import (
-        attach_binary_payload,
-        extract_features,
+        attach_bmp_payload,
+        decode_features,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = extract_features(attach_binary_payload(docs))
+    feats = decode_features(attach_bmp_payload(docs))
     return feats.select(
         "doc_id", F.posexplode("features").alias("bin", "value")
     ).withColumn("bin", F.col("bin").cast("int"))

@@ -90,9 +90,11 @@ def _load() -> None:
 # corpus-broadcast misestimate risk; outputs oracle-identical).
 # 35 head entries <= the ~50-row snapshot window.
 _PRIORITY: tuple[str, ...] = (
-    # 0. lockstep re-pins (round-14 plan changes, oracles unchanged).
+    # 0. lockstep re-pins (round-14 plan changes; multimodal_features
+    #    also changed its oracle — the real-decode consolidation).
     "dedup_clusters",
     "incremental_dedup",
+    "multimodal_features",
     # 1. newest driver row: round 12 — refresh (alphabetical; the
     #    audit's stale set at round-14 open).
     "ann_ivf_cosine",

@@ -49,6 +49,16 @@ def get_spark(
         # halves the fixed cost; sequential spill merges lose nothing
         # measurable on page-cached local disk.
         .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+        # the generated-class cache defaults to 100 entries — far below
+        # what a multi-query session (83 bench queries) or a streaming
+        # loop (every epoch bakes a fresh epoch-id literal into its
+        # write projections) generates. At the default, the ingestion
+        # loop hit periodic cache-thrash storms: one random epoch per
+        # run stalled 10-20 s with every executor thread recompiling
+        # codegen + class-probing through task deserialization (round
+        # 14, jstack-diagnosed). A compiled class is a few KB; 2000
+        # entries is noise next to the 8g driver heap.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

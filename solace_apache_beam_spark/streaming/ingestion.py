@@ -193,8 +193,24 @@ def make_corpus_ingestion_screen(
         )
 
     def _screen(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+        import time
         from concurrent.futures import ThreadPoolExecutor
 
+        # SPARK_GRAFT_INGEST_TIMING=1: per-epoch section walls to
+        # stderr — the observability the round-13/14 throughput
+        # adjudications needed (which of probe/screen/commit a slow
+        # epoch spent its time in, measured in the LIVE stream rather
+        # than an offline replica of the plan)
+        timing = os.environ.get("SPARK_GRAFT_INGEST_TIMING") == "1"
+        t_all = time.perf_counter()
+        _tmarks: list[str] = []
+
+        def mark(label: str, t0: float) -> None:
+            if timing:
+                _tmarks.append(f"{label}={time.perf_counter() - t0:.2f}")
+
+        t0 = time.perf_counter()
         rows = batch_df.select(queue_col, id_col, doc_col, text_col)
         # the four per-epoch sink reads are independent driver-side
         # listing+footer probes (~0.15 s each) — overlap them
@@ -208,6 +224,7 @@ def make_corpus_ingestion_screen(
             }
             book = f_book.result()
             grown_parts = {n: f.result() for n, f in f_grown.items()}
+        mark("probe", t0)
         if book is not None:
             hwm = book.groupBy(queue_col).agg(F.max("max_id").alias("_hwm"))
             # the mark table is one row per queue — always broadcast
@@ -223,6 +240,7 @@ def make_corpus_ingestion_screen(
                 idx[name] = idx[name].unionByName(
                     grown_parts[name].drop("epoch")
                 )
+        t0 = time.perf_counter()
         out = incremental_dedup(
             rows.select(doc_col, text_col),
             corpus_index=idx,
@@ -234,10 +252,13 @@ def make_corpus_ingestion_screen(
             threshold=threshold,
             max_bucket=max_bucket,
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        mark("build", t0)
         # materialize the status frame (fills every internal cache the
         # five sinks below read) with ONE job, then commit all five
         # concurrently — sequential commits paid ~5 write latencies
+        t0 = time.perf_counter()
         out.count()
+        mark("screen", t0)
         # grown-index parts from the screen's OWN persisted batch-side
         # artifacts (out.batch_shingles / out.batch_bands): the unique
         # docs are a subset of the exact-stage survivors those frames
@@ -284,10 +305,37 @@ def make_corpus_ingestion_screen(
             for name in _INDEX_PARTS
         ]
         jobs.append(lambda: _epoch_write(marks, book_dir, epoch_id))
+        t0 = time.perf_counter()
         _commit_concurrently(rows.sparkSession.sparkContext, jobs)
-        out.plan_caches.unpersist()
-        out.unpersist()
-        rows.unpersist()
+        mark("commit", t0)
+        t0 = time.perf_counter()
+        # release this epoch's caches OFF the epoch's critical path:
+        # each DataFrame.unpersist pays a CacheManager plan-matching
+        # walk on the driver (measured 0.4-0.9 s/epoch for the six
+        # frames, round 14) and nothing downstream reads these frames —
+        # CacheManager is synchronized, so a racing registration from
+        # the next epoch at worst waits on the lock, it cannot corrupt
+        import threading
+
+        caches = out.plan_caches
+
+        def _release(o=out, r=rows, c=caches) -> None:
+            c.unpersist()
+            o.unpersist()
+            r.unpersist()
+
+        threading.Thread(target=_release, daemon=True).start()
+        mark("unpersist", t0)
+        if timing:
+            import sys
+
+            print(
+                f"[ingest-timing] epoch={epoch_id} "
+                f"total={time.perf_counter() - t_all:.2f} "
+                + " ".join(_tmarks),
+                file=sys.stderr,
+                flush=True,
+            )
 
     return screen
 
@@ -435,13 +483,14 @@ def make_semantic_ingestion_screen(
             block_size=block_size,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         # one materializing job, then the three sinks commit from the
-        # filled caches. Writes stay SEQUENTIAL here, unlike the
-        # MinHash twin's pooled commit: this screen's frames are
-        # vector-heavy (32-dim arrays on status/index rows), and
-        # concurrent write jobs at production vector epochs measured
-        # 2x SLOWER under the live stream (1,634 vs 4,030 msg/s at
-        # 60k-vector epochs, round 13) — the three commits on cached
-        # frames total ~1-3 s, not worth contending for.
+        # filled caches — CONCURRENT, same shape as the MinHash twin
+        # (round 14 re-measure settled the round-13 asymmetry: the
+        # "concurrent 2x slower" finding rested on a bimodal 2-run
+        # sample and did NOT reproduce — 3x3 A/B at 60k-vector epochs
+        # measured seq 1,315/2,436/1,990 vs conc 1,974/2,535/1,497
+        # steady msg/s, parity well inside the window's spread — so
+        # both screens now share _commit_concurrently and its
+        # stop()-interruptible, cancel-siblings-on-failure semantics).
         out.count()
         # grown-index rows from the screen's OWN persisted batch-side
         # bucketed frame (out.batch_index): deterministic per vector,
@@ -453,10 +502,12 @@ def make_semantic_ingestion_screen(
         )
         gidx = out.batch_index.join(uniq_ids, doc_col)
         marks = rows.groupBy(queue_col).agg(F.max(id_col).alias("max_id"))
-        # sequential on purpose — see the materializer comment above
-        appender(out, epoch_id)
-        _epoch_write(gidx, grown_dir, epoch_id)
-        _epoch_write(marks, book_dir, epoch_id)
+        jobs = [
+            lambda: appender(out, epoch_id),
+            lambda: _epoch_write(gidx, grown_dir, epoch_id),
+            lambda: _epoch_write(marks, book_dir, epoch_id),
+        ]
+        _commit_concurrently(rows.sparkSession.sparkContext, jobs)
         out.plan_caches.unpersist()
         out.unpersist()
         rows.unpersist()
