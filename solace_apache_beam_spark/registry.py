@@ -76,19 +76,27 @@ def _load() -> None:
 # window.  Retired queries keep their kernels and pytest coverage; only
 # the driver-gate registration is consolidated.
 #
-# Round-14 rotation at ROUND OPEN (standing rule from VERDICT r8
-# Next #3: keep every gate row <= 1 round old; VERDICT r13 Next #7
-# made the rotation a mechanical round-open step): set 1 is exactly
-# the 33 queries whose newest driver row was r12 at round-14 open —
-# the audit's stale set — alphabetical.  Set 0 is the round's
-# lockstep re-pins: dedup_clusters (connected_components gains
-# large-star/small-star contraction so the edge set shrinks across
-# rounds — labels bit-identical, re-proven against the recursive-CTE
-# oracle in the same session as the change) and incremental_dedup
-# (ADVICE r13: the touched-bucket prefilter join now pins
-# F.broadcast on the batch-bounded `touched` side, removing the
-# corpus-broadcast misestimate risk; outputs oracle-identical).
-# 35 head entries <= the ~50-row snapshot window.
+# Round-14 rotation, refreshed at ROUND CLOSE (standing rule from
+# VERDICT r8 Next #3: keep every gate row <= 1 round old; VERDICT r13
+# Next #7 made the rotation a mechanical round-open step — the audit
+# ran green at open AND close): set 1 is exactly the 33 queries whose
+# newest driver row was r12 at round-14 open — the audit's stale set —
+# alphabetical.  Set 0 is the round's lockstep re-pins, the three
+# registered queries whose plans (one also its oracle) changed this
+# round, each re-proven value-hash-equal vs DuckDB at sf0.01 AND
+# sf0.1 in the same session as the change:
+# - dedup_clusters: connected_components co-partitions+sorts the
+#   static edge cache on dst (rounds join it with no exchange/sort)
+#   and defers the pointer jump into the next round's job (the final
+#   confirming round does none); labels bit-identical.
+# - incremental_dedup: touched-bucket prefilter pins F.broadcast on
+#   the batch-bounded side (ADVICE r13), and the verify joins are
+#   reordered so the best-match window reuses the final join's new_id
+#   partitioning on the sort-merge path.
+# - multimodal_features: consolidated onto the REAL decode path
+#   (bytes wrapped as actual BMPs, decoded by the pure-python codec,
+#   decoded-pixel histogram) with a matching new hex-pair oracle.
+# 36 head entries <= the ~50-row snapshot window.
 _PRIORITY: tuple[str, ...] = (
     # 0. lockstep re-pins (round-14 plan changes; multimodal_features
     #    also changed its oracle — the real-decode consolidation).
