@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 import bench
 
 
@@ -149,8 +151,13 @@ def test_bench_flags_noisy_window(tmp_path, spark, monkeypatch, capsys):
     assert len(envs) == bench.N_RUNS + bench.NOISE_RERUNS
     for env in envs:  # every sample carries its environment
         assert "sec" in env and len(env["load"]) == 2 and "iowait_pct" in env
-    # min still wins: the recorded time is a clean sample, not the spike
-    assert full["queries"]["flaky"] < 1.0
+    # min still wins: the recorded time is the smallest sample, and the
+    # spiked first sample did not win. Relative assertions only — an
+    # absolute wall bound made this test itself contention-flaky when
+    # preflight's heavy group saturates the machine (round 14).
+    secs = [env["sec"] for env in envs]
+    assert full["queries"]["flaky"] == pytest.approx(min(secs))
+    assert full["queries"]["flaky"] <= secs[0] - 1.0  # spike (+1.2 s) lost
     last = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(last)["noisy"] == ["flaky"]
 

@@ -125,10 +125,44 @@ def test_percentiles_single_rank_window(spark, sf_dir, queries):
     assert "ResolvedHint" not in analyzed
 
 
+def _broadcast_hint_children(analyzed: str) -> list[str]:
+    """The line directly under every broadcast ResolvedHint — in the
+    analyzed tree string that is the hint's only child operator."""
+    lines = analyzed.splitlines()
+    return [
+        lines[i + 1]
+        for i, line in enumerate(lines)
+        if "ResolvedHint (strategy=broadcast)" in line
+    ]
+
+
+def _assert_only_touched_bucket_broadcast(analyzed: str) -> None:
+    """The ONE legitimate forced broadcast in incremental_dedup is the
+    touched-bucket prefilter (ADVICE r13): `touched` is batch-bounded
+    by design (<= n_bands rows per surviving batch doc), and pinning it
+    guarantees the map-side corpus filter while removing the risk of
+    the corpus-derived side winning a misestimated broadcast. Its
+    analyzed shape is a Deduplicate over exactly (band, band_hash).
+    Every OTHER broadcast stays forbidden: corpus-derived sides (band
+    index, bucket filter, shingle sets) must remain spillable."""
+    import re
+
+    children = _broadcast_hint_children(analyzed)
+    assert children, "the touched-bucket broadcast pin is missing"
+    for child in children:
+        assert re.search(
+            r"Deduplicate \[band#\d+, band_hash#\d+L?\]", child
+        ), f"forced broadcast of a non-batch-bounded side: {child!r}"
+    # belt and braces: the hint-shaped count matches the raw-string
+    # count, so no broadcast slips through in another spelling
+    assert analyzed.lower().count("strategy=broadcast") == len(children)
+
+
 def test_incremental_dedup_no_forced_broadcast(spark, sf_dir, queries):
-    """No broadcast may be FORCED, and the corpus-derived sides (band
+    """No broadcast may be FORCED except the batch-bounded
+    touched-bucket prefilter side, and the corpus-derived sides (band
     index, bucket filter, shingle sets) must be pinned spillable — the
-    only hints allowed are merge hints (round 3: the boundedness
+    only other hints allowed are merge hints (round 3: the boundedness
     contract is enforced, not just documented). Statistics-driven
     broadcasts of BATCH-derived frames remain legitimate."""
     analyzed = (
@@ -137,7 +171,7 @@ def test_incremental_dedup_no_forced_broadcast(spark, sf_dir, queries):
         .analyzed()
         .toString()
     )
-    assert "broadcast" not in analyzed.lower()  # no broadcast forcing
+    _assert_only_touched_bucket_broadcast(analyzed)
     assert "strategy=merge" in analyzed  # corpus sides pinned
 
 
@@ -162,7 +196,7 @@ def test_incremental_index_path_keeps_boundedness_contract(spark, sf_dir):
         docs.filter(F.col("doc_id") % 4 == 0), corpus_index=idx
     )
     analyzed = out._jdf.queryExecution().analyzed().toString()
-    assert "broadcast" not in analyzed.lower()
+    _assert_only_touched_bucket_broadcast(analyzed)
     assert "strategy=merge" in analyzed
 
 
