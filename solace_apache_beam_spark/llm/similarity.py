@@ -732,9 +732,20 @@ def neardup_pairs(
     # pure non-equi block pairing: only nested-loop shapes exist, and
     # one side WILL be broadcast — acceptable only because this is the
     # documented exact O(B^2) baseline for bounded batches; at corpus
-    # scale route through lsh_bucket (equi-join, spillable) instead
-    raw = a.join(b, F.col("ablk") <= F.col("bblk")).mapInPandas(
-        score, "id_a long, id_b long, cos_raw double"
+    # scale route through lsh_bucket (equi-join, spillable) instead.
+    # Repartition the PAIR frame before scoring: the nested-loop join
+    # leaves all B(B+1)/2 pair rows in the streamed side's <= B
+    # non-empty partitions, so tasks score up to B matmuls serially
+    # (measured at sf1.0: 5 blocks -> 15 pairs in 5 tasks, 13-17 s
+    # wall; with the pairs spread, wall tracks the SLOWEST single
+    # matmul). The extra shuffle moves one (amat, bmat) row per pair —
+    # megabytes per row against a ~1 s matmul per row, the right trade
+    # for any block count, and hash-on-(ablk, bblk) keeps it even.
+    sc = df.sparkSession.sparkContext
+    raw = (
+        a.join(b, F.col("ablk") <= F.col("bblk"))
+        .repartition(sc.defaultParallelism, F.col("ablk"), F.col("bblk"))
+        .mapInPandas(score, "id_a long, id_b long, cos_raw double")
     )
     return attach_plan_caches(
         raw.select(
