@@ -350,6 +350,30 @@ def _shingle_hash_udf(shingle_n: int):
     return sh
 
 
+def _gram_strings_udf(n: int):
+    """Arrow-vectorized positioned word n-grams: word array -> the
+    ordered array of n-gram STRINGS (position i holds words[i:i+n]
+    joined by one space — byte-identical to concat_ws(" ", slice(...))
+    on every engine, so oracles replaying array_to_string(words[i:j],
+    ' ') see the same grams). One Python join per gram replaces the
+    interpreted transform(sequence, slice, concat_ws) chain — the
+    same ~12 us-per-slice interpreted overhead _shingle_hash_udf
+    measured, vs ~1 us here (round 14: 4.5-5.7 s -> ~1 s for 2.36 M
+    grams at sf1.0). Callers guarantee len(words) >= n."""
+
+    @pandas_udf("array<string>")
+    def grams(words: pd.Series) -> pd.Series:
+        join = " ".join
+        return pd.Series(
+            [
+                [join(w[i : i + n]) for i in range(len(w) - n + 1)]
+                for w in words
+            ]
+        )
+
+    return grams
+
+
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, hs): per-doc distinct shingle-hash set. Tokenization stays
     JVM-side (codegen'd split); shingle+hash is one Arrow UDF."""
@@ -1745,57 +1769,95 @@ def duplicate_spans(
     base = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col), words.alias("words")
     ).filter(F.size("words") >= n)
+    # gram construction is an Arrow kernel, not the interpreted
+    # transform(sequence, slice, concat_ws) chain (round 14).
+    # Measured honestly (same-session interleaved min-of-3 at sf1.0,
+    # full operator): the kernel buys ~14-21% — smaller than the
+    # shingle case because words_expr's regex split is a shared ~2 s
+    # floor — and composes with the one-exchange reshape below to
+    # 7.59 -> 5.86 s (-23%). Output strings are byte-identical
+    # (" ".join == concat_ws(" ")); posexplode keeps the position
+    # semantics.
     grams = base.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("words") - F.lit(n - 1)),
-                lambda i: F.concat_ws(" ", F.slice("words", i, n)),
-            )
-        ).alias("pos0", "gram"),
+        F.posexplode(_gram_strings_udf(n)(F.col("words"))).alias(
+            "pos0", "gram"
+        ),
     ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
-    gram_docs = grams.select("gram", id_col).distinct()
+    # ONE exchange carries the gram strings (round 14). The former
+    # shape shuffled them up to three times — gram_docs.distinct(),
+    # the stats groupBy's re-exchange (distinct partitions on BOTH
+    # (gram, id)), and the positioned-span join — and the gram string
+    # is the wide column here (n words per row vs two longs).
+    # Repartition on gram once; then the per-(gram, doc) position
+    # count (HashPartitioning(gram) satisfies the (gram, id)
+    # clustering — subset rule) and the whole-partition window that
+    # replaces the stats-aggregate-plus-join reuse that one exchange
+    # (one sort, no data movement), and everything downstream carries
+    # integers. At sf1.0 the local win is ~10% (NVMe hides shuffle
+    # volume; interleaved A/B in PLANS round 14); at cluster scale
+    # gram-string shuffle bytes are first-order, which is why the
+    # shape, not the local number, is the point. Identical output:
+    # positions are counted per (gram, doc) first and summed in the
+    # rollup, so n_spans/n_dup_spans/ratio and the m1/m2 match-doc
+    # derivation see the same values.
+    per = (
+        grams.repartition(F.col("gram"))
+        .groupBy("gram", id_col)
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
     if not with_match:
-        # ratio-only consumers (curation_pipeline's span cap) skip the
-        # per-gram window: one plain count aggregate per gram instead
-        # of a sort — the m1/m2 columns exist only to name match_doc
-        stats = gram_docs.groupBy("gram").agg(
-            F.count(F.lit(1)).alias("n_docs")
-        )
-        spans = grams.join(stats.hint("merge"), "gram").select(
-            F.col(id_col), (F.col("n_docs") >= 2).alias("dup")
+        # ratio-only consumers (curation_pipeline's span cap): n_docs
+        # per gram via an unordered window over the SAME partitioning
+        # (WindowExec sorts by gram once) — no stats frame, no join
+        wg = Window.partitionBy("gram")
+        spans = per.select(
+            F.col(id_col),
+            F.col("k"),
+            (F.count(F.lit(1)).over(wg) >= 2).alias("dup"),
         )
         return spans.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_spans"),
+            F.sum("k").alias("n_spans"),
+            F.sum(F.when(F.col("dup"), F.col("k")).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
             (
-                F.sum(F.when(F.col("dup"), 1).otherwise(0))
-                / F.count(F.lit(1))
+                F.sum(F.when(F.col("dup"), F.col("k")).otherwise(0))
+                / F.sum("k")
             ).alias("dup_span_ratio"),
         )
-    w = Window.partitionBy("gram").orderBy(F.col(id_col))
-    stats = (
-        gram_docs.withColumn("rn", F.row_number().over(w))
-        .groupBy("gram")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min(F.when(F.col("rn") == 1, F.col(id_col))).alias("m1"),
-            F.min(F.when(F.col("rn") == 2, F.col(id_col))).alias("m2"),
-        )
+    # n_docs / m1 / m2 in ONE whole-partition window pass (rows are
+    # distinct (gram, id) after the agg, ordered by id, so first = min
+    # id and nth_value(2) = second-smallest — exactly the old
+    # rn == 1 / rn == 2 derivation without the stats aggregate and
+    # the sort-merge join that re-sorted the gram strings twice)
+    wall = (
+        Window.partitionBy("gram")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    spans = grams.join(stats.hint("merge"), "gram").select(
+    spans = per.select(
         F.col(id_col),
-        (F.col("n_docs") >= 2).alias("dup"),
+        F.col("k"),
+        (F.count(F.lit(1)).over(wall) >= 2).alias("dup"),
+        F.first(id_col).over(wall).alias("m1"),
+        F.nth_value(id_col, 2).over(wall).alias("m2"),
+    ).select(
+        F.col(id_col),
+        "k",
+        "dup",
         F.when(F.col(id_col) != F.col("m1"), F.col("m1"))
         .otherwise(F.col("m2"))
         .alias("om"),
     )
     return spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_spans"),
+        F.sum("k").alias("n_spans"),
+        F.sum(F.when(F.col("dup"), F.col("k")).otherwise(0)).alias(
+            "n_dup_spans"
+        ),
         (
-            F.sum(F.when(F.col("dup"), 1).otherwise(0))
-            / F.count(F.lit(1))
+            F.sum(F.when(F.col("dup"), F.col("k")).otherwise(0))
+            / F.sum("k")
         ).alias("dup_span_ratio"),
         F.min(F.when(F.col("dup"), F.col("om"))).alias("match_doc"),
     )

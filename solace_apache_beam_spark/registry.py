@@ -81,7 +81,7 @@ def _load() -> None:
 # Next #7 made the rotation a mechanical round-open step — the audit
 # ran green at open AND close): set 1 is exactly the 33 queries whose
 # newest driver row was r12 at round-14 open — the audit's stale set —
-# alphabetical.  Set 0 is the round's lockstep re-pins, the three
+# alphabetical.  Set 0 is the round's lockstep re-pins, the six
 # registered queries whose plans (one also its oracle) changed this
 # round, each re-proven value-hash-equal vs DuckDB at sf0.01 AND
 # sf0.1 in the same session as the change:
@@ -96,13 +96,23 @@ def _load() -> None:
 # - multimodal_features: consolidated onto the REAL decode path
 #   (bytes wrapped as actual BMPs, decoded by the pure-python codec,
 #   decoded-pixel histogram) with a matching new hex-pair oracle.
-# 36 head entries <= the ~50-row snapshot window.
+# - embedding_neardup_auto: the exact route's block-pair frame is
+#   repartitioned on (ablk, bblk) before scoring (one matmul per
+#   task instead of up to B serial matmuls in <= B tasks).
+# - duplicate_spans / curation_pipeline: gram construction is an
+#   Arrow kernel and the span stats collapse into one whole-partition
+#   window over a single gram-keyed exchange (strings cross one
+#   shuffle, not three).
+# 39 head entries <= the ~50-row snapshot window.
 _PRIORITY: tuple[str, ...] = (
     # 0. lockstep re-pins (round-14 plan changes; multimodal_features
     #    also changed its oracle — the real-decode consolidation).
     "dedup_clusters",
     "incremental_dedup",
     "multimodal_features",
+    "embedding_neardup_auto",
+    "duplicate_spans",
+    "curation_pipeline",
     # 1. newest driver row: round 12 — refresh (alphabetical; the
     #    audit's stale set at round-14 open).
     "ann_ivf_cosine",
@@ -116,7 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_rate_report",
     "dedup_simhash_pairs",
     "dedup_simhash_pairs_auto",
-    "embedding_neardup_auto",
+    # (embedding_neardup_auto moved to set 0 — round-14 plan change)
     "expectation_report_lineitem",
     "funnel_view_click_purchase",
     "hypertable_rollup_events",
