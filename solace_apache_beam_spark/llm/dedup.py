@@ -132,24 +132,34 @@ def _segment_offsets(arrays: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return flat, offs
 
 
-def _minhash_sig_udf(n_perm: int):
-    """Arrow-vectorized MinHash signature: per doc, min((a*h+b) mod P)
-    for each permutation. Integer-only (a < 2^31, h < 2^32: every
-    intermediate fits int64), so the result is bit-identical to the
-    BIGINT arithmetic the DuckDB oracle runs — vectorization never
-    changes the answer, unlike float reductions."""
+def _sig_coeff_arrays(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
     coeffs = minhash_coeffs(n_perm)
     A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
     B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    return A, B
+
+
+def _sig_mins(hs: pd.Series, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n_perm, n_docs) MinHash mins over a Series of non-empty hash
+    arrays. Integer-only (a < 2^31, h < 2^32: every intermediate fits
+    int64), so the result is bit-identical to the BIGINT arithmetic the
+    DuckDB oracle runs — vectorization never changes the answer, unlike
+    float reductions."""
+    flat, offs = _segment_offsets(hs)
+    v = (A * flat[None, :] + B) % MERSENNE_61  # (n_perm, total)
+    return np.minimum.reduceat(v, offs, axis=1)  # (n_perm, n_docs)
+
+
+def _minhash_sig_udf(n_perm: int):
+    """Arrow-vectorized MinHash signature: per doc, min((a*h+b) mod P)
+    for each permutation (see _sig_mins for the exactness argument)."""
+    A, B = _sig_coeff_arrays(n_perm)
 
     @pandas_udf("array<bigint>")
     def sig(hs: pd.Series) -> pd.Series:
         if len(hs) == 0:
             return pd.Series([], dtype=object)
-        flat, offs = _segment_offsets(hs)
-        v = (A * flat[None, :] + B) % MERSENNE_61  # (n_perm, total)
-        mins = np.minimum.reduceat(v, offs, axis=1)  # (n_perm, n_docs)
-        return pd.Series(list(mins.T))
+        return pd.Series(list(_sig_mins(hs, A, B).T))
 
     return sig
 
@@ -202,14 +212,27 @@ def _simhash_udf(bits: int):
                 np.fromiter(
                     (tok_hash(w) for w in ws), dtype=np.int64, count=len(ws)
                 )
+                if ws is not None
+                else np.empty(0, dtype=np.int64)
                 for ws in words
             ]
         )
-        flat, offs = _segment_offsets(hs)
-        signs = (((flat[None, :] >> shifts) & 1) * 2 - 1).astype(np.int64)
-        sums = np.add.reduceat(signs, offs, axis=1)  # (bits, n_docs)
-        out = ((sums > 0).astype(np.int64) << shifts).sum(axis=0)
-        return pd.Series(out)
+        # tokenless docs (including NULL text -> NULL words) -> NULL
+        # (dropped by the caller's isNotNull — SimHash is undefined
+        # there); computed on the non-empty subset so the reduceat
+        # contract holds
+        mask = np.fromiter(
+            (len(x) > 0 for x in hs), dtype=bool, count=len(hs)
+        )
+        result: list = [None] * len(hs)
+        if mask.any():
+            flat, offs = _segment_offsets(hs[mask].reset_index(drop=True))
+            signs = (((flat[None, :] >> shifts) & 1) * 2 - 1).astype(np.int64)
+            sums = np.add.reduceat(signs, offs, axis=1)  # (bits, n_docs)
+            out = ((sums > 0).astype(np.int64) << shifts).sum(axis=0)
+            for pos, v in zip(np.flatnonzero(mask), out):
+                result[pos] = int(v)
+        return pd.Series(result, dtype=object)
 
     return sim
 
@@ -276,22 +299,40 @@ def _sized_group_instances(
     AssertionError on very large AQE plans (observed at the 500k-doc
     stress point; fine at test scale). For scale telemetry, derive the
     same two numbers directly from a count-aggregate over the bucket
-    keys — one cheap extra job, no observe node."""
-    # TWO consumers read inv (the count agg and the join), so its
-    # upstream pipeline runs twice. Measured trade (sf0.1 and 100x):
-    # persisting inv here LOSES — cache materialization of the
-    # instance stream costs more than recomputing it, because every
+    keys — one cheap extra job, no observe node.
+
+    Round 14, the hot path (observation=None): group sizes come from a
+    whole-partition COUNT window over the ONE key-hash exchange the
+    caller's follow-up groupBy needs anyway — the former
+    count-agg + merge-join shape consumed ``inv`` twice (re-running
+    the whole upstream signature pipeline, ArrowEvalPython included)
+    and paid a second exchange of the instance stream plus the keep
+    side's sort. The window buffers one key group at a time
+    (ExternalAppendOnlyUnsafeRowArray — spills), so a degenerate
+    bucket degrades to disk exactly like the join's sort did: the cap
+    is still applied before any collect_list buffer exists. The
+    telemetry path keeps the count-agg shape because a per-instance
+    observe would multiply-count each group; the scale-guard tests
+    exercise both paths and pin value equality."""
+    if observation is None:
+        w = Window.partitionBy(*keys)
+        return inv.withColumn("_gsz", F.count(F.lit(1)).over(w)).filter(
+            (F.col("_gsz") >= 2) & (F.col("_gsz") <= max_size)
+        )
+    # telemetry path: TWO consumers read inv (the count agg and the
+    # join), so its upstream pipeline runs twice. Measured trade (sf0.1
+    # and 100x): persisting inv here LOSES — cache materialization of
+    # the instance stream costs more than recomputing it, because every
     # caller's pipeline is map-side work over an already-persisted
     # parent (sh / sig); ngram regressed 3.2->4.6 s under the persist.
     counts = inv.groupBy(*keys).agg(F.count(F.lit(1)).alias("_gsz"))
-    if observation is not None:
-        counts = counts.observe(
-            observation,
-            F.count(F.when(F.col("_gsz") > max_size, 1)).alias(
-                "dropped_buckets"
-            ),
-            F.count(F.lit(1)).alias("total_buckets"),
-        )
+    counts = counts.observe(
+        observation,
+        F.count(F.when(F.col("_gsz") > max_size, 1)).alias(
+            "dropped_buckets"
+        ),
+        F.count(F.lit(1)).alias("total_buckets"),
+    )
     keep = counts.filter(
         (F.col("_gsz") >= 2) & (F.col("_gsz") <= max_size)
     )
@@ -326,28 +367,81 @@ def _shingle_hash_udf(shingle_n: int):
 
     @pandas_udf("array<bigint>")
     def sh(words: pd.Series) -> pd.Series:
-        md5 = hashlib.md5
-        from_bytes = int.from_bytes
-        # per-Arrow-batch memo: near-dup corpora repeat shingles heavily
-        # across documents, so most md5 calls are cache hits; the dict is
-        # bounded by the batch's distinct-shingle count and freed with it.
-        # digest()[:4] big-endian == int(hexdigest()[:8], 16) — same value,
-        # no hex round-trip.
-        memo: dict[str, int] = {}
-        out = []
-        for w in words:
-            hs = set()
-            for i in range(len(w) - shingle_n + 1):
-                g = " ".join(w[i : i + shingle_n])
-                h = memo.get(g)
-                if h is None:
-                    h = from_bytes(md5(g.encode("utf-8")).digest()[:4], "big")
-                    memo[g] = h
-                hs.add(h)
-            out.append(sorted(hs))
-        return pd.Series(out)
+        return _shingle_hash_batch(words, shingle_n)
 
     return sh
+
+
+def _shingle_hash_batch(words: pd.Series, shingle_n: int) -> pd.Series:
+    """One Arrow batch of word arrays -> sorted distinct 32-bit shingle
+    hash lists (the _shingle_hash_udf body, shared with the fused
+    shingle+signature kernel)."""
+    import hashlib
+
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    # per-Arrow-batch memo: near-dup corpora repeat shingles heavily
+    # across documents, so most md5 calls are cache hits; the dict is
+    # bounded by the batch's distinct-shingle count and freed with it.
+    # digest()[:4] big-endian == int(hexdigest()[:8], 16) — same value,
+    # no hex round-trip.
+    memo: dict[str, int] = {}
+    out = []
+    for w in words:
+        if w is None:
+            # NULL text -> NULL words array: no shingles, dropped by
+            # the caller's size(hs)>0 filter (the former
+            # size(words)>=n pre-filter dropped these rows before the
+            # kernel; with the single-split shape the kernel must
+            # tolerate them)
+            out.append([])
+            continue
+        hs = set()
+        for i in range(len(w) - shingle_n + 1):
+            g = " ".join(w[i : i + shingle_n])
+            h = memo.get(g)
+            if h is None:
+                h = from_bytes(md5(g.encode("utf-8")).digest()[:4], "big")
+                memo[g] = h
+            hs.add(h)
+        out.append(sorted(hs))
+    return pd.Series(out)
+
+
+def _shingle_sig_udf(shingle_n: int, n_perm: int):
+    """Fused shingle + MinHash-signature kernel: word array ->
+    struct(hs, sig) in ONE Python hop. Values are bit-identical to
+    _shingle_hash_udf followed by _minhash_sig_udf — the fusion only
+    removes the second JVM->Python->JVM round trip of the hash arrays
+    (and, when the shingle frame is persisted, a second Arrow scan of
+    the cache), it never changes a byte of either array. Callers
+    guarantee len(words) >= shingle_n (hs non-empty: reduceat
+    contract)."""
+    A, B = _sig_coeff_arrays(n_perm)
+
+    @pandas_udf(f"struct<hs: array<bigint>, sig{n_perm}: array<bigint>>")
+    def shsig(words: pd.Series) -> pd.DataFrame:
+        if len(words) == 0:
+            return pd.DataFrame({"hs": [], f"sig{n_perm}": []})
+        hs = _shingle_hash_batch(words, shingle_n)
+        # docs shorter than the shingle width yield hs=[] here and are
+        # dropped by the caller's size(hs)>0 filter — the emptiness
+        # test moved INTO the kernel so the JVM no longer evaluates the
+        # tokenizing split twice (once for a size(words)>=n pre-filter,
+        # once inlined into the Arrow input projection)
+        mask = np.fromiter(
+            (len(x) > 0 for x in hs), dtype=bool, count=len(hs)
+        )
+        sig: list = [[]] * len(hs)
+        if mask.any():
+            mins = _sig_mins(
+                hs[mask].reset_index(drop=True), A, B
+            ).T  # (n_nonempty, n_perm)
+            for pos, row in zip(np.flatnonzero(mask), mins):
+                sig[pos] = row
+        return pd.DataFrame({"hs": hs, f"sig{n_perm}": pd.Series(sig)})
+
+    return shsig
 
 
 def _gram_strings_udf(n: int):
@@ -374,15 +468,53 @@ def _gram_strings_udf(n: int):
     return grams
 
 
-def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, n_perm: int | None = None
+) -> DataFrame:
     """(id, hs): per-doc distinct shingle-hash set. Tokenization stays
-    JVM-side (codegen'd split); shingle+hash is one Arrow UDF."""
+    JVM-side (codegen'd split); shingle+hash is one Arrow UDF.
+
+    ``n_perm`` (round 14): additionally compute the MinHash signature
+    for that permutation count IN THE SAME Python hop, carried as a
+    ``sig{n_perm}`` column — callers that persist the shingle frame and
+    then band it (every MinHash pipeline) save one whole
+    ArrowEvalPython stage plus a second Arrow pass over the cached hash
+    arrays. The column is n_perm-tagged so a pass with a DIFFERENT
+    permutation count (e.g. the rescue preset over a screen-built
+    frame) can never silently reuse the wrong signature — it just
+    recomputes from ``hs`` via _minhash_sig_udf.
+
+    Short docs are dropped by size(hs) > 0 AFTER the kernel (identical
+    doc set: len(words) >= n <=> at least one shingle) instead of a
+    size(words) >= n pre-filter — the pre-filter made the JVM evaluate
+    the tokenizing regex split TWICE per row (once in the filter, once
+    inlined into the Arrow input projection after projection collapse).
+    The post-filter sits on the kernel OUTPUT, so the split runs once;
+    the filter cannot be pushed below the (deterministic) UDF and
+    duplicate it because Catalyst only pushes filters over the UDF's
+    INPUT columns, and size(hs) references its output."""
     words = words_expr(text_col)
-    return (
-        df.select(F.col(id_col), words.alias("words"))
-        .filter(F.size("words") >= n)
-        .select(F.col(id_col), _shingle_hash_udf(n)(F.col("words")).alias("hs"))
-    )
+    base = df.select(F.col(id_col), words.alias("words"))
+    # asNondeterministic: WITHOUT it the optimizer pushes the size(hs)
+    # filter below the (deterministic) UDF by COPYING the whole kernel
+    # into the filter — two ArrowEvalPython nodes, every row shingled
+    # twice (the exact guide-§4.4 duplication; observed in this plan
+    # before the mark). The kernel IS deterministic; the mark only
+    # forbids the optimizer to duplicate/reorder it.
+    if n_perm is None:
+        kern = _shingle_hash_udf(n).asNondeterministic()
+        out = base.select(F.col(id_col), kern(F.col("words")).alias("hs"))
+    else:
+        kern = _shingle_sig_udf(n, n_perm).asNondeterministic()
+        fused = base.select(
+            F.col(id_col), kern(F.col("words")).alias("_ss")
+        )
+        out = fused.select(
+            F.col(id_col),
+            F.col("_ss.hs").alias("hs"),
+            F.col(f"_ss.sig{n_perm}").alias(f"sig{n_perm}"),
+        )
+    return out.filter(F.size("hs") > 0)
 
 
 def minhash_band_hashes(
@@ -399,18 +531,26 @@ def minhash_band_hashes(
     of (a*h+b) mod 2^61-1 -> band hash = portable hash of each
     rows-per-band slice. Output exploded: (id, band, band_hash). Zero
     shuffles — the expensive part scales linearly and embarrassingly
-    parallel."""
-    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    parallel (and, round 14, runs in ONE fused Python hop — see
+    _doc_shingles n_perm)."""
+    sh = _doc_shingles(df, text_col, id_col, shingle_n, n_perm)
     return _band_hashes_from_shingles(sh, id_col, n_perm, n_bands)
 
 
 def _band_hashes_from_shingles(
     sh: DataFrame, id_col: str, n_perm: int, n_bands: int
 ) -> DataFrame:
-    """(id, hs) -> exploded (id, band, band_hash)."""
+    """(id, hs) -> exploded (id, band, band_hash). A frame built by
+    _doc_shingles(..., n_perm=) already carries the matching
+    ``sig{n_perm}`` column — then banding is pure JVM projection (no
+    ArrowEvalPython stage); any other frame computes the signature
+    from ``hs`` here."""
     assert n_perm % n_bands == 0
     rows_per_band = n_perm // n_bands
-    sig = sh.select(id_col, _minhash_sig_udf(n_perm)(F.col("hs")).alias("sig"))
+    if f"sig{n_perm}" in sh.columns:
+        sig = sh.select(id_col, F.col(f"sig{n_perm}").alias("sig"))
+    else:
+        sig = sh.select(id_col, _minhash_sig_udf(n_perm)(F.col("hs")).alias("sig"))
     bands = sig.select(
         id_col,
         F.explode(
@@ -484,7 +624,7 @@ def minhash_lsh_pairs(
     sh = (
         shingles
         if shingles is not None
-        else _doc_shingles(df, text_col, id_col, shingle_n).persist(
+        else _doc_shingles(df, text_col, id_col, shingle_n, n_perm).persist(
             StorageLevel.MEMORY_AND_DISK
         )
     )
@@ -630,9 +770,14 @@ def minhash_lsh_pairs_rescue(
     rescue_params = _pass_params(
         MINHASH_HIGH_RECALL if rescue is None else rescue
     )
-    sh = _doc_shingles(df, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the shared frame carries the SCREEN preset's fused signature (the
+    # corpus-wide pass skips its ArrowEvalPython stage); the rescue
+    # pass's permutation count differs, so its banding recomputes from
+    # hs — the n_perm-tagged column makes the mismatch structurally
+    # impossible to reuse by accident
+    sh = _doc_shingles(
+        df, text_col, id_col, shingle_n, screen_params["n_perm"]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     part_ids = df.filter(partition_filter).select(F.col(id_col))
     # persisted: the rescue pass consumes its shingle frame three times
     # (band pipeline + both verification sides) and Spark does not dedup
@@ -696,10 +841,17 @@ def simhash_signatures(
     full shift/mask/XOR/popcount path is portable with zero overflow
     cases."""
     words = words_expr(text_col)
-    tokened = df.select(F.col(id_col), words.alias("words")).filter(
-        F.size("words") > 0
+    # single evaluation of the tokenizing split: the kernel returns
+    # NULL for tokenless docs and the filter sits on its OUTPUT (the
+    # former size(words)>0 pre-filter made the JVM run the split twice
+    # — filter + Arrow input projection); asNondeterministic stops the
+    # optimizer copying the kernel below the filter (guide §4.4, same
+    # mark as _doc_shingles)
+    kern = _simhash_udf(bits).asNondeterministic()
+    return (
+        df.select(F.col(id_col), kern(words).alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
     )
-    return tokened.select(id_col, _simhash_udf(bits)(F.col("words")).alias("simhash"))
 
 
 def _ngram_prefix_instances(
@@ -1179,7 +1331,7 @@ def build_corpus_index(
     persisted during the build so the Arrow kernel runs once across
     the two frames derived from it; call ``.unpersist()`` on the
     returned index after materializing the artifacts to release it."""
-    sh = _doc_shingles(corpus_df, text_col, id_col, shingle_n).persist(
+    sh = _doc_shingles(corpus_df, text_col, id_col, shingle_n, n_perm).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     return CorpusIndex(
@@ -1268,9 +1420,9 @@ def incremental_dedup(
         corp_hash = corpus_df.select(
             F.col(id_col).alias("corp_id"), F.md5(F.col(text_col)).alias("h")
         )
-        sh_corp = _doc_shingles(corpus_df, text_col, id_col, shingle_n).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        sh_corp = _doc_shingles(
+            corpus_df, text_col, id_col, shingle_n, n_perm
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         own_caches.append(sh_corp)
         bands_corp = _band_hashes_from_shingles(
             sh_corp, id_col, n_perm, n_bands
@@ -1291,9 +1443,9 @@ def incremental_dedup(
     remaining = new_df.join(
         exact.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
     )
-    sh_new = _doc_shingles(remaining, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh_new = _doc_shingles(
+        remaining, text_col, id_col, shingle_n, n_perm
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     own_caches.append(sh_new)
     # persisted too (batch-bounded: n_bands rows per surviving doc):
     # the candidate join consumes it here, and the ingestion loop's
@@ -1403,7 +1555,7 @@ def incremental_dedup(
     # tests/test_incremental_dedup.py). Valid until plan_caches
     # releases (the frames recompute from lineage afterwards — slower,
     # not wrong).
-    out.batch_shingles = sh_new  # (id_col, hs)
+    out.batch_shingles = sh_new  # (id_col, hs[, sig{n_perm} — fused])
     out.batch_bands = bands_new  # (new_id, band, band_hash)
     return out
 

@@ -34,13 +34,66 @@ def _stop_score(words, lang: str):
     )
 
 
+def _lang_scores_udf():
+    """Arrow kernel: word array -> struct of per-language stopword hit
+    counts, ALL languages in one token pass (a dict lookup per token
+    against the 50-entry stopword->languages table). Replaces five
+    interpreted aggregate-HOFs that each rescanned every token against
+    a 10-element array_contains — same integer counts (exact), one
+    evaluation of the tokenizing split instead of five, ~L x 10 fewer
+    comparisons per token. NULL words (NULL text) -> NULL scores — the
+    same NULL-propagation the interpreted aggregate had and the oracle
+    pins with CASE WHEN words IS NULL THEN NULL (the documents
+    randomized differential enforces this corner); an EMPTY word array
+    scores 0 on both engines."""
+    from pyspark.sql.functions import pandas_udf
+
+    langs = list(STOPWORDS)
+    lut: dict[str, tuple[int, ...]] = {}
+    for i, lg in enumerate(langs):
+        for w in STOPWORDS[lg]:
+            lut[w] = lut.get(w, ()) + (i,)
+    fields = ", ".join(f"score_{lg}: bigint" for lg in langs)
+
+    @pandas_udf(f"struct<{fields}>")
+    def scores(words: pd.Series) -> pd.DataFrame:
+        n_l = len(langs)
+        get = lut.get
+        rows = []
+        for ws in words:
+            if ws is None:
+                rows.append([None] * n_l)
+                continue
+            c = [0] * n_l
+            for w in ws:
+                hit = get(w)
+                if hit is not None:
+                    for i in hit:
+                        c[i] += 1
+            rows.append(c)
+        return pd.DataFrame(
+            {
+                f"score_{lg}": pd.array(
+                    [r[i] for r in rows], dtype="Int64"
+                )
+                for i, lg in enumerate(langs)
+            }
+        )
+
+    return scores
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-profile language id: per-language hit count over tokens,
     argmax with lexicographic tiebreak. Output: (id, score_<lang>...,
-    predicted_lang)."""
+    predicted_lang). Scores come from ONE Arrow token pass (see
+    _lang_scores_udf); the argmax stays a JVM expression over them."""
     words = words_expr(text_col)
     scored = df.select(
-        F.col(id_col), *[_stop_score(words, lg).alias(f"score_{lg}") for lg in STOPWORDS]
+        F.col(id_col), _lang_scores_udf()(words).alias("_sc")
+    ).select(
+        F.col(id_col),
+        *[F.col(f"_sc.score_{lg}").alias(f"score_{lg}") for lg in STOPWORDS],
     )
     # argmax by score desc, then lang asc (deterministic)
     best = F.greatest(*[F.col(f"score_{lg}") for lg in STOPWORDS])
@@ -321,50 +374,77 @@ def text_repetition(
     boilerplate and degenerate generations repeat themselves):
 
     - top_word_fraction: occurrences of the most frequent word / total
-      words (one (doc, word) keyed agg — map-side partial combine makes
-      the shuffle carry distinct words per doc, not tokens)
+      words
     - dup_2gram_fraction / dup_3gram_fraction: 1 - distinct/total word
-      n-grams, pure array expressions, zero shuffle
+      n-grams
+
+    All four counts come from ONE Arrow token pass per doc (round 14);
+    the fractions stay JVM double divisions over the returned integers,
+    so every value is bit-identical to the former formulation. The
+    former plan exploded the token stream into a (doc, word) aggregate,
+    re-aggregated per doc, and merge-joined back onto an interpreted
+    per-position gram transform — two exchanges of token-level data, a
+    join, and ~12 us/slice interpreted gram construction, ALL replaced
+    by a zero-shuffle map stage (scan-speed at 100 TB, no token ever
+    leaves its scan task). Distinct n-grams are counted as word TUPLES,
+    which is exactly the count of distinct joined strings because
+    tokens from the [^\\p{L}]+ split can never contain the join
+    separator.
 
     Output: (id, n_words, top_word_fraction, dup_2gram_fraction,
     dup_3gram_fraction) for docs with at least one word."""
-    words = words_expr(text_col)
-    base = df.select(F.col(id_col), words.alias("words")).filter(
-        F.size("words") >= 1
-    )
+    from pyspark.sql.functions import pandas_udf
 
-    def _dup_frac(n: int):
-        total = F.size("words") - (n - 1)
-        grams = F.transform(
-            F.sequence(F.lit(0), F.size("words") - n),
-            lambda i: F.concat_ws(" ", F.slice("words", i + 1, n)),
+    @pandas_udf(
+        "struct<n_words: bigint, top_c: bigint, d2: bigint, d3: bigint>"
+    )
+    def rep(words: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        n_w, top_c, d2, d3 = [], [], [], []
+        for ws in words:
+            if ws is None:
+                # NULL text: no row downstream (the n_words>=1 filter
+                # drops NULLs exactly like the former size(words)>=1
+                # pre-filter)
+                n_w.append(None), top_c.append(None)
+                d2.append(None), d3.append(None)
+                continue
+            n = len(ws)
+            n_w.append(n)
+            top_c.append(max(Counter(ws).values()) if n else 0)
+            d2.append(len(set(zip(ws, ws[1:]))) if n >= 2 else 0)
+            d3.append(len(set(zip(ws, ws[1:], ws[2:]))) if n >= 3 else 0)
+        return pd.DataFrame(
+            {
+                "n_words": pd.array(n_w, dtype="Int64"),
+                "top_c": pd.array(top_c, dtype="Int64"),
+                "d2": pd.array(d2, dtype="Int64"),
+                "d3": pd.array(d3, dtype="Int64"),
+            }
         )
+
+    # asNondeterministic: the n_words filter references the kernel's
+    # OUTPUT; without the mark the optimizer copies the kernel below
+    # the filter (guide-§4.4 duplication, same as _doc_shingles)
+    kern = rep.asNondeterministic()
+    base = df.select(
+        F.col(id_col), kern(words_expr(text_col)).alias("_r")
+    ).filter(F.col("_r.n_words") >= 1)
+
+    def _dup_frac(n: int, d_col: str):
+        total = F.col("_r.n_words") - (n - 1)
         return F.when(
-            F.size("words") >= n,
-            F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
+            F.col("_r.n_words") >= n,
+            F.lit(1.0) - F.col(f"_r.{d_col}") / total,
         ).otherwise(F.lit(0.0))
 
-    grams = base.select(
+    return base.select(
         F.col(id_col),
-        F.size("words").cast("long").alias("n_words"),
-        _dup_frac(2).alias("dup_2gram_fraction"),
-        _dup_frac(3).alias("dup_3gram_fraction"),
-    )
-    top = (
-        base.select(F.col(id_col), F.explode("words").alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("top_c"))
-    )
-    # top is one row per doc — unbounded, and post-aggregation
-    # estimates misplan broadcasts (see bm25 note): pin sort-merge
-    return grams.join(top.hint("merge"), id_col).select(
-        F.col(id_col),
-        "n_words",
-        (F.col("top_c") / F.col("n_words")).alias("top_word_fraction"),
-        "dup_2gram_fraction",
-        "dup_3gram_fraction",
+        F.col("_r.n_words").alias("n_words"),
+        (F.col("_r.top_c") / F.col("_r.n_words")).alias("top_word_fraction"),
+        _dup_frac(2, "d2").alias("dup_2gram_fraction"),
+        _dup_frac(3, "d3").alias("dup_3gram_fraction"),
     )
 
 

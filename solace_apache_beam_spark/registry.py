@@ -103,7 +103,20 @@ def _load() -> None:
 #   Arrow kernel and the span stats collapse into one whole-partition
 #   window over a single gram-keyed exchange (strings cross one
 #   shuffle, not three).
-# 39 head entries <= the ~50-row snapshot window.
+# - the MinHash/SimHash families (second session): fused
+#   shingle+signature Arrow kernel (one Python hop instead of two),
+#   bucket sizing via a whole-partition window (one exchange of the
+#   band stream and ONE computation of the signature pipeline instead
+#   of two), and the single-split shape (short/NULL-doc handling moved
+#   into the kernels so the tokenizing regex runs once per row, with
+#   asNondeterministic pinning the kernels against filter-pushdown
+#   duplication).
+# - text_repetition / text_language_id: all per-doc counts from one
+#   zero-shuffle Arrow token pass (the former token explode +
+#   two-level aggregate + merge join, resp. five interpreted
+#   aggregate-HOF passes, are gone); fractions/argmax stay JVM
+#   expressions over the returned integers.
+# 48 head entries <= the ~50-row snapshot window.
 _PRIORITY: tuple[str, ...] = (
     # 0. lockstep re-pins (round-14 plan changes; multimodal_features
     #    also changed its oracle — the real-decode consolidation).
@@ -113,6 +126,17 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_neardup_auto",
     "duplicate_spans",
     "curation_pipeline",
+    "minhash_band_hashes",
+    "dedup_minhash_lsh",
+    "dedup_minhash_rescue",
+    "dedup_ngram_jaccard",
+    "training_data_pipeline",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_auto",
+    "decontamination_report",
+    "text_repetition",
+    "text_language_id",
     # 1. newest driver row: round 12 — refresh (alphabetical; the
     #    audit's stale set at round-14 open).
     "ann_ivf_cosine",
@@ -124,8 +148,8 @@ _PRIORITY: tuple[str, ...] = (
     "customers_without_orders",
     "data_quality_events",
     "dedup_rate_report",
-    "dedup_simhash_pairs",
-    "dedup_simhash_pairs_auto",
+    # (dedup_simhash_pairs / dedup_simhash_pairs_auto moved to set 0 —
+    #  second-session plan changes)
     # (embedding_neardup_auto moved to set 0 — round-14 plan change)
     "expectation_report_lineitem",
     "funnel_view_click_purchase",
