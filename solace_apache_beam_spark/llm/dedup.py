@@ -865,16 +865,16 @@ def _ngram_prefix_instances(
     by ngram_jaccard_pairs (candidate generation) and pair_bucket_stats
     (drop telemetry): both must see the identical bucket-key stream.
 
-    Global document frequency is a constant-memory count agg, map-side
-    combined, then a merge join back onto the instance stream (both
-    sides spillable at any scale; counts' estimate comes from an
-    aggregate over Arrow lineage — the misestimate class that planned
-    an OOMing broadcast at a 10x stress run, so never broadcast it).
-    The per-doc prefix is a window pair over ONE (id) partitioning —
-    the unordered size count and the ordered row_number share the
-    exchange+sort, and the window buffer spills
-    (ExternalAppendOnlyUnsafeRowArray), so memory stays document-scale,
-    never corpus-scale."""
+    Global document frequency comes from a whole-partition COUNT window
+    over ONE (shingle) exchange of the instance stream (round 14 — the
+    former count-agg + merge-join consumed ``inv`` twice, recomputing
+    the explode over the cached shingle frame, and exchanged the
+    instances a second time for the join; the window's per-key buffer
+    spills, so a degenerate stop-shingle group degrades to disk exactly
+    like the join's sort did). The per-doc prefix is then a window over
+    ONE (id) partitioning — the ordered row_number — whose buffer
+    spills the same way (ExternalAppendOnlyUnsafeRowArray): memory
+    stays document-scale, never corpus-scale."""
     # _sz (per-doc set size) rides map-side from size(hs) — round 6
     # removed the unordered count-window that used to compute it, so
     # the (id) partitioning carries ONE window node (the ordered
@@ -882,8 +882,9 @@ def _ngram_prefix_instances(
     inv = sh.select(
         F.col(id_col), F.size("hs").alias("_sz"), F.explode("hs").alias("shingle")
     )
-    counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = inv.join(counts.hint("merge"), "shingle")
+    ranked = inv.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     wo = Window.partitionBy(id_col).orderBy("_df", "shingle")
     # required overlap = ceil(t * |d|) — computed with a downward
     # epsilon guard: IEEE rounding can overshoot the exact product
