@@ -607,12 +607,17 @@ def bm25_components(
     same count-window class the ngram prefix ranking shed in round 6;
     round 7 removed it after bm25_components drifted to 1.45x its
     anchor), and document frequency is a count per term over the tf
-    frame (the token stream is read once). The remaining term join is
-    PINNED sort-merge — dfreq is one row per vocabulary term, unbounded
-    at corpus scale, and its static estimate (an aggregate over a
-    persisted frame) can read tiny enough to misplan a broadcast
-    build. The only broadcast is the single-row corpus count. Output:
+    frame (the token stream is read once). Document frequency comes
+    from a whole-partition COUNT window over the one (term) exchange
+    (round 14 — the former dfreq aggregate + pinned sort-merge join
+    consumed the tf frame twice, which is why tf had to be persisted,
+    and exchanged it a second time for the join; the window needs the
+    same (term) exchange the join did, counts the identical value, and
+    leaves tf single-consumer so the persist disappears too). The only
+    broadcast is the single-row corpus count. Output:
     (doc_id, term, tf, df, doc_len, n_docs_total)."""
+    from pyspark.sql.window import Window
+
     # two-step projection: CollapseProject keeps the tokenizer single-
     # evaluation because the outer select references `words` twice
     w = df.select(F.col(id_col), words_expr(text_col).alias("words"))
@@ -621,16 +626,12 @@ def bm25_components(
         F.size("words").cast("long").alias("doc_len"),
         F.explode("words").alias("term"),
     )
-    tf = (
-        tokens.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("doc_len").alias("doc_len"))
-        .persist()
+    tf = tokens.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("doc_len").alias("doc_len")
     )
-    dfreq = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= min_df)
-    )
+    tf_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).filter(F.col("df") >= min_df)
     # the single-row corpus aggregation doubles as the uniqueness
     # guard: count(*) rides the same agg (no extra job/shuffle), and
     # the filter keeps the assert_true in the plan (a projected-away
@@ -654,8 +655,8 @@ def bm25_components(
         .select("n_docs_total")
     )
     return attach_plan_caches(
-        tf.join(dfreq.hint("merge"), "term")
-        .crossJoin(F.broadcast(n_total))
-        .select(id_col, "term", "tf", "df", "doc_len", "n_docs_total"),
-        (tf,),
+        tf_df.crossJoin(F.broadcast(n_total)).select(
+            id_col, "term", "tf", "df", "doc_len", "n_docs_total"
+        ),
+        (),
     )

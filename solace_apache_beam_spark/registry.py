@@ -116,7 +116,11 @@ def _load() -> None:
 #   two-level aggregate + merge join, resp. five interpreted
 #   aggregate-HOF passes, are gone); fractions/argmax stay JVM
 #   expressions over the returned integers.
-# 48 head entries <= the ~50-row snapshot window.
+# - bm25_components / dedup_ngram_jaccard: document frequency from a
+#   whole-partition window over the one term/shingle exchange (the
+#   former count-aggregate + merge join consumed the keyed frame
+#   twice; bm25's tf persist disappears with its second consumer).
+# 49 head entries <= the ~50-row snapshot window.
 _PRIORITY: tuple[str, ...] = (
     # 0. lockstep re-pins (round-14 plan changes; multimodal_features
     #    also changed its oracle — the real-decode consolidation).
@@ -137,6 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "decontamination_report",
     "text_repetition",
     "text_language_id",
+    "bm25_components",
     # 1. newest driver row: round 12 — refresh (alphabetical; the
     #    audit's stale set at round-14 open).
     "ann_ivf_cosine",

@@ -169,8 +169,13 @@ def test_plan_caches_release_cycle(name, spark, sf_dir):
     before = sorted(map(tuple, out.collect()))
     # kmeans_assign/ivf_topk materialize their cache during TRAINING
     # (driver-side collects), which may precede this assertion — but
-    # after the result collect the persisted frames must be live
-    assert handle.is_cached, f"{name}: nothing cached after materialize"
+    # after the result collect the persisted frames must be live.
+    # An EMPTY handle is legitimate (round 14: bm25_components' df
+    # window made its tf frame single-consumer, so the operator no
+    # longer persists anything) — the leak check below still proves no
+    # persist escaped the handle.
+    if handle._frames:
+        assert handle.is_cached, f"{name}: nothing cached after materialize"
     handle.unpersist()
     assert not handle.is_cached, f"{name}: unpersist left a cache"
     # block-manager-level: the handle must cover EVERY frame the call
