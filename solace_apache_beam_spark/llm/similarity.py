@@ -956,9 +956,19 @@ def _kmeans_from_quantized(
     qdf: DataFrame, id_col: str, n_cells: int, n_iters: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lloyd loop over an (already persisted) quantized frame — cosine
-    assignment (:func:`_assign_cells`, the IVF coarse quantizer). PQ
-    subquantizer training has its own one-pass trainer under squared-L2
-    (:func:`_pq_train`)."""
+    assignment (the IVF coarse quantizer; final assignment reuses
+    :func:`_assign_cells`). PQ subquantizer training has its own
+    one-pass trainer under squared-L2 (:func:`_pq_train`).
+
+    Each update reads the corpus through :func:`_cell_update_sums`:
+    the assignment kernel folds the per-(cell, pos) sums map-side, so
+    only n_cells x dim partial rows per task cross back to the JVM —
+    not the full corpus re-serialized through Arrow and posexploded to
+    |V| x dim rows (the round-14-removed shape). Bit-identical: every
+    accumulated value is an integer-valued float64 (quantized
+    components and their partial sums stay < 2^53), so the sums are
+    exact in any association order — the same argument that already
+    made the JVM double sum engine-exact."""
     seed = sorted(
         (int(r[id_col]), np.asarray(r["qv"], dtype=np.float64))
         for r in qdf.filter(F.col(id_col) < n_cells).collect()
@@ -972,11 +982,10 @@ def _kmeans_from_quantized(
     cmat = np.stack([v for _, v in seed])
 
     for _ in range(n_iters):
-        assigned = _assign_cells(qdf, id_col, cids, cmat)
         rows = (
-            assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
+            _cell_update_sums(qdf, cids, cmat)
             .groupBy("cell", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
             .collect()
         )
         new = cmat.copy()
@@ -985,6 +994,47 @@ def _kmeans_from_quantized(
             new[i, int(r["pos"])] = _round_half_away(r["s"] / r["cnt"])
         cmat = new
     return cids, cmat
+
+
+def _cell_update_sums(
+    qdf: DataFrame, cids: np.ndarray, cmat: np.ndarray
+) -> DataFrame:
+    """Fused assign + per-(cell, pos) partial sums for one Lloyd
+    update. The whole partition accumulates into an n_cells x dim
+    float64 array (plus per-cell counts); only those partials are
+    emitted. NaN components poison their cell's sum exactly as the
+    former JVM double sum did (NaN + x = NaN in either engine), and a
+    cell's cnt column repeats its vector count per position — the same
+    value the former count-per-(cell, pos) group produced, since every
+    assigned vector contributes one component at every position."""
+    b_cids, b_cmat = cids.copy(), cmat.copy()
+
+    def sums(batches):
+        n_cells, dim = b_cmat.shape
+        acc = np.zeros((n_cells, dim))
+        cnt = np.zeros(n_cells, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _unpack(pdf["qv"])
+            cos = _block_scores(qm, b_cmat)
+            # -inf only for the argmax (NaN would poison it) — the
+            # same mask _assign_cells applies
+            best = np.where(np.isnan(cos), -np.inf, cos).argmax(axis=1)
+            np.add.at(acc, best, qm)
+            np.add.at(cnt, best, 1)
+        hot = np.flatnonzero(cnt)
+        if len(hot):
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(b_cids[hot], dim),
+                    "pos": np.tile(np.arange(dim, dtype=np.int32), len(hot)),
+                    "s": acc[hot].ravel(),
+                    "cnt": np.repeat(cnt[hot], dim),
+                }
+            )
+
+    return qdf.mapInPandas(sums, "cell long, pos int, s double, cnt long")
 
 
 def _assign_cells(
@@ -1266,13 +1316,15 @@ def _pq_train(
 
     Per iteration: a map-side kernel assigns every subvector to its
     nearest codebook entry (exact integer squared-L2, ties to the
-    smallest code id) and emits the m assignments as one array column;
-    the component explosion stays JVM-side (posexplode), with the
-    owning subspace recovered from the position —
-    s = ((pos+1)*m - 1) div d inverts the slice bounds
-    [d*s div m, d*(s+1) div m) for any d, including uneven splits.
-    One groupBy(s, cell, pos) then carries exact integer partial sums;
-    only m * k_codes * subdim aggregated rows reach the driver."""
+    smallest code id) and folds the per-(subspace, cell, position)
+    sums in the same pass — the whole partition accumulates into m
+    k_codes x subdim arrays, and only those partials cross back to the
+    JVM (the former shape re-serialized the full corpus through Arrow
+    and posexploded it to |V| x dim rows per iteration). Bit-identical
+    by the integer-in-float64 argument: components and partial sums
+    stay exact integers < 2^53, so association order is irrelevant.
+    One groupBy(s, cell, spos) merges the partials; only
+    m * k_codes * subdim aggregated rows reach the driver."""
     seed = sorted(
         (int(r[id_col]), np.asarray(r["qv"], dtype=np.float64))
         for r in qdf.filter(F.col(id_col) < k_codes).collect()
@@ -1293,44 +1345,49 @@ def _pq_train(
         b_books = [b.copy() for b in books]
         b_cids = cids.copy()
 
-        def assign_multi(batches):
+        def sub_sums(batches):
+            accs = [np.zeros_like(bm) for bm in b_books]
+            cnts = np.zeros((m, len(b_cids)), dtype=np.int64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 qm = _unpack(pdf["qv"])
-                n, dd = qm.shape
-                cells = np.empty((n, m), dtype=np.int64)
+                dd = qm.shape[1]
                 for s, bm in enumerate(b_books):
                     sub = qm[:, dd * s // m : dd * (s + 1) // m]
-                    cells[:, s] = b_cids[_pq_sub_d2(sub, bm).argmin(axis=1)]
-                yield pd.DataFrame({"qv": pdf["qv"], "cells": list(cells)})
+                    best = _pq_sub_d2(sub, bm).argmin(axis=1)
+                    np.add.at(accs[s], best, sub)
+                    np.add.at(cnts[s], best, 1)
+            frames = []
+            for s in range(m):
+                hot = np.flatnonzero(cnts[s])
+                if not len(hot):
+                    continue
+                subdim = accs[s].shape[1]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "s": np.full(
+                                len(hot) * subdim, s, dtype=np.int32
+                            ),
+                            "cell": np.repeat(b_cids[hot], subdim),
+                            "spos": np.tile(
+                                np.arange(subdim, dtype=np.int32), len(hot)
+                            ),
+                            "sm": accs[s][hot].ravel(),
+                            "cnt": np.repeat(cnts[s][hot], subdim),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
-        exploded = (
-            qdf.mapInPandas(
-                assign_multi, "qv array<double>, cells array<long>"
-            )
-            .select(
-                F.size("qv").alias("d"),
-                "cells",
-                F.posexplode("qv").alias("pos", "v"),
-            )
-            .select(
-                F.expr(f"CAST(((pos + 1) * {m} - 1) div d AS INT)").alias("s"),
-                "d",
-                "cells",
-                "pos",
-                "v",
-            )
-            .select(
-                "s",
-                F.expr(f"element_at(cells, s + 1)").alias("cell"),
-                F.expr(f"pos - (d * s div {m})").alias("spos"),
-                "v",
-            )
-        )
         rows = (
-            exploded.groupBy("s", "cell", "spos")
-            .agg(F.sum("v").alias("sm"), F.count(F.lit(1)).alias("cnt"))
+            qdf.mapInPandas(
+                sub_sums, "s int, cell long, spos int, sm double, cnt long"
+            )
+            .groupBy("s", "cell", "spos")
+            .agg(F.sum("sm").alias("sm"), F.sum("cnt").alias("cnt"))
             .collect()
         )
         new = [b.copy() for b in books]

@@ -639,3 +639,58 @@ def test_incremental_semantic_dedup_matches_reference(
     assert got == _reference_incremental_semantic(
         index_vecs, batch_vecs, 0.4, 3, 2
     )
+
+
+@settings(**SETTINGS)
+@given(
+    vec_lists=st.lists(
+        st.lists(_component, min_size=4, max_size=4),
+        min_size=2,
+        max_size=12,
+    ),
+    n_cells=st.sampled_from([1, 2, 3]),
+)
+def test_cell_update_sums_matches_explode(spark, vec_lists, n_cells):
+    """The round-14 fused Lloyd-update kernel (_cell_update_sums:
+    whole-partition per-(cell, pos) partial sums inside the assignment
+    Arrow kernel) must reproduce the former formulation exactly —
+    _assign_cells + posexplode + JVM sum/count per (cell, pos). Both
+    are exact-integer sums, so equality is bitwise, not approximate.
+    Random inputs include duplicate vectors and zero vectors (NaN
+    cosine rows: the -inf argmax mask sends them to the first cell)."""
+    import pyspark.sql.functions as F
+
+    from solace_apache_beam_spark.llm.similarity import (
+        _assign_cells,
+        _cell_update_sums,
+        _quantized_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vec_lists)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = _quantized_vectors(df, "embedding", "vec_id")
+    seed = sorted(
+        (int(r["vec_id"]), np.asarray(r["qv"], dtype=np.float64))
+        for r in qdf.filter(F.col("vec_id") < n_cells).collect()
+    )
+    cids = np.array([c for c, _ in seed], dtype=np.int64)
+    cmat = np.stack([v for _, v in seed])
+
+    fused = {
+        (r["cell"], r["pos"]): (r["s"], r["cnt"])
+        for r in _cell_update_sums(qdf, cids, cmat)
+        .groupBy("cell", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    exploded = {
+        (r["cell"], r["pos"]): (r["s"], r["cnt"])
+        for r in _assign_cells(qdf, "vec_id", cids, cmat)
+        .select("cell", F.posexplode("qv").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert fused == exploded
