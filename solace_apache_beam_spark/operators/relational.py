@@ -73,9 +73,9 @@ def exact_percentiles(
     result = v_floor(pos) + (v_ceil(pos) - v_floor(pos)) * (pos -
     floor(pos)) — every term one IEEE op on identically-ranked doubles.
 
-    Scale: one per-group rank (external sort), one count, one
-    conditional aggregation — the rank row_number is the only whole-
-    table window and it's spill-safe; no collects.
+    Scale: one per-group rank (external sort) sharing its group
+    exchange with the whole-partition count window, then one
+    conditional aggregation — spill-safe throughout; no collects.
 
     Output: (group, n, p<q> per quantile e.g. p50, p95)."""
     # tiebreak NULLS LAST: Spark's ASC default is NULLS FIRST, SQL's is
@@ -86,20 +86,20 @@ def exact_percentiles(
     )
     # NULL values are excluded (standard percentile semantics) — and
     # they must be: Spark ranks NULLS FIRST, DuckDB NULLS LAST, so a
-    # NULL reaching the rank would silently shift every endpoint
-    ranked = (
+    # NULL reaching the rank would silently shift every endpoint.
+    # The per-group size n is a whole-partition COUNT window riding the
+    # SAME group exchange the rank needs (round 14 — the former
+    # count-aggregate + join consumed this frame twice, recomputing the
+    # scan+window subtree for each consumer, and exchanged the counts a
+    # second time for the join; the window counts the identical value)
+    j = (
         df.select(group_col, value_col, tiebreak_col)
         .filter(F.col(value_col).isNotNull())
         .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+        )
     )
-    counts = (
-        ranked.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col(group_col).alias("_g"), "n")
-    )
-    # no broadcast hint: counts has one row PER GROUP (unbounded
-    # cardinality) — AQE promotes the join when it is genuinely small
-    j = ranked.join(counts, F.col(group_col) == F.col("_g"))
 
     def pos(q: float):
         return F.lit(1.0) + (F.col("n") - F.lit(1)) * F.lit(q)

@@ -792,18 +792,25 @@ def salted_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (each order vs its customer's own
-    average), written as the decorrelated form Catalyst would produce:
-    per-key aggregate + equi-join — one shuffle, no per-row subquery.
-    The avg comparison is multiplied through (price * n > sum) so the
-    predicate is exact DECIMAL arithmetic on both engines — no
-    division-rounding parity to depend on."""
+    average), decorrelated as whole-partition COUNT/SUM windows over
+    one customer-keyed exchange (round 14 — the former per-key
+    aggregate + equi-join scanned and shuffled orders twice; the
+    windows compute the identical per-customer count and decimal sum
+    in a single pass). The avg comparison is multiplied through
+    (price * n > sum) so the predicate is exact DECIMAL arithmetic on
+    both engines — no division-rounding parity to depend on."""
+    from pyspark.sql.window import Window
+
     o = load_table(spark, sf_dir, "orders")
-    aggs = o.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
-    )
+    w = Window.partitionBy("o_custkey")
     return (
-        o.join(aggs, o.o_custkey == aggs.k)
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("s"),
+        )
         .filter(F.col("o_totalprice").cast("decimal(18,2)") * F.col("n") > F.col("s"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
