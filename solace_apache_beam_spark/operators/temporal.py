@@ -184,11 +184,13 @@ def funnel_counts(
     same-timestamp events have a deterministic order and a single event
     can never satisfy two stages.
 
-    Scale: one keyed join + two grouped aggregations per stage, all on
-    user_id — no windows over the full table, no driver collects; each
-    stage's frontier (one row per surviving user) is the only
-    intermediate. Timestamps and counts only — no float anywhere, so
-    the oracle matches bit-for-bit.
+    Scale: the events table crosses ONE user-keyed exchange; every
+    stage is a conditional whole-partition MIN window over that same
+    partitioning (no per-stage scan, join, or persist — see the
+    round-14 note in the body), followed by one per-user aggregate
+    that reuses the partitioning and one global count row. No driver
+    collects. Timestamps and counts only — no float anywhere, so the
+    oracle matches bit-for-bit.
 
     Output: (stage_idx, stage, n_users) — one row per stage.
 
@@ -210,70 +212,85 @@ def funnel_counts(
     disjunct (ts = t AND id > i) is NULL in both engines). The filters
     make the nullable-input behavior explicit instead of relying on
     sources guaranteeing non-null columns."""
-    from functools import reduce
+    from pyspark.sql.window import Window
 
     ev = df.select(user_col, type_col, ts_col, id_col).filter(
         F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
     )
-    frontier = None  # (user, t, i): earliest qualifying event per user
-    outs = []
-    frontiers = []  # per-stage persisted frontiers -> out.plan_caches
+    # Round 14: every stage frontier is a CONDITIONAL whole-partition
+    # MIN window over ONE user-keyed exchange — the former shape ran,
+    # per stage, a filtered scan of the events table, a pinned
+    # sort-merge join against the previous (persisted) frontier, and a
+    # keyed aggregation: 3 scans, 2 join exchanges, 3 persists for the
+    # default funnel. Equivalence, stage by stage: min(when(qual,
+    # struct)) ignores rows failing the qualifier (when -> NULL, min
+    # skips NULLs) exactly as the former filtered aggregation did; a
+    # user absent from stage k-1's frontier has a NULL _f{k-1}, which
+    # NULL-poisons the strictly-after comparison so no stage-k event
+    # qualifies — precisely the former INNER join's row elimination.
+    # The struct carries the same nulls-last flag (z) for the
+    # tie-break id: struct ordering sorts a NULL field FIRST, but the
+    # oracle's min(event_id) ignores NULLs — the flag makes any
+    # non-null id beat a null one. Each window is unordered
+    # (whole-partition frame, no sort) and WindowExec buffers one
+    # user's events at a time — the same spill class as the former
+    # per-stage external aggregation.
+    w = Window.partitionBy(user_col)
+
+    def _mstruct(cond):
+        return F.min(
+            F.when(
+                cond,
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(id_col).isNull().alias("z"),
+                    F.col(id_col).alias("i"),
+                ),
+            )
+        ).over(w)
+
+    d = ev
+    prev = None
     for idx, stage in enumerate(stages):
-        e = ev.filter(F.col(type_col) == stage)
-        if frontier is None:
-            qual = e.select(user_col, ts_col, id_col)
-        else:
-            prev = frontier.select(
-                F.col(user_col), F.col("t").alias("_pt"), F.col("i").alias("_pi")
+        cond = F.col(type_col) == stage
+        if prev is not None:
+            pt = F.col(prev)["t"]
+            pi = F.col(prev)["i"]
+            cond = cond & (
+                (F.col(ts_col) > pt)
+                | ((F.col(ts_col) == pt) & (F.col(id_col) > pi))
             )
-            # prev is one row per SURVIVING USER — unbounded at event
-            # scale, and its static estimate (an aggregate over a
-            # persisted frame) can read tiny: pin a spillable sort-merge
-            # join rather than risk a misplanned broadcast build
-            qual = (
-                e.join(prev.hint("merge"), user_col)
-                .filter(
-                    (F.col(ts_col) > F.col("_pt"))
-                    | ((F.col(ts_col) == F.col("_pt")) & (F.col(id_col) > F.col("_pi")))
-                )
-                .select(user_col, ts_col, id_col)
-            )
-        # earliest qualifying event per user in ONE aggregation:
-        # min(struct(ts, id)) orders lexicographically — earliest ts,
-        # ties to the smallest id — exactly the greedy frontier. (Round
-        # 6 replaced the former min-ts groupBy + join-back + second
-        # groupBy: same deterministic result, one shuffle instead of
-        # two plus a merge join, per stage.) One row per surviving
-        # user; consumed twice (next stage's qualifier + this stage's
-        # count) — persist, or each stage re-executes every prior
-        # stage's joins for both consumers (pipeline duplication
-        # compounds per stage).
-        frontier = (
-            qual.groupBy(user_col)
-            .agg(
-                F.min(
-                    F.struct(
-                        F.col(ts_col).alias("t"),
-                        # nulls-last for the tie-break id: struct
-                        # ordering sorts a NULL field FIRST, but the
-                        # oracle's min(event_id) ignores NULLs — the
-                        # flag makes any non-null id beat a null one
-                        F.col(id_col).isNull().alias("z"),
-                        F.col(id_col).alias("i"),
-                    )
-                ).alias("m")
-            )
-            .select(F.col(user_col), F.col("m.t").alias("t"), F.col("m.i").alias("i"))
-            .persist()
-        )
-        frontiers.append(frontier)
-        outs.append(
-            frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(idx + 1).alias("stage_idx"),
-                F.lit(stage).alias("stage"),
-                "n_users",
-            )
-        )
-    return attach_plan_caches(
-        reduce(lambda a, b: a.union(b), outs), frontiers
+        d = d.withColumn(f"_f{idx}", _mstruct(cond))
+        prev = f"_f{idx}"
+    # one row per user (the flags are constant within a user, and the
+    # groupBy reuses the window's hashpartitioning — no new exchange),
+    # then one global row of per-stage survivor counts
+    per_user = d.groupBy(user_col).agg(
+        *[
+            F.max(F.col(f"_f{i}").isNotNull()).alias(f"s{i}")
+            for i in range(len(stages))
+        ]
     )
+    counts = per_user.agg(
+        *[
+            F.coalesce(F.sum(F.col(f"s{i}").cast("long")), F.lit(0)).alias(
+                f"n{i}"
+            )
+            for i in range(len(stages))
+        ]
+    )
+    out = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("stage_idx"),
+                        F.lit(stage).alias("stage"),
+                        F.col(f"n{i}").alias("n_users"),
+                    )
+                    for i, stage in enumerate(stages)
+                ]
+            )
+        ).alias("r")
+    ).select("r.stage_idx", "r.stage", "r.n_users")
+    return attach_plan_caches(out, ())
