@@ -1847,41 +1847,47 @@ def decontaminate(
 
     Scale: the holdout shingle set is benchmark-sized (tiny next to
     the corpus) — the join is keyed on the shingle hash and AQE
-    broadcasts the holdout side when it fits; the training side is one
-    explode + one (doc)-keyed count. Integer counts + one exact
-    division.
+    broadcasts the holdout side when it fits. Round 14: the training
+    side crosses that join ONCE as a LEFT join carrying a hit flag,
+    and a single (doc)-keyed aggregation counts both rows (= the
+    doc's shingle count — explode emits len(hs) rows and the distinct
+    holdout side cannot fan them out) and hits. The former shape
+    persisted the shingle frame to feed two consumers (the inner-join
+    count and the per-doc size) and joined the counts BACK on doc_id —
+    one more exchange, one persist, and a second pass over the frame,
+    all for values one aggregation already had. Integer counts + one
+    exact division (count(_hit) is 0 for an uncontaminated doc, so
+    the former coalesce is subsumed).
 
     Output: (doc_id, n_shingles, n_contaminated, contamination) for
-    every train doc with >= shingle_n words."""
-    sh_t = _doc_shingles(train_df, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    every train doc with >= shingle_n words (docs below that emit no
+    shingles and are filtered inside _doc_shingles, so every doc here
+    has >= 1 exploded row)."""
     hold = (
         _doc_shingles(holdout_df, text_col, id_col, shingle_n)
         .select(F.explode("hs").alias("shingle"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    inv = sh_t.select(F.col(id_col), F.explode("hs").alias("shingle"))
-    cnt = (
-        inv.join(hold, "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    inv = _doc_shingles(train_df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode("hs").alias("shingle")
     )
     return attach_plan_caches(
-        sh_t.select(F.col(id_col), F.size("hs").cast("long").alias("n_shingles"))
-        .join(cnt, id_col, "left")
+        inv.join(hold, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
         .select(
             F.col(id_col),
             "n_shingles",
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
-                "n_contaminated"
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_shingles")).alias(
+                "contamination"
             ),
-            (
-                F.coalesce(F.col("n_contaminated"), F.lit(0))
-                / F.col("n_shingles")
-            ).alias("contamination"),
         ),
-        (sh_t,),
+        (),
     )
 
 
