@@ -105,22 +105,48 @@ def test_salted_join_spreads_key(spark, sf_dir, queries):
     assert "_salt" in plan  # the salt is part of the join key
 
 
-def test_funnel_no_full_table_window(spark, sf_dir, queries):
-    """Funnel must advance a keyed frontier (joins + aggs), never rank
-    the whole events table with a window."""
-    plan = _plan(spark, queries["funnel_view_click_purchase"](spark, sf_dir))
-    assert "Window" not in plan
+def test_funnel_keyed_windows_single_user_exchange(spark, sf_dir, queries):
+    """Funnel must advance a keyed frontier. Round 14 formulation: every
+    stage is a conditional MIN window PARTITIONED BY the user column over
+    ONE user-keyed exchange. Regressions this pins against: (a) an
+    UNPARTITIONED window (whole events table through one task), (b) the
+    pre-round-14 per-stage scan + sort-merge-join chain coming back,
+    (c) a second user exchange sneaking in between the windows and the
+    per-user aggregate."""
+    import re
+
+    plan = (
+        queries["funnel_view_click_purchase"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "funnel must use the keyed-window formulation"
+    for s in specs:  # every window is user-keyed, never whole-table
+        assert "user_id#" in s
+    assert "SortMergeJoin" not in plan  # the per-stage join chain is gone
+    # exactly one user-keyed shuffle feeds windows AND the per-user agg
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
 
 
-def test_percentiles_single_rank_window(spark, sf_dir, queries):
-    """Exact percentiles: one per-group rank window, and no FORCED
-    broadcast — counts has one row per group (unbounded cardinality),
-    so the join must stay AQE-choosable."""
+def test_percentiles_windows_share_one_group_exchange(spark, sf_dir, queries):
+    """Exact percentiles, round-14 shape: the per-group count rides as a
+    whole-partition COUNT window over the SAME group exchange the rank
+    window needs — the former count-aggregate + join-back (second scan +
+    second exchange) must not come back, and no broadcast may be FORCED
+    (group cardinality is unbounded)."""
     df = queries["percentiles_event_value"](spark, sf_dir)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
-    assert plan.count("Window ") == 1
+    assert plan.count("Window ") == 2  # count window + rank window
+    # both windows ride ONE group exchange; no join-back exchange left
+    assert plan.count("Exchange hashpartitioning(event_type") == 1
+    assert "Join" not in plan  # the aggregate join-back shape is gone
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
 
