@@ -30,18 +30,42 @@ from solace_apache_beam_spark.functions.hashing import h64
 HASH_SPACE = float(1 << 60)  # h64 = 15 hex chars = 60 bits
 
 
-def _bottom_k_prefilter(group_by: str, k: int):
-    """Map-side kernel: per Arrow batch, each group's k smallest
-    distinct hashes. Bounded output, no shuffle."""
+def _bottom_k_prefilter(group_by: str, k: int, flush_rows: int = 1 << 18):
+    """Map-side kernel: each group's k smallest distinct hashes per
+    TASK (round 14 — was per Arrow batch: the survivors then numbered
+    k x groups x batches, two orders of magnitude more shuffle rows at
+    128 MB scan splits with 10k-row Arrow batches). The running state
+    is re-reduced whenever it exceeds ``flush_rows`` and EMITTED if a
+    re-reduce cannot shrink it (high-group-cardinality inputs degrade
+    to the old per-batch behavior) — memory stays capped at roughly
+    2 x flush_rows rows regardless of group cardinality, and the
+    output is bounded either way.
+
+    Lossless at any flush point, same argument as before: a hash among
+    a group's GLOBAL k smallest is among the k smallest of every
+    subset that contains it, so it survives each intermediate
+    bottom-k; groups under k distinct values lose nothing."""
+
+    def reduce_k(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.drop_duplicates()
+            .sort_values("h", kind="mergesort")
+            .groupby(group_by, sort=False, dropna=False)
+            .head(k)
+        )
 
     def keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
         for pdf in batches:
-            yield (
-                pdf.drop_duplicates()
-                .sort_values("h", kind="mergesort")
-                .groupby(group_by, sort=False, dropna=False)
-                .head(k)
-            )
+            cand = reduce_k(pdf)
+            acc = cand if acc is None else pd.concat((acc, cand), ignore_index=True)
+            if len(acc) >= flush_rows:
+                acc = reduce_k(acc)
+                if len(acc) >= flush_rows:
+                    yield acc
+                    acc = None
+        if acc is not None:
+            yield reduce_k(acc)
 
     return keep
 

@@ -164,6 +164,54 @@ def _minhash_sig_udf(n_perm: int):
     return sig
 
 
+def _band_hashes_of_rows(mins_rows, n_perm: int, n_bands: int) -> list:
+    """Signature rows ((n_docs, n_perm) int64) -> per-doc LSH band-hash
+    lists, byte-identical to the former JVM projection
+    h64(concat_ws(",", slice(sig, b*r+1, r))): Long.toString == str()
+    for int64, md5 over the same UTF-8 bytes, and digest()[:8] >> 4 ==
+    int(hexdigest()[:15], 16) — the 60-bit portable hash. Replacing the
+    n_bands-way array-of-struct md5/conv expression removes its
+    codegen cliff (measured ~4 s first-run compile for the 32-band
+    HIGH_RECALL shape) and the per-row conv() cost (the most expensive
+    single op of the h64 chain, microbenched round 14)."""
+    import hashlib
+
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    r = n_perm // n_bands
+    join = ",".join
+    out = []
+    for row in mins_rows:
+        vals = [str(v) for v in row]
+        out.append(
+            [
+                from_bytes(
+                    md5(join(vals[b * r : (b + 1) * r]).encode()).digest()[:8],
+                    "big",
+                )
+                >> 4
+                for b in range(n_bands)
+            ]
+        )
+    return out
+
+
+def _sig_bands_udf(n_perm: int, n_bands: int):
+    """Arrow-vectorized MinHash signature + LSH band hashes in one hop:
+    hash array -> array of n_bands band hashes (the signature never
+    leaves Python — callers only ever band it)."""
+    A, B = _sig_coeff_arrays(n_perm)
+
+    @pandas_udf("array<bigint>")
+    def bands(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype=object)
+        mins = _sig_mins(hs, A, B).T
+        return pd.Series(_band_hashes_of_rows(mins, n_perm, n_bands))
+
+    return bands
+
+
 def _simhash_udf(bits: int):
     """Arrow-vectorized SimHash straight from the word arrays: md5 each
     token (Python hashlib — same bytes the oracle hashes), then per bit
@@ -408,21 +456,22 @@ def _shingle_hash_batch(words: pd.Series, shingle_n: int) -> pd.Series:
     return pd.Series(out)
 
 
-def _shingle_sig_udf(shingle_n: int, n_perm: int):
-    """Fused shingle + MinHash-signature kernel: word array ->
-    struct(hs, sig) in ONE Python hop. Values are bit-identical to
-    _shingle_hash_udf followed by _minhash_sig_udf — the fusion only
-    removes the second JVM->Python->JVM round trip of the hash arrays
-    (and, when the shingle frame is persisted, a second Arrow scan of
-    the cache), it never changes a byte of either array. Callers
-    guarantee len(words) >= shingle_n (hs non-empty: reduceat
+def _shingle_bands_udf(shingle_n: int, n_perm: int, n_bands: int):
+    """Fused shingle + MinHash + LSH-banding kernel: word array ->
+    struct(hs, bands) in ONE Python hop. Values are bit-identical to
+    _shingle_hash_udf followed by _minhash_sig_udf followed by the
+    former JVM band projection (see _band_hashes_of_rows) — the fusion
+    only removes the extra JVM->Python round trips of the hash arrays
+    and the JVM md5/conv band expression, it never changes a byte.
+    Callers guarantee len(words) >= shingle_n (hs non-empty: reduceat
     contract)."""
     A, B = _sig_coeff_arrays(n_perm)
+    tag = f"bands{n_perm}x{n_bands}"
 
-    @pandas_udf(f"struct<hs: array<bigint>, sig{n_perm}: array<bigint>>")
-    def shsig(words: pd.Series) -> pd.DataFrame:
+    @pandas_udf(f"struct<hs: array<bigint>, {tag}: array<bigint>>")
+    def shbands(words: pd.Series) -> pd.DataFrame:
         if len(words) == 0:
-            return pd.DataFrame({"hs": [], f"sig{n_perm}": []})
+            return pd.DataFrame({"hs": [], tag: []})
         hs = _shingle_hash_batch(words, shingle_n)
         # docs shorter than the shingle width yield hs=[] here and are
         # dropped by the caller's size(hs)>0 filter — the emptiness
@@ -432,16 +481,19 @@ def _shingle_sig_udf(shingle_n: int, n_perm: int):
         mask = np.fromiter(
             (len(x) > 0 for x in hs), dtype=bool, count=len(hs)
         )
-        sig: list = [[]] * len(hs)
+        bands: list = [[]] * len(hs)
         if mask.any():
             mins = _sig_mins(
                 hs[mask].reset_index(drop=True), A, B
             ).T  # (n_nonempty, n_perm)
-            for pos, row in zip(np.flatnonzero(mask), mins):
-                sig[pos] = row
-        return pd.DataFrame({"hs": hs, f"sig{n_perm}": pd.Series(sig)})
+            for pos, row in zip(
+                np.flatnonzero(mask),
+                _band_hashes_of_rows(mins, n_perm, n_bands),
+            ):
+                bands[pos] = row
+        return pd.DataFrame({"hs": hs, tag: pd.Series(bands)})
 
-    return shsig
+    return shbands
 
 
 def _gram_strings_udf(n: int):
@@ -469,20 +521,27 @@ def _gram_strings_udf(n: int):
 
 
 def _doc_shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int, n_perm: int | None = None
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    n_perm: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """(id, hs): per-doc distinct shingle-hash set. Tokenization stays
     JVM-side (codegen'd split); shingle+hash is one Arrow UDF.
 
-    ``n_perm`` (round 14): additionally compute the MinHash signature
-    for that permutation count IN THE SAME Python hop, carried as a
-    ``sig{n_perm}`` column — callers that persist the shingle frame and
-    then band it (every MinHash pipeline) save one whole
-    ArrowEvalPython stage plus a second Arrow pass over the cached hash
-    arrays. The column is n_perm-tagged so a pass with a DIFFERENT
-    permutation count (e.g. the rescue preset over a screen-built
-    frame) can never silently reuse the wrong signature — it just
-    recomputes from ``hs`` via _minhash_sig_udf.
+    ``n_perm``/``n_bands`` (round 14): additionally compute the MinHash
+    signature AND its LSH band hashes for that geometry IN THE SAME
+    Python hop, carried as a ``bands{n_perm}x{n_bands}`` column —
+    callers that persist the shingle frame and then band it (every
+    MinHash pipeline) save one whole ArrowEvalPython stage plus a
+    second Arrow pass over the cached hash arrays, and banding becomes
+    a pure posexplode (no JVM md5/conv, no n_bands-way codegen). The
+    column is geometry-tagged so a pass with a DIFFERENT preset (e.g.
+    the rescue preset over a screen-built frame) can never silently
+    reuse the wrong bands — it just recomputes from ``hs`` via
+    _sig_bands_udf.
 
     Short docs are dropped by size(hs) > 0 AFTER the kernel (identical
     doc set: len(words) >= n <=> at least one shingle) instead of a
@@ -505,14 +564,16 @@ def _doc_shingles(
         kern = _shingle_hash_udf(n).asNondeterministic()
         out = base.select(F.col(id_col), kern(F.col("words")).alias("hs"))
     else:
-        kern = _shingle_sig_udf(n, n_perm).asNondeterministic()
+        assert n_bands is not None, "fused shingling needs the full geometry"
+        tag = f"bands{n_perm}x{n_bands}"
+        kern = _shingle_bands_udf(n, n_perm, n_bands).asNondeterministic()
         fused = base.select(
             F.col(id_col), kern(F.col("words")).alias("_ss")
         )
         out = fused.select(
             F.col(id_col),
             F.col("_ss.hs").alias("hs"),
-            F.col(f"_ss.sig{n_perm}").alias(f"sig{n_perm}"),
+            F.col(f"_ss.{tag}").alias(tag),
         )
     return out.filter(F.size("hs") > 0)
 
@@ -533,7 +594,7 @@ def minhash_band_hashes(
     shuffles — the expensive part scales linearly and embarrassingly
     parallel (and, round 14, runs in ONE fused Python hop — see
     _doc_shingles n_perm)."""
-    sh = _doc_shingles(df, text_col, id_col, shingle_n, n_perm)
+    sh = _doc_shingles(df, text_col, id_col, shingle_n, n_perm, n_bands)
     return _band_hashes_from_shingles(sh, id_col, n_perm, n_bands)
 
 
@@ -541,35 +602,23 @@ def _band_hashes_from_shingles(
     sh: DataFrame, id_col: str, n_perm: int, n_bands: int
 ) -> DataFrame:
     """(id, hs) -> exploded (id, band, band_hash). A frame built by
-    _doc_shingles(..., n_perm=) already carries the matching
-    ``sig{n_perm}`` column — then banding is pure JVM projection (no
-    ArrowEvalPython stage); any other frame computes the signature
-    from ``hs`` here."""
+    _doc_shingles(..., n_perm=, n_bands=) already carries the matching
+    ``bands{n_perm}x{n_bands}`` column — then banding is a pure
+    posexplode (zero per-row hashing in the JVM); any other frame
+    (e.g. the rescue preset over a screen-built frame) computes
+    signature + bands from ``hs`` in one Arrow hop. Band-hash VALUES
+    are identical in both paths and to the pre-round-14 JVM projection
+    (_band_hashes_of_rows documents the byte-level argument)."""
     assert n_perm % n_bands == 0
-    rows_per_band = n_perm // n_bands
-    if f"sig{n_perm}" in sh.columns:
-        sig = sh.select(id_col, F.col(f"sig{n_perm}").alias("sig"))
+    tag = f"bands{n_perm}x{n_bands}"
+    if tag in sh.columns:
+        arr = sh.select(id_col, F.col(tag).alias("_bands"))
     else:
-        sig = sh.select(id_col, _minhash_sig_udf(n_perm)(F.col("hs")).alias("sig"))
-    bands = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        h64(
-                            F.concat_ws(
-                                ",", F.slice("sig", bi * rows_per_band + 1, rows_per_band)
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("bh"),
+        kern = _sig_bands_udf(n_perm, n_bands).asNondeterministic()
+        arr = sh.select(id_col, kern(F.col("hs")).alias("_bands"))
+    return arr.select(
+        id_col, F.posexplode("_bands").alias("band", "band_hash")
     )
-    return bands.select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
 
 def minhash_lsh_pairs(
@@ -624,7 +673,7 @@ def minhash_lsh_pairs(
     sh = (
         shingles
         if shingles is not None
-        else _doc_shingles(df, text_col, id_col, shingle_n, n_perm).persist(
+        else _doc_shingles(df, text_col, id_col, shingle_n, n_perm, n_bands).persist(
             StorageLevel.MEMORY_AND_DISK
         )
     )
@@ -770,13 +819,18 @@ def minhash_lsh_pairs_rescue(
     rescue_params = _pass_params(
         MINHASH_HIGH_RECALL if rescue is None else rescue
     )
-    # the shared frame carries the SCREEN preset's fused signature (the
-    # corpus-wide pass skips its ArrowEvalPython stage); the rescue
-    # pass's permutation count differs, so its banding recomputes from
-    # hs — the n_perm-tagged column makes the mismatch structurally
-    # impossible to reuse by accident
+    # the shared frame carries the SCREEN preset's fused band hashes
+    # (the corpus-wide pass skips its ArrowEvalPython banding stage);
+    # the rescue pass's geometry differs, so its banding recomputes
+    # from hs — the geometry-tagged column makes the mismatch
+    # structurally impossible to reuse by accident
     sh = _doc_shingles(
-        df, text_col, id_col, shingle_n, screen_params["n_perm"]
+        df,
+        text_col,
+        id_col,
+        shingle_n,
+        screen_params["n_perm"],
+        screen_params["n_bands"],
     ).persist(StorageLevel.MEMORY_AND_DISK)
     part_ids = df.filter(partition_filter).select(F.col(id_col))
     # persisted: the rescue pass consumes its shingle frame three times
@@ -1332,9 +1386,9 @@ def build_corpus_index(
     persisted during the build so the Arrow kernel runs once across
     the two frames derived from it; call ``.unpersist()`` on the
     returned index after materializing the artifacts to release it."""
-    sh = _doc_shingles(corpus_df, text_col, id_col, shingle_n, n_perm).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = _doc_shingles(
+        corpus_df, text_col, id_col, shingle_n, n_perm, n_bands
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return CorpusIndex(
         {
             "hashes": corpus_df.select(
@@ -1422,7 +1476,7 @@ def incremental_dedup(
             F.col(id_col).alias("corp_id"), F.md5(F.col(text_col)).alias("h")
         )
         sh_corp = _doc_shingles(
-            corpus_df, text_col, id_col, shingle_n, n_perm
+            corpus_df, text_col, id_col, shingle_n, n_perm, n_bands
         ).persist(StorageLevel.MEMORY_AND_DISK)
         own_caches.append(sh_corp)
         bands_corp = _band_hashes_from_shingles(
@@ -1445,7 +1499,7 @@ def incremental_dedup(
         exact.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
     )
     sh_new = _doc_shingles(
-        remaining, text_col, id_col, shingle_n, n_perm
+        remaining, text_col, id_col, shingle_n, n_perm, n_bands
     ).persist(StorageLevel.MEMORY_AND_DISK)
     own_caches.append(sh_new)
     # persisted too (batch-bounded: n_bands rows per surviving doc):
@@ -1556,7 +1610,7 @@ def incremental_dedup(
     # tests/test_incremental_dedup.py). Valid until plan_caches
     # releases (the frames recompute from lineage afterwards — slower,
     # not wrong).
-    out.batch_shingles = sh_new  # (id_col, hs[, sig{n_perm} — fused])
+    out.batch_shingles = sh_new  # (id_col, hs[, bands{n_perm}x{n_bands}])
     out.batch_bands = bands_new  # (new_id, band, band_hash)
     return out
 
