@@ -32,6 +32,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
+from solace_apache_beam_spark.functions.partitioning import spread_scan
 from solace_apache_beam_spark.functions.caching import (
     PlanCaches,
     attach_plan_caches,
@@ -553,7 +554,13 @@ def _doc_shingles(
     duplicate it because Catalyst only pushes filters over the UDF's
     INPUT columns, and size(hs) references its output."""
     words = words_expr(text_col)
-    base = df.select(F.col(id_col), words.alias("words"))
+    # spread_scan: small inputs plan the whole scan (and therefore this
+    # kernel) into fewer tasks than cores — spread the narrow (id,
+    # text) projection first; no-op when the scan already has >= cores
+    # partitions (always, at scale)
+    base = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), words.alias("words")
+    )
     # asNondeterministic: WITHOUT it the optimizer pushes the size(hs)
     # filter below the (deterministic) UDF by COPYING the whole kernel
     # into the filter — two ArrowEvalPython nodes, every row shingled
@@ -903,7 +910,8 @@ def simhash_signatures(
     # mark as _doc_shingles)
     kern = _simhash_udf(bits).asNondeterministic()
     return (
-        df.select(F.col(id_col), kern(words).alias("simhash"))
+        spread_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), kern(words).alias("simhash"))
         .filter(F.col("simhash").isNotNull())
     )
 

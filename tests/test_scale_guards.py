@@ -764,3 +764,35 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert {r.cluster_rep for r in rows} == {1}
     assert out.n_rounds <= 10
     out.checkpoint_caches.unpersist()
+
+
+def test_spread_scan_parallelizes_scan_and_never_probes_shuffled_frames(
+    spark, tmp_path
+):
+    """spread_scan (round 14) must (a) spread a narrow single-split scan
+    chain to the session's default parallelism without changing rows,
+    and (b) return any frame with an exchange in its lineage UNTOUCHED
+    (same object) — probing such a frame's partitioning under AQE
+    executes its upstream query stages, i.e. silently runs the subquery
+    an extra time."""
+    from solace_apache_beam_spark.functions.partitioning import (
+        _scan_like,
+        spread_scan,
+    )
+
+    path = str(tmp_path / "one_group.parquet")
+    spark.range(1000).select(
+        F.col("id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    scan = spark.read.parquet(path).select("id", "text").filter(F.col("id") >= 0)
+
+    assert _scan_like(scan)
+    out = spread_scan(scan)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+    joined = scan.join(
+        scan.groupBy("text").count().select(F.col("text")), "text", "left_anti"
+    )
+    assert not _scan_like(joined)
+    assert spread_scan(joined) is joined
