@@ -47,7 +47,16 @@ def _scan_like(df: DataFrame) -> bool:
     return True
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
+# floor for the JVM tokenize+explode call sites (extract_words,
+# vocabulary, bm25): the serial split outruns the round-robin exchange
+# only once the scan side is ~1 MB of estimated input — measured
+# break-even between a 0.6 MB estimate (spread lost ~0.2 s) and a
+# 1.2 MB estimate (spread won 2.7 s on vocabulary). Arrow kernel sites
+# use 0: their per-row cost dominates at any input size.
+TOKENIZE_SPREAD_MIN_BYTES = 1 << 20
+
+
+def spread_scan(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Round-robin repartition ``df`` to the session's default
     parallelism — only when ``df`` is a pure scan-side chain (see
     ``_SCAN_NODES``) that plans fewer partitions.
@@ -61,6 +70,16 @@ def spread_scan(df: DataFrame) -> DataFrame:
     partitions (cluster-scale scans) and frames with any exchange in
     their lineage (post-shuffle parallelism exists; probing them would
     trigger AQE stage execution) are returned untouched.
+
+    ``min_bytes``: additionally skip the spread when the optimizer's
+    size estimate for the frame is below this floor. Arrow kernels with
+    heavy per-row work (md5-per-shingle) win the trade at ANY input
+    size, so they use the 0 default; cheap-per-byte JVM work (the
+    tokenizing split+explode) only outruns the exchange once the serial
+    scan side is a few MB (measured: ~0.4 s/MB serial tokenize vs
+    ~0.2 s + bytes for the exchange), so those sites pass a floor. The
+    estimate is bytes-derived and scale-adaptive, never a row-count or
+    core-count constant.
     """
     if df.isStreaming:
         return df
@@ -69,6 +88,12 @@ def spread_scan(df: DataFrame) -> DataFrame:
     if not _scan_like(df):
         return df
     try:
+        if min_bytes > 0:
+            est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            if not isinstance(est, int):  # py4j BigInteger on some builds
+                est = int(est.toString())
+            if est < min_bytes:
+                return df
         n = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - defensive (odd plan shapes)
         return df

@@ -11,6 +11,10 @@ from pyspark.sql import functions as F
 
 from solace_apache_beam_spark.functions.caching import attach_plan_caches
 from solace_apache_beam_spark.functions.hashing import h32, h64, words_expr
+from solace_apache_beam_spark.functions.partitioning import (
+    TOKENIZE_SPREAD_MIN_BYTES,
+    spread_scan,
+)
 
 # Minimal per-language stopword profiles for the n-gram/stopword
 # heuristic language id (public common stopwords).
@@ -557,7 +561,11 @@ def vocabulary(
     from pyspark.sql.window import Window
 
     counts = (
-        df.select(F.col(id_col), F.explode(words_expr(text_col)).alias("word"))
+        spread_scan(
+            df.select(F.col(id_col), F.col(text_col)),
+            min_bytes=TOKENIZE_SPREAD_MIN_BYTES,
+        )
+        .select(F.col(id_col), F.explode(words_expr(text_col)).alias("word"))
         .groupBy("word")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
@@ -620,7 +628,10 @@ def bm25_components(
 
     # two-step projection: CollapseProject keeps the tokenizer single-
     # evaluation because the outer select references `words` twice
-    w = df.select(F.col(id_col), words_expr(text_col).alias("words"))
+    w = spread_scan(
+        df.select(F.col(id_col), F.col(text_col)),
+        min_bytes=TOKENIZE_SPREAD_MIN_BYTES,
+    ).select(F.col(id_col), words_expr(text_col).alias("words"))
     tokens = w.select(
         F.col(id_col),
         F.size("words").cast("long").alias("doc_len"),

@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 # documented engine-parity guarantees silently break when one constant
 # is tuned — so this is an alias of the hashing module's pattern, not
 # a second definition.
+from solace_apache_beam_spark.functions.partitioning import (  # noqa: E402
+    TOKENIZE_SPREAD_MIN_BYTES,
+    spread_scan,
+)
 from solace_apache_beam_spark.functions.hashing import (  # noqa: E402
     TOKEN_PATTERN as TOKENIZER_PATTERN,
 )
@@ -36,7 +40,13 @@ def extract_words(df: DataFrame, line_col: str = "line", keep: list[str] | None 
     common/CountWords.java:45-52). ``keep`` = passthrough columns
     (e.g. event_time for windowing)."""
     keep = keep or []
-    exploded = df.select(
+    # spread_scan: the tokenize+explode over a single-split scan is the
+    # serial floor of every wordcount query (round 14); no-op on
+    # streaming frames, already-parallel scans, and post-shuffle frames
+    base = spread_scan(
+        df.select(*keep, F.col(line_col)), min_bytes=TOKENIZE_SPREAD_MIN_BYTES
+    )
+    exploded = base.select(
         *keep, F.explode(F.split(F.col(line_col), TOKENIZER_PATTERN)).alias("word")
     )
     return exploded.filter(F.col("word") != "")

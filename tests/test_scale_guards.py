@@ -796,3 +796,22 @@ def test_spread_scan_parallelizes_scan_and_never_probes_shuffled_frames(
     )
     assert not _scan_like(joined)
     assert spread_scan(joined) is joined
+
+
+def test_spread_scan_byte_floor_skips_small_scans(spark, tmp_path):
+    """min_bytes (the tokenize-site floor): a scan estimated below the
+    floor must come back untouched; the same scan with floor 0 must
+    spread. Keeps the sf0.1 bench shape stable while sf1.0+ inputs
+    spread (the floor compares the optimizer's own size estimate, so
+    it is bytes-derived, not a row/core-count constant)."""
+    from solace_apache_beam_spark.functions.partitioning import spread_scan
+
+    path = str(tmp_path / "small.parquet")
+    spark.range(100).selectExpr("id", "repeat('x', 10) as text").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    scan = spark.read.parquet(path).select("id", "text")
+    assert spread_scan(scan, min_bytes=1 << 30) is scan
+    spread = spread_scan(scan, min_bytes=0)
+    assert spread is not scan
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
