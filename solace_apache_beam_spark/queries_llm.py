@@ -252,21 +252,23 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic train/val/test splits, and emit the per-split
     manifest — one declarative DataFrame graph; Catalyst fuses the
     stages (the quality scan and the token count share one read)."""
-    from solace_apache_beam_spark.functions.hashing import words_expr
     from solace_apache_beam_spark.functions.sampling import assign_splits
     from solace_apache_beam_spark.llm.dedup import minhash_lsh_pairs
     from solace_apache_beam_spark.llm.text_analysis import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = quality_score(docs).select(
-        "doc_id", "quality"
-    )
     dup_b = minhash_lsh_pairs(docs).select(F.col("doc_b").alias("doc_id")).distinct()
-    base = docs.select(
-        "doc_id", F.size(words_expr("text")).cast("long").alias("n_tokens")
-    )
+    # ONE projection for quality + n_tokens (round 14, same merge as
+    # curation_pipeline): the former base/scored branches were 1:1
+    # per-row derivations of the same scan joined back on doc_id —
+    # n_tokens IS quality_score's n_words (identical size(words_expr)
+    # expression), and the inner join's only other effect on the
+    # engine's unique-id documents model was dropping NULL doc_ids,
+    # now an explicit filter. Proven by oracle parity at sf0.01/sf0.1.
     clean = (
-        base.join(scored, "doc_id")
+        quality_score(docs)
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "quality", F.col("n_words").alias("n_tokens"))
         .filter(F.col("quality") >= 0.5)
         .join(dup_b, "doc_id", "left_anti")
     )
@@ -1132,7 +1134,6 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-derived stages over one documents scan."""
     from pyspark.sql.window import Window
 
-    from solace_apache_beam_spark.functions.hashing import words_expr
     from solace_apache_beam_spark.functions.sampling import assign_splits
     from solace_apache_beam_spark.llm.dedup import duplicate_spans
     from solace_apache_beam_spark.llm.similarity import semantic_dedup as sd
@@ -1140,12 +1141,29 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    scored = quality_score(docs).select("doc_id", "quality")
-    keep = docs.select(
-        "doc_id",
-        F.min("doc_id")
-        .over(Window.partitionBy(F.md5("text")))
-        .alias("keep_id"),
+    # ONE projection carries quality, n_tokens and the exact-dedup
+    # window (round 14): the former three separate branches (scored /
+    # keep / base) were 1:1 per-row derivations of the SAME documents
+    # scan, joined back on doc_id — three scans and two joins for
+    # columns one select can produce. Value-identical: n_tokens ==
+    # quality_score's n_words (the same size(words_expr) expression);
+    # the keep window is carried verbatim; the inner joins' only
+    # semantic content on a unique-id corpus (the engine's documents
+    # invariant) was dropping NULL doc_ids, which the
+    # doc_id == keep_id filter below already does (NULL == x is never
+    # true). Proven by oracle parity at sf0.01 and sf0.1.
+    merged = (
+        quality_score(docs, extra_cols=("text",))
+        .withColumn(
+            "keep_id",
+            F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+        )
+        .select(
+            "doc_id",
+            "quality",
+            F.col("n_words").alias("n_tokens"),
+            "keep_id",
+        )
     )
     spans = duplicate_spans(docs, n=_CURATION_SPAN_N, with_match=False).select(
         "doc_id", "dup_span_ratio"
@@ -1156,12 +1174,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     semdups = sem.filter(F.col("is_dup")).select(
         F.col("vec_id").alias("doc_id")
     )
-    base = docs.select(
-        "doc_id", F.size(words_expr("text")).cast("long").alias("n_tokens")
-    )
     clean = (
-        base.join(scored, "doc_id")
-        .join(keep, "doc_id")
+        merged
         .join(spans, "doc_id", "left")
         .filter(
             (F.col("quality") >= 0.5)
