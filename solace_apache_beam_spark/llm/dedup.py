@@ -606,7 +606,8 @@ def minhash_band_hashes(
 
 
 def _band_hashes_from_shingles(
-    sh: DataFrame, id_col: str, n_perm: int, n_bands: int
+    sh: DataFrame, id_col: str, n_perm: int, n_bands: int,
+    with_size: bool = False,
 ) -> DataFrame:
     """(id, hs) -> exploded (id, band, band_hash). A frame built by
     _doc_shingles(..., n_perm=, n_bands=) already carries the matching
@@ -615,16 +616,24 @@ def _band_hashes_from_shingles(
     (e.g. the rescue preset over a screen-built frame) computes
     signature + bands from ``hs`` in one Arrow hop. Band-hash VALUES
     are identical in both paths and to the pre-round-14 JVM projection
-    (_band_hashes_of_rows documents the byte-level argument)."""
+    (_band_hashes_of_rows documents the byte-level argument).
+
+    ``with_size`` additionally carries the doc's shingle-set size as
+    ``_sz`` (map-side ``size(hs)``, 8 bytes per instance) — the pair
+    pipelines feed it to the lossless Bayardo size filter before the
+    verify joins; the band-hash QUERY output keeps the 3-column shape."""
     assert n_perm % n_bands == 0
     tag = f"bands{n_perm}x{n_bands}"
+    carry = [F.size("hs").alias("_sz")] if with_size else []
     if tag in sh.columns:
-        arr = sh.select(id_col, F.col(tag).alias("_bands"))
+        arr = sh.select(id_col, *carry, F.col(tag).alias("_bands"))
     else:
         kern = _sig_bands_udf(n_perm, n_bands).asNondeterministic()
-        arr = sh.select(id_col, kern(F.col("hs")).alias("_bands"))
+        arr = sh.select(id_col, *carry, kern(F.col("hs")).alias("_bands"))
     return arr.select(
-        id_col, F.posexplode("_bands").alias("band", "band_hash")
+        id_col,
+        *(["_sz"] if with_size else []),
+        F.posexplode("_bands").alias("band", "band_hash"),
     )
 
 
@@ -684,26 +693,55 @@ def minhash_lsh_pairs(
             StorageLevel.MEMORY_AND_DISK
         )
     )
-    bands = _band_hashes_from_shingles(sh, id_col, n_perm, n_bands)
+    bands = _band_hashes_from_shingles(
+        sh, id_col, n_perm, n_bands, with_size=True
+    )
     # bucket-collect pair generation: ONE pass over the signature
     # pipeline, vs a self-join that computes the (expensive) MinHash
     # side twice and shuffles it twice. Size-first cap: the bucket
     # population is counted before any array is collected, so a
     # degenerate band hash can never build an over-cap aggregation
-    # buffer (see _sized_group_instances).
+    # buffer (see _sized_group_instances). Each posting carries its
+    # doc's shingle-set size for the size filter below (struct sorts by
+    # id-first field order, so the sorted-array pair invariant holds).
     buckets = (
         _sized_group_instances(bands, ["band", "band_hash"], max_bucket, observation)
         .groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col), F.col("_sz")))
+            ).alias("ids")
+        )
     )
     # a clique's bucket is IDENTICAL across all n_bands band hashes —
     # dedup the member arrays before pair explosion so each clique's
     # pairs are generated once, not n_bands times (the downstream
     # .distinct() collapses the same duplicates, but only after paying
-    # an n_bands-x bigger pair-instance shuffle)
+    # an n_bands-x bigger pair-instance shuffle).
+    #
+    # SIZE FILTER (Bayardo et al. §3.1, the same lossless prune
+    # ngram_jaccard_pairs carries): the output keeps only exact
+    # J >= threshold pairs, and J(A,B) >= t forces
+    # min_sz >= t * max_sz (|A∩B| <= min_sz, |A∪B| >= max_sz) — a
+    # candidate failing it is provably below threshold, so pruning it
+    # BEFORE the distinct and the two full-shingle-array verify joins
+    # is value-identical and cuts the verify joins' array shuffle
+    # volume. Downward-epsilon guard as everywhere: IEEE can round
+    # t*max above the exact product and would drop exact-boundary
+    # pairs; scaling by (1 - 1e-12) errs toward keeping, and
+    # verification is exact.
     cand = (
         _explode_sorted_pairs(buckets.select("ids").distinct(), "ids")
-        .select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"))
+        .filter(
+            F.least(F.col("_a._sz"), F.col("_b._sz"))
+            >= F.greatest(F.col("_a._sz"), F.col("_b._sz"))
+            * F.lit(float(threshold))
+            * F.lit(1.0 - 1e-12)
+        )
+        .select(
+            F.col(f"_a.{id_col}").alias("doc_a"),
+            F.col(f"_b.{id_col}").alias("doc_b"),
+        )
         .distinct()
     )
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("sh_a"))
@@ -1848,6 +1886,14 @@ def connected_components(
         # checkpoint, so they track real data — small-label rounds may
         # legitimately broadcast, and corpus-scale labels plan
         # sort-merge against the co-partitioned edge cache.
+        # (A deeper per-round pointer chase — label := label^(k+1) via
+        # k chained |V|-row self-joins — was tried and REVERTED this
+        # round: it does cut rounds on long-chain graphs (256-node
+        # path: 8 -> 6 at depth 2, 5 at depth 3), but near-dup
+        # cluster graphs are shallow cliques whose round count is
+        # already the convergence floor — measured n_rounds == 4 at
+        # every depth on the sf1.0 corpus, so the extra joins were
+        # pure overhead there and at any clique-shaped corpus.)
         lab = labels.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )

@@ -1638,7 +1638,41 @@ def ivf_pq_topk(
         )
     if n_cells is None:
         n_cells = _derive_n_buckets(qdf.count(), target_bucket)
-    cids, cmat = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
+    if not by_residual:
+        # the coarse quantizer and the PQ codebooks train on the SAME
+        # persisted quantized frame and do not depend on each other
+        # (PQ trains on raw vectors here; only the residual variant
+        # needs the coarse assignment first) — but each training is a
+        # chain of small sequential driver-coordinated jobs (seed
+        # collect + one partial-sums job per Lloyd iteration), so run
+        # the two chains CONCURRENTLY from a 2-thread pool (guide
+        # §2.6: actions are only sequential because the driver calls
+        # them sequentially; the scheduler back-fills the tail of one
+        # chain's job with the other's tasks). Results are the exact
+        # frames/arrays of the sequential order — only job submission
+        # overlaps. Cache coherence: both chains materialize qdf's
+        # blocks through BlockManager per-block locks, so partitions
+        # compute once regardless of which chain's task arrives first.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_coarse = pool.submit(
+                _kmeans_from_quantized, qdf, id_col, n_cells, n_iters
+            )
+            f_books = pool.submit(
+                pq_codebooks,
+                df,
+                vec_col,
+                id_col,
+                m,
+                k_codes,
+                n_iters_pq,
+                _qdf=qdf,
+            )
+            cids, cmat = f_coarse.result()
+            books = f_books.result()
+    else:
+        cids, cmat = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
     b_cids_c, b_cmat_c = cids.copy(), cmat.copy()
     assigned = _assign_cells(qdf, id_col, cids, cmat)
     if by_residual:
@@ -1671,12 +1705,7 @@ def ivf_pq_topk(
             books = _pq_train(res_frame, id_col, m, k_codes, n_iters_pq)
         finally:
             res_frame.unpersist()
-        encode_src = assigned
-    else:
-        books = pq_codebooks(
-            df, vec_col, id_col, m, k_codes, n_iters_pq, _qdf=qdf
-        )
-        encode_src = assigned
+    encode_src = assigned
     b_books = [(bc.copy(), bm.copy()) for bc, bm in books]
     mm = m
     resid = by_residual

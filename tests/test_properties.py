@@ -465,6 +465,30 @@ def test_ngram_jaccard_exact_threshold_boundary(spark):
     assert abs(got[0].jaccard - 0.55) < 1e-12
 
 
+def test_minhash_size_filter_keeps_exact_boundary_pair(spark):
+    """The round-14 Bayardo size filter in minhash_lsh_pairs prunes
+    candidates with min_sz < t*max_sz BEFORE verification; this pins
+    its epsilon guard at the exact boundary. A = 6 words (4 trigram
+    shingles), B = the same 6 + 4 more (8 shingles, A ⊂ B): J = 4/8 =
+    0.5 and min_sz/max_sz = 4/8 = 0.5 — both exactly at the default
+    threshold, and the pair shares 3 of 4 default-geometry bands (so
+    LSH finds it deterministically). An unguarded t*max comparison
+    that floats above the exact product would silently drop the pair
+    the final jaccard >= threshold filter accepts."""
+    from solace_apache_beam_spark.llm.dedup import minhash_lsh_pairs
+
+    vocab = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    ).split()
+    df = spark.createDataFrame(
+        [(0, " ".join(vocab[:6])), (1, " ".join(vocab[:10]))],
+        "doc_id long, text string",
+    )
+    got = minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(0, 1)]
+    assert abs(got[0].jaccard - 0.5) < 1e-12
+
+
 @settings(**SETTINGS)
 @given(
     sz=st.integers(1, 10**12),
