@@ -1588,6 +1588,18 @@ def incremental_dedup(
         .select("new_id", "corp_id")
         .distinct()
     )
+    # NOT prefiltered (round 14, session 5 — tried and REVERTED): a
+    # broadcast semi-join of the corpus shingle side on cand's distinct
+    # corp_ids (guide §3.2) cuts the corpus-array exchange to matched
+    # rows, but its build side is the LAST stage of the candidate
+    # pipeline — the corpus-side scan, which the scheduler otherwise
+    # runs CONCURRENTLY with candidate generation, then cannot start
+    # until the whole candidate critical path finishes. Measured +34 %
+    # on the query at sf0.1 (3.66 -> 4.91 s interleaved in-process
+    # min); the serialization is structural at any scale (wall becomes
+    # cand_path + corpus_path instead of max of the two), so the
+    # shuffle-byte saving has to beat a full critical-path length to
+    # win — it did not here and the shape was dropped.
     # join ORDER matters for the exchange count (round 14): corpus
     # shingles attach FIRST (keyed corp_id), batch shingles LAST (keyed
     # new_id) — whenever the planner takes the sort-merge path for the
