@@ -41,6 +41,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from solace_apache_beam_spark.functions.caching import attach_plan_caches
+from solace_apache_beam_spark.functions.partitioning import (
+    TOKENIZE_SPREAD_MIN_BYTES,
+    spread_scan,
+)
 
 QUANT_BITS = 20
 QUANT = 1 << QUANT_BITS
@@ -904,6 +908,16 @@ def _quantized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
                 {id_col: pdf[id_col].to_numpy(dtype=np.int64), "qv": list(q)}
             )
 
+    # NOT spread (round 14, session 5 — byte-floor spread tried here
+    # and REVERTED): this frame is persisted and then re-read by MANY
+    # small sequential training jobs (seed collect + one partial-sums
+    # job per Lloyd/PQ iteration); spreading the one-task scan to 32
+    # cached partitions multiplies every one of those jobs' task count
+    # by 32, and the scheduling overhead swamps the kernel win —
+    # measured semantic_dedup 4.67 -> 8.33 s, ann_ivf_pq_cosine
+    # 3.11 -> 4.12 s at sf1.0 (in-process interleaved low-steal mins).
+    # The sq8 sites below keep the spread: their outputs are consumed
+    # once by a follow-up exchange, not by a job chain.
     return (
         df.select(id_col, vec_col)
         .filter(F.col(vec_col).isNotNull())  # undecoded rows carry no vector
@@ -1841,8 +1855,14 @@ def sq8_stats(
     """Per-dimension (min, max) of the quantized corpus — the affine
     range the SQ8 codec spans. One posexplode + groupBy(pos) with
     map-side partial min/max; only dim rows reach the driver."""
+    # byte-floor spread: the explode + partial min/max is cheap-per-byte
+    # JVM work chained to a (single-row-group at bench SFs) scan — same
+    # floor class as the tokenize sites (#19)
     rows = (
-        df.filter(F.col(vec_col).isNotNull())
+        spread_scan(
+            df.filter(F.col(vec_col).isNotNull()).select(vec_col),
+            min_bytes=TOKENIZE_SPREAD_MIN_BYTES,
+        )
         .select(F.posexplode(_quant_expr(vec_col)).alias("pos", "v"))
         .groupBy("pos")
         .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
@@ -1895,8 +1915,13 @@ def sq8_encode(
         lo, hi = F.element_at(mn_lit, i + 1), F.element_at(mx_lit, i + 1)
         return lo + F.round(c * (hi - lo) / F.lit(255.0), 0)
 
+    # byte-floor spread: two elementwise array transforms per row are
+    # cheap-per-byte JVM work — same floor class as the tokenize sites
     return (
-        df.filter(F.col(vec_col).isNotNull())
+        spread_scan(
+            df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col),
+            min_bytes=TOKENIZE_SPREAD_MIN_BYTES,
+        )
         .select(F.col(id_col), F.transform(q, _code).alias("codes"))
         .select(
             F.col(id_col),
