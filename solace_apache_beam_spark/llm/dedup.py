@@ -506,14 +506,21 @@ def _gram_strings_udf(n: int):
     interpreted transform(sequence, slice, concat_ws) chain — the
     same ~12 us-per-slice interpreted overhead _shingle_hash_udf
     measured, vs ~1 us here (round 14: 4.5-5.7 s -> ~1 s for 2.36 M
-    grams at sf1.0). Callers guarantee len(words) >= n."""
+    grams at sf1.0). Docs shorter than ``n`` words (and NULL-text docs)
+    yield an EMPTY array — the caller's posexplode then emits no rows
+    for them, exactly what the former ``size(words) >= n`` pre-filter
+    achieved, without making the JVM evaluate the tokenizing split
+    twice (the guide-§4.4 double-evaluation #8 removed from the
+    shingle kernels)."""
 
     @pandas_udf("array<string>")
     def grams(words: pd.Series) -> pd.Series:
         join = " ".join
         return pd.Series(
             [
-                [join(w[i : i + n]) for i in range(len(w) - n + 1)]
+                []
+                if w is None
+                else [join(w[i : i + n]) for i in range(len(w) - n + 1)]
                 for w in words
             ]
         )
@@ -2045,9 +2052,17 @@ def duplicate_spans(
     equi-key — spillable sort-merge, pinned hint-free. The per-doc
     rollup is a map-side-combinable count/sum/min."""
     words = words_expr(text_col)
+    # single evaluation of the tokenizing split (round 14, session 5 —
+    # the #8 fix applied here too): the former size(words) >= n
+    # pre-filter made the JVM run the regex split TWICE per row (once
+    # in the filter, once inlined into the Arrow input projection
+    # after projection collapse — the plan showed two split() calls, a
+    # ~2 s/scan floor at sf1.0). The kernel now returns [] for short
+    # or NULL-words docs and posexplode emits no rows for an empty
+    # array — the identical doc set survives.
     base = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col), words.alias("words")
-    ).filter(F.size("words") >= n)
+    )
     # gram construction is an Arrow kernel, not the interpreted
     # transform(sequence, slice, concat_ws) chain (round 14).
     # Measured honestly (same-session interleaved min-of-3 at sf1.0,
