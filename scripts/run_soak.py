@@ -63,6 +63,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from solace_apache_beam_spark.sources import fake_broker
 
 
+def _phase_seconds(default_s: float) -> float:
+    """Per-phase wall budget for the kill-restart scenarios: the
+    hard-coded per-scenario defaults, STRETCHED to 80 % of
+    ``SPARK_GRAFT_SOAK_TIMEOUT`` when the caller raised it. The
+    preflight raises that knob exactly because its 12-wide soak wave
+    contends for the machine — but the pre-kill epoch wait and the
+    restart-drain wait used to keep their solo-run constants, so a
+    scenario starved by its siblings gave up INSIDE a budget the
+    wrapper had already extended (observed: 900 s pre-kill deadline
+    expired with 0 committed epochs while the wave needed ~980 s wall;
+    the scenario then failed its epochs_at_kill >= 3 pin even though
+    the restart drained fold-exact — a pure harness false-negative,
+    reproduced green solo). 80 % leaves the wrapper headroom to report
+    a real hang rather than being killed together with it."""
+    cap = float(os.environ.get("SPARK_GRAFT_SOAK_TIMEOUT", "0"))
+    return max(default_s, 0.8 * cap)
+
+
 def _publish(broker: str, queues: list[str], per_q: int) -> None:
     for q in queues:
         fake_broker.create_queue(broker, q)
@@ -303,7 +321,7 @@ def stateful_kill_restart_soak(n: int, k: int, engine: str = "v1") -> None:
 
     t_all = time.monotonic()
     p1 = _spawn()
-    deadline = time.monotonic() + 600
+    deadline = time.monotonic() + _phase_seconds(600)
     while time.monotonic() < deadline:
         if os.path.exists(os.path.join(work, "DONE")):
             raise SystemExit(
@@ -317,7 +335,7 @@ def stateful_kill_restart_soak(n: int, k: int, engine: str = "v1") -> None:
     p1.wait()
 
     p2 = _spawn()
-    rc = p2.wait(timeout=600)
+    rc = p2.wait(timeout=_phase_seconds(600))
     assert rc == 0, f"restart phase failed rc={rc}"
     assert os.path.exists(os.path.join(work, "DONE"))
     total_s = time.monotonic() - t_all
@@ -575,7 +593,7 @@ def sessionize_kill_restart_soak(
 
     t_all = time.monotonic()
     p1 = _spawn()
-    deadline = time.monotonic() + 600
+    deadline = time.monotonic() + _phase_seconds(600)
     while time.monotonic() < deadline:
         if os.path.exists(os.path.join(work, "DONE")):
             raise SystemExit(
@@ -589,7 +607,7 @@ def sessionize_kill_restart_soak(
     p1.wait()
 
     p2 = _spawn()
-    rc = p2.wait(timeout=600)
+    rc = p2.wait(timeout=_phase_seconds(600))
     assert rc == 0, f"restart phase failed rc={rc}"
     assert os.path.exists(os.path.join(work, "DONE"))
     total_s = time.monotonic() - t_all
@@ -871,7 +889,7 @@ def funnel_kill_restart_soak(
 
     t_all = time.monotonic()
     p1 = _spawn()
-    deadline = time.monotonic() + 600
+    deadline = time.monotonic() + _phase_seconds(600)
     while time.monotonic() < deadline:
         if os.path.exists(os.path.join(work, "DONE")):
             raise SystemExit(
@@ -885,7 +903,7 @@ def funnel_kill_restart_soak(
     p1.wait()
 
     p2 = _spawn()
-    rc = p2.wait(timeout=600)
+    rc = p2.wait(timeout=_phase_seconds(600))
     assert rc == 0, f"restart phase failed rc={rc}"
     assert os.path.exists(os.path.join(work, "DONE"))
     total_s = time.monotonic() - t_all
@@ -1194,7 +1212,7 @@ def incdedup_kill_restart_soak(n: int, k: int) -> None:
 
     t_all = time.monotonic()
     p1 = _spawn()
-    deadline = time.monotonic() + 900
+    deadline = time.monotonic() + _phase_seconds(900)
     while time.monotonic() < deadline:
         if os.path.exists(os.path.join(work, "DONE")):
             raise SystemExit(
@@ -1208,7 +1226,7 @@ def incdedup_kill_restart_soak(n: int, k: int) -> None:
     p1.wait()
 
     p2 = _spawn()
-    rc = p2.wait(timeout=900)
+    rc = p2.wait(timeout=_phase_seconds(900))
     assert rc == 0, f"restart phase failed rc={rc}"
     assert os.path.exists(os.path.join(work, "DONE"))
     total_s = time.monotonic() - t_all
@@ -1503,7 +1521,7 @@ def incgrow_kill_restart_soak(n: int, k: int) -> None:
 
     t_all = time.monotonic()
     p1 = _spawn()
-    deadline = time.monotonic() + 900
+    deadline = time.monotonic() + _phase_seconds(900)
     while time.monotonic() < deadline:
         if os.path.exists(os.path.join(work, "DONE")):
             raise SystemExit(
@@ -1517,7 +1535,7 @@ def incgrow_kill_restart_soak(n: int, k: int) -> None:
     p1.wait()
 
     p2 = _spawn()
-    rc = p2.wait(timeout=900)
+    rc = p2.wait(timeout=_phase_seconds(900))
     assert rc == 0, f"restart phase failed rc={rc}"
     assert os.path.exists(os.path.join(work, "DONE"))
     total_s = time.monotonic() - t_all
@@ -2023,7 +2041,7 @@ def semgrow_kill_restart_soak(n: int, k: int) -> None:
 
     t_all = time.monotonic()
     p1 = _spawn()
-    deadline = time.monotonic() + 900
+    deadline = time.monotonic() + _phase_seconds(900)
     while time.monotonic() < deadline:
         if os.path.exists(os.path.join(work, "DONE")):
             raise SystemExit(
@@ -2037,7 +2055,7 @@ def semgrow_kill_restart_soak(n: int, k: int) -> None:
     p1.wait()
 
     p2 = _spawn()
-    rc = p2.wait(timeout=900)
+    rc = p2.wait(timeout=_phase_seconds(900))
     assert rc == 0, f"restart phase failed rc={rc}"
     assert os.path.exists(os.path.join(work, "DONE"))
     total_s = time.monotonic() - t_all
@@ -2137,7 +2155,7 @@ def kill_restart_soak(n: int, k: int) -> None:
     t_all = time.monotonic()
     p1 = _spawn()
     # kill once a few epochs are committed but the drain is not done
-    deadline = time.monotonic() + 600
+    deadline = time.monotonic() + _phase_seconds(600)
     while time.monotonic() < deadline:
         if os.path.exists(os.path.join(work, "DONE")):
             raise SystemExit(
@@ -2151,7 +2169,7 @@ def kill_restart_soak(n: int, k: int) -> None:
     p1.wait()
 
     p2 = _spawn()
-    rc = p2.wait(timeout=600)
+    rc = p2.wait(timeout=_phase_seconds(600))
     assert rc == 0, f"restart phase failed rc={rc}"
     assert os.path.exists(os.path.join(work, "DONE"))
     total_s = time.monotonic() - t_all

@@ -87,6 +87,15 @@ def exact_percentiles(
     # NULL values are excluded (standard percentile semantics) — and
     # they must be: Spark ranks NULLS FIRST, DuckDB NULLS LAST, so a
     # NULL reaching the rank would silently shift every endpoint.
+    # NULL GROUPS are excluded too (round 14, session 5): the former
+    # count-aggregate + join-back shape dropped them implicitly (an
+    # inner equi-join never matches NULL — the same semantics every
+    # oracle's ranked-JOIN-n formulation keeps), but a window
+    # PARTITION BY groups all NULLs into ONE partition and would emit
+    # a percentile row for that synthetic group. The round-14 window
+    # collapse changed that silently; the fuzz tier caught the
+    # sibling divergence in orders_above_customer_avg and this is the
+    # same class, fixed the same way — filter before the exchange.
     # The per-group size n is a whole-partition COUNT window riding the
     # SAME group exchange the rank needs (round 14 — the former
     # count-aggregate + join consumed this frame twice, recomputing the
@@ -94,7 +103,7 @@ def exact_percentiles(
     # second time for the join; the window counts the identical value)
     j = (
         df.select(group_col, value_col, tiebreak_col)
-        .filter(F.col(value_col).isNotNull())
+        .filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .withColumn(
             "n", F.count(F.lit(1)).over(Window.partitionBy(group_col))

@@ -804,7 +804,16 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
     return (
-        o.select(
+        # NULL custkeys are excluded BEFORE the window: the former (and
+        # oracle's) inner equi-join drops them (NULL never matches),
+        # but a window PARTITION BY groups all NULLs into ONE partition
+        # and would let them qualify against the NULL-group average —
+        # the round-14 fuzz tier caught exactly that divergence on a
+        # NULL-custkey corpus (no driver SF has NULL custkeys, so only
+        # the randomized differential sees it). Filtering first also
+        # keeps the dropped rows out of the exchange.
+        o.filter(F.col("o_custkey").isNotNull())
+        .select(
             "o_orderkey",
             "o_custkey",
             "o_totalprice",
