@@ -963,12 +963,17 @@ def kmeans_centroids(
     qdf = _quantized_vectors(df, vec_col, id_col).persist()
     out = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
     qdf.unpersist()
+    if out is None:
+        raise ValueError(
+            f"k-means seeding found no vectors with {id_col} < {n_cells}; "
+            "pass centroids explicitly or renumber ids"
+        )
     return out
 
 
 def _kmeans_from_quantized(
     qdf: DataFrame, id_col: str, n_cells: int, n_iters: int
-) -> tuple[np.ndarray, np.ndarray]:
+) -> "tuple[np.ndarray, np.ndarray] | None":
     """Lloyd loop over an (already persisted) quantized frame — cosine
     assignment (the IVF coarse quantizer; final assignment reuses
     :func:`_assign_cells`). PQ subquantizer training has its own
@@ -988,10 +993,14 @@ def _kmeans_from_quantized(
         for r in qdf.filter(F.col(id_col) < n_cells).collect()
     )
     if not seed:
-        raise ValueError(
-            f"k-means seeding found no vectors with {id_col} < {n_cells}; "
-            "pass centroids explicitly or renumber ids"
-        )
+        # EMPTY seed set (every id < n_cells has a NULL vector): return
+        # None and let each query path emit its empty frame — the
+        # DuckDB oracles' seed CTEs are empty on such a corpus, so
+        # every centroid join collapses to zero rows (the round-14
+        # fuzz tier falsified the former unconditional raise on
+        # exactly this corpus). The public kmeans_centroids operator
+        # still raises — misuse stays loud there.
+        return None
     cids = np.array([c for c, _ in seed], dtype=np.int64)
     cmat = np.stack([v for _, v in seed])
 
@@ -1108,7 +1117,18 @@ def kmeans_assign(
             ),
             (),
         )
-    cids, cmat = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
+    trained = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
+    if trained is None:
+        # no trainable seeds (every id < n_cells NULL): the oracle's
+        # seed CTE is empty and its centroid join yields zero rows
+        qdf.unpersist()
+        return attach_plan_caches(
+            df.sparkSession.createDataFrame(
+                [], f"{id_col} long, cell long, cos_sim double"
+            ),
+            (),
+        )
+    cids, cmat = trained
     return attach_plan_caches(
         _assign_cells(qdf, id_col, cids, cmat).select(
             F.col(id_col),
@@ -1236,7 +1256,17 @@ def semantic_dedup(
             ),
             (),
         )
-    cids, cmat = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
+    trained = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
+    if trained is None:
+        # no trainable seeds: oracle parity — its seed CTE is empty
+        qdf.unpersist()
+        return attach_plan_caches(
+            df.sparkSession.createDataFrame(
+                [], f"{id_col} long, cell long, is_dup boolean, dup_of long"
+            ),
+            (),
+        )
+    cids, cmat = trained
     # both the pair generation and the final per-vector join read the
     # assignment — persist it once (the kernel quantizes + assigns once)
     assigned = (
@@ -1273,7 +1303,8 @@ def pq_codebooks(
     k_codes: int = 4,
     n_iters: int = 1,
     _qdf: DataFrame | None = None,
-) -> list[tuple[np.ndarray, np.ndarray]]:
+    empty_ok: bool = False,
+) -> "list[tuple[np.ndarray, np.ndarray]] | None":
     """Train product-quantization codebooks: the quantized vector is
     split into ``m`` contiguous subspaces (dims [d*s div m,
     d*(s+1) div m) — deterministic under uneven splits) and all run the
@@ -1297,10 +1328,16 @@ def pq_codebooks(
         else _qdf
     )
     try:
-        return _pq_train(qdf, id_col, m, k_codes, n_iters)
+        books = _pq_train(qdf, id_col, m, k_codes, n_iters)
     finally:
         if own:
             qdf.unpersist()
+    if books is None and not empty_ok:
+        raise ValueError(
+            f"PQ seeding found no vectors with {id_col} < {k_codes}; "
+            "renumber ids or pass codebooks explicitly"
+        )
+    return books
 
 
 def _pq_sub_d2(sub: np.ndarray, cmat: np.ndarray) -> np.ndarray:
@@ -1322,7 +1359,7 @@ def _pq_sub_d2(sub: np.ndarray, cmat: np.ndarray) -> np.ndarray:
 
 def _pq_train(
     qdf: DataFrame, id_col: str, m: int, k_codes: int, n_iters: int
-) -> list[tuple[np.ndarray, np.ndarray]]:
+) -> "list[tuple[np.ndarray, np.ndarray]] | None":
     """One-pass-per-iteration PQ training: all ``m`` subquantizers
     advance together, so each Lloyd iteration reads the corpus ONCE.
     (The naive per-subspace formulation scans the corpus m times per
@@ -1344,10 +1381,12 @@ def _pq_train(
         for r in qdf.filter(F.col(id_col) < k_codes).collect()
     )
     if not seed:
-        raise ValueError(
-            f"PQ seeding found no vectors with {id_col} < {k_codes}; "
-            "renumber ids or pass codebooks explicitly"
-        )
+        # empty seed set: None, same contract as _kmeans_from_quantized
+        # — the PQ oracles' seed CTEs are empty on such a corpus and
+        # every downstream join yields zero rows; the public
+        # pq_codebooks operator translates this back into the loud
+        # ValueError for direct misuse
+        return None
     cids = np.array([c for c, _ in seed], dtype=np.int64)
     d = len(seed[0][1])
     books = [
@@ -1461,8 +1500,16 @@ def pq_encode(
                 df.sparkSession.createDataFrame([], out_schema), ()
             )
         books = pq_codebooks(
-            df, vec_col, id_col, m, k_codes, n_iters, _qdf=qdf
+            df, vec_col, id_col, m, k_codes, n_iters, _qdf=qdf, empty_ok=True
         )
+        if books is None:
+            # non-empty corpus but no trainable seeds (every id <
+            # k_codes NULL): the oracle's seed CTE is empty and every
+            # codebook join collapses to zero rows
+            qdf.unpersist()
+            return attach_plan_caches(
+                df.sparkSession.createDataFrame([], out_schema), ()
+            )
     b_books = [(cids.copy(), cmat.copy()) for cids, cmat in books]
 
     def encode(batches):
@@ -1682,11 +1729,35 @@ def ivf_pq_topk(
                 k_codes,
                 n_iters_pq,
                 _qdf=qdf,
+                empty_ok=True,
             )
-            cids, cmat = f_coarse.result()
+            trained = f_coarse.result()
             books = f_books.result()
+        if trained is None or books is None:
+            # no trainable seeds in one of the chains (every id below
+            # n_cells / k_codes has a NULL vector): every oracle seed
+            # CTE is empty and the search yields zero rows
+            qdf.unpersist()
+            return attach_plan_caches(
+                df.sparkSession.createDataFrame(
+                    [],
+                    "query_id long, neighbor_id long, cos_sim double, rank int",
+                ),
+                (),
+            )
+        cids, cmat = trained
     else:
-        cids, cmat = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
+        trained = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
+        if trained is None:
+            qdf.unpersist()
+            return attach_plan_caches(
+                df.sparkSession.createDataFrame(
+                    [],
+                    "query_id long, neighbor_id long, cos_sim double, rank int",
+                ),
+                (),
+            )
+        cids, cmat = trained
     b_cids_c, b_cmat_c = cids.copy(), cmat.copy()
     assigned = _assign_cells(qdf, id_col, cids, cmat)
     if by_residual:
@@ -1719,6 +1790,17 @@ def ivf_pq_topk(
             books = _pq_train(res_frame, id_col, m, k_codes, n_iters_pq)
         finally:
             res_frame.unpersist()
+        if books is None:
+            # coarse seeds existed but no id < k_codes survived the
+            # NULL filter — empty PQ seed CTE on the oracle side too
+            qdf.unpersist()
+            return attach_plan_caches(
+                df.sparkSession.createDataFrame(
+                    [],
+                    "query_id long, neighbor_id long, cos_sim double, rank int",
+                ),
+                (),
+            )
     encode_src = assigned
     b_books = [(bc.copy(), bm.copy()) for bc, bm in books]
     mm = m
