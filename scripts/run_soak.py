@@ -77,7 +77,13 @@ def _phase_seconds(default_s: float) -> float:
     the restart drained fold-exact — a pure harness false-negative,
     reproduced green solo). 80 % leaves the wrapper headroom to report
     a real hang rather than being killed together with it."""
-    cap = float(os.environ.get("SPARK_GRAFT_SOAK_TIMEOUT", "0"))
+    try:
+        cap = float(os.environ.get("SPARK_GRAFT_SOAK_TIMEOUT") or 0)
+    except ValueError:
+        # an empty/malformed knob must not crash every kill-restart
+        # scenario before it starts (ADVICE r14) — fall back to the
+        # per-scenario default
+        cap = 0.0
     return max(default_s, 0.8 * cap)
 
 

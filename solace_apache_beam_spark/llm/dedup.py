@@ -464,8 +464,8 @@ def _shingle_bands_udf(shingle_n: int, n_perm: int, n_bands: int):
     former JVM band projection (see _band_hashes_of_rows) — the fusion
     only removes the extra JVM->Python round trips of the hash arrays
     and the JVM md5/conv band expression, it never changes a byte.
-    Callers guarantee len(words) >= shingle_n (hs non-empty: reduceat
-    contract)."""
+    Short/empty docs are masked inside the kernel (hs=[], bands=[])
+    and dropped by the caller's size(hs)>0 post-filter."""
     A, B = _sig_coeff_arrays(n_perm)
     tag = f"bands{n_perm}x{n_bands}"
 

@@ -971,6 +971,30 @@ def kmeans_centroids(
     return out
 
 
+def _warn_if_seedless_nonempty(
+    qdf: DataFrame, id_col: str, k: int, knob: str
+) -> None:
+    """ADVICE r14: an empty seed set is a legitimate zero-row outcome
+    only when the corpus itself is empty (or every sub-``k`` id is
+    NULL-vectored); a corpus whose ids merely start above ``k`` is a
+    numbering mistake that would silently return empty frames from
+    kmeans_assign / semantic_dedup / ivf_pq_topk / pq_encode. Runs one
+    take(1) probe — on the degenerate empty-seed path only, never the
+    hot path — and warns to stderr so the misuse is loud without
+    changing any query's (empty) result."""
+    import sys
+
+    if qdf.limit(1).count() > 0:
+        print(
+            f"[solace-graft] WARNING: corpus is non-empty but has no "
+            f"vectors with {id_col} < {knob}={k} — training seeds are "
+            "empty, so this operator returns an EMPTY result. If the "
+            "corpus is real, renumber ids to start at 0 or pass "
+            "centroids/codebooks explicitly.",
+            file=sys.stderr,
+        )
+
+
 def _kmeans_from_quantized(
     qdf: DataFrame, id_col: str, n_cells: int, n_iters: int
 ) -> "tuple[np.ndarray, np.ndarray] | None":
@@ -993,13 +1017,17 @@ def _kmeans_from_quantized(
         for r in qdf.filter(F.col(id_col) < n_cells).collect()
     )
     if not seed:
-        # EMPTY seed set (every id < n_cells has a NULL vector): return
-        # None and let each query path emit its empty frame — the
-        # DuckDB oracles' seed CTEs are empty on such a corpus, so
-        # every centroid join collapses to zero rows (the round-14
-        # fuzz tier falsified the former unconditional raise on
-        # exactly this corpus). The public kmeans_centroids operator
-        # still raises — misuse stays loud there.
+        # EMPTY seed set (every id < n_cells has a NULL vector, or the
+        # corpus is empty): return None and let each query path emit
+        # its empty frame — the DuckDB oracles' seed CTEs are empty on
+        # such a corpus, so every centroid join collapses to zero rows
+        # (the round-14 fuzz tier falsified the former unconditional
+        # raise on exactly this corpus). The public kmeans_centroids
+        # operator still raises — misuse stays loud there. ADVICE r14:
+        # a NON-empty corpus whose ids simply start above n_cells would
+        # otherwise look like a clean zero-row result — probe (one
+        # take(1) job, on this degenerate path only) and warn loudly.
+        _warn_if_seedless_nonempty(qdf, id_col, n_cells, "n_cells")
         return None
     cids = np.array([c for c, _ in seed], dtype=np.int64)
     cmat = np.stack([v for _, v in seed])
@@ -1105,22 +1133,15 @@ def kmeans_assign(
     feeds both the training loop and the final assignment (the Arrow
     quantization kernel runs once). Empty corpus -> empty result."""
     qdf = _quantized_vectors(df, vec_col, id_col).persist()
-    if qdf.isEmpty():
-        # nothing downstream consumes qdf on this path — release it
-        # here rather than handing back a handle to a dead cache; still
-        # attach an (empty) handle so out.plan_caches resolves uniformly
-        # on every path (DataFrame.__getattr__ otherwise raises on it)
-        qdf.unpersist()
-        return attach_plan_caches(
-            df.sparkSession.createDataFrame(
-                [], f"{id_col} long, cell long, cos_sim double"
-            ),
-            (),
-        )
+    # no isEmpty() probe (round 15): an empty corpus has an empty seed
+    # set, so the trained-None branch below already returns the
+    # identical empty frame — the probe was one redundant sequential
+    # driver job per call (VERDICT r14 Next #5)
     trained = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
     if trained is None:
-        # no trainable seeds (every id < n_cells NULL): the oracle's
-        # seed CTE is empty and its centroid join yields zero rows
+        # no trainable seeds (empty corpus, or every id < n_cells
+        # NULL): the oracle's seed CTE is empty and its centroid join
+        # yields zero rows
         qdf.unpersist()
         return attach_plan_caches(
             df.sparkSession.createDataFrame(
@@ -1248,17 +1269,13 @@ def semantic_dedup(
     )
     if n_cells is None:
         n_cells = _derive_n_buckets(qdf.count(), target_bucket)
-    if qdf.isEmpty():
-        qdf.unpersist()
-        return attach_plan_caches(
-            df.sparkSession.createDataFrame(
-                [], f"{id_col} long, cell long, is_dup boolean, dup_of long"
-            ),
-            (),
-        )
+    # no isEmpty() probe (round 15, VERDICT r14 Next #5): empty corpus
+    # => empty seed => the trained-None branch returns the identical
+    # empty frame, one sequential driver job cheaper
     trained = _kmeans_from_quantized(qdf, id_col, n_cells, n_iters)
     if trained is None:
-        # no trainable seeds: oracle parity — its seed CTE is empty
+        # no trainable seeds (or empty corpus): oracle parity — its
+        # seed CTE is empty
         qdf.unpersist()
         return attach_plan_caches(
             df.sparkSession.createDataFrame(
@@ -1358,7 +1375,12 @@ def _pq_sub_d2(sub: np.ndarray, cmat: np.ndarray) -> np.ndarray:
 
 
 def _pq_train(
-    qdf: DataFrame, id_col: str, m: int, k_codes: int, n_iters: int
+    qdf: DataFrame,
+    id_col: str,
+    m: int,
+    k_codes: int,
+    n_iters: int,
+    seed_rows: "list[tuple[int, np.ndarray]] | None" = None,
 ) -> "list[tuple[np.ndarray, np.ndarray]] | None":
     """One-pass-per-iteration PQ training: all ``m`` subquantizers
     advance together, so each Lloyd iteration reads the corpus ONCE.
@@ -1375,17 +1397,36 @@ def _pq_train(
     by the integer-in-float64 argument: components and partial sums
     stay exact integers < 2^53, so association order is irrelevant.
     One groupBy(s, cell, spos) merges the partials; only
-    m * k_codes * subdim aggregated rows reach the driver."""
-    seed = sorted(
-        (int(r[id_col]), np.asarray(r["qv"], dtype=np.float64))
-        for r in qdf.filter(F.col(id_col) < k_codes).collect()
+    m * k_codes * subdim aggregated rows reach the driver.
+
+    ``seed_rows`` (round 15, VERDICT r14 Next #5): a caller that can
+    derive the sorted (id, vector) seed list WITHOUT a Spark job passes
+    it in — the residual path computes seeds driver-side from the
+    already-collected coarse seeds' assignment (tiny numpy op), which
+    removes the full-corpus residual-kernel pass the seed collect used
+    to trigger (the id filter cannot push below the Python kernel, so
+    collecting seeds from the residual frame computed EVERY partition).
+    None keeps the collect."""
+    seed = (
+        sorted(
+            (int(r[id_col]), np.asarray(r["qv"], dtype=np.float64))
+            for r in qdf.filter(F.col(id_col) < k_codes).collect()
+        )
+        if seed_rows is None
+        else seed_rows
     )
     if not seed:
         # empty seed set: None, same contract as _kmeans_from_quantized
         # — the PQ oracles' seed CTEs are empty on such a corpus and
         # every downstream join yields zero rows; the public
         # pq_codebooks operator translates this back into the loud
-        # ValueError for direct misuse
+        # ValueError for direct misuse. Same ADVICE-r14 probe+warn for
+        # the mis-numbered-corpus case (degenerate path only); a caller
+        # handing in precomputed (empty) seed_rows probes its own
+        # source frame instead — qdf here may be an expensive
+        # derived frame (the residual kernel) a probe would execute.
+        if seed_rows is None:
+            _warn_if_seedless_nonempty(qdf, id_col, k_codes, "k_codes")
         return None
     cids = np.array([c for c, _ in seed], dtype=np.int64)
     d = len(seed[0][1])
@@ -1491,21 +1532,17 @@ def pq_encode(
         # full corpus scans for one encode)
         qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
         caches = (qdf,)
-        # empty corpus (or all-NULL vectors): nothing to train on —
-        # return the empty encoding rather than letting the seeding
-        # collect raise (same posture as kmeans_assign)
-        if qdf.isEmpty():
-            qdf.unpersist()
-            return attach_plan_caches(
-                df.sparkSession.createDataFrame([], out_schema), ()
-            )
+        # no isEmpty() probe (round 15, VERDICT r14 Next #5): an empty
+        # corpus (or all-NULL vectors) has an empty seed set, and the
+        # books-None branch below returns the identical empty encoding
+        # — the probe was one redundant sequential driver job per call
         books = pq_codebooks(
             df, vec_col, id_col, m, k_codes, n_iters, _qdf=qdf, empty_ok=True
         )
         if books is None:
-            # non-empty corpus but no trainable seeds (every id <
-            # k_codes NULL): the oracle's seed CTE is empty and every
-            # codebook join collapses to zero rows
+            # no trainable seeds (empty corpus, or every id < k_codes
+            # NULL): the oracle's seed CTE is empty and every codebook
+            # join collapses to zero rows
             qdf.unpersist()
             return attach_plan_caches(
                 df.sparkSession.createDataFrame([], out_schema), ()
@@ -1689,14 +1726,10 @@ def ivf_pq_topk(
     qdf = _quantized_vectors(df, vec_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    if qdf.isEmpty():
-        qdf.unpersist()
-        return attach_plan_caches(
-            df.sparkSession.createDataFrame(
-                [], "query_id long, neighbor_id long, cos_sim double, rank int"
-            ),
-            (),
-        )
+    # no isEmpty() probe (round 15, VERDICT r14 Next #5): an empty
+    # corpus yields empty training seeds, and the trained/books-None
+    # branches below return the identical empty frame — the probe was
+    # one redundant sequential driver job ahead of both training chains
     if n_cells is None:
         n_cells = _derive_n_buckets(qdf.count(), target_bucket)
     if not by_residual:
@@ -1783,13 +1816,44 @@ def ivf_pq_topk(
                     }
                 )
 
+        # PQ seeds DRIVER-SIDE (round 15, VERDICT r14 Next #5): the
+        # seed residuals are qv - cmat[argmax cos(qv, cmat)] for ids <
+        # k_codes — a tiny numpy op over rows collectable from the
+        # ALREADY-MATERIALIZED qdf cache (one cache-read job), using
+        # the exact _assign_cells arithmetic (_block_scores + NaN->-inf
+        # + argmax => first max = smallest cid over the id-sorted
+        # centroid rows), so the seed list is bit-identical to the one
+        # _pq_train's collect over the residual frame produced. That
+        # collect was a FULL corpus pass (the id filter cannot push
+        # below the residual kernel); with it gone, and one training
+        # iteration, the residual frame is consumed exactly once — so
+        # the persist (a second full materialization cost) goes too.
+        seed_q = sorted(
+            (int(r[id_col]), np.asarray(r["qv"], dtype=np.float64))
+            for r in qdf.filter(F.col(id_col) < k_codes).collect()
+        )
+        if seed_q:
+            sm = np.stack([v for _, v in seed_q])
+            cos = _block_scores(sm, cmat)
+            best = np.where(np.isnan(cos), -np.inf, cos).argmax(axis=1)
+            seed_res = [
+                (i, v - cmat[best[j]]) for j, (i, v) in enumerate(seed_q)
+            ]
+        else:
+            seed_res = []
+            _warn_if_seedless_nonempty(qdf, id_col, k_codes, "k_codes")
         res_frame = assigned.mapInPandas(
             residual, f"{id_col} long, qv array<double>, cell long"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if n_iters_pq > 1:
+            res_frame = res_frame.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            books = _pq_train(res_frame, id_col, m, k_codes, n_iters_pq)
+            books = _pq_train(
+                res_frame, id_col, m, k_codes, n_iters_pq, seed_rows=seed_res
+            )
         finally:
-            res_frame.unpersist()
+            if n_iters_pq > 1:
+                res_frame.unpersist()
         if books is None:
             # coarse seeds existed but no id < k_codes survived the
             # NULL filter — empty PQ seed CTE on the oracle side too

@@ -47,19 +47,50 @@ def test_compact_headline_stays_under_driver_tail_cap():
     assert len(json.loads(tiny)) >= 4  # metric/value/unit/sf survive
 
 
-def test_compact_headline_happy_path_keeps_slowest_and_empty_maps():
+def test_compact_headline_happy_path_carries_queries_slowest_first():
     full = {
         "metric": "headline_queries_total",
         "value": 10.0,
         "unit": "sec",
         "sf": 0.1,
-        "queries": {"a": 6.0, "b": 4.0},
+        "queries": {"a": 4.0, "b": 6.0},
         "regressions": {},
         "errors": {},
     }
     parsed = json.loads(bench.compact_headline(full))
-    assert parsed["slowest"] == {"a": 6.0, "b": 4.0}
+    # round 15 (VERDICT r14 Next #2): the final line carries per-query
+    # timings slowest-first so the driver's PERF per-query/scaling
+    # blocks see them (slowest-10 = the dict's prefix; `slowest` key
+    # retired)
+    assert parsed["queries"] == {"b": 6.0, "a": 4.0}
+    assert list(parsed["queries"]) == ["b", "a"]
     assert parsed["regressions"] == {} and parsed["errors"] == {}
+
+
+def test_compact_headline_truncates_queries_to_fit_the_tail():
+    """83 real-length names never fit the ~2,000-char driver tail
+    (names alone are ~1,875 chars) — the line must keep the SLOWEST
+    prefix that fits, report the full n_queries, and stay parseable."""
+    full = {
+        "metric": "headline_queries_total",
+        "value": 88.5,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {f"query_with_a_long_name_{i:03d}": (83 - i) / 7.0 for i in range(83)},
+        "regressions": {},
+        "errors": {},
+    }
+    line = bench.compact_headline(full)
+    assert len(line) <= bench.MAX_HEADLINE_CHARS
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 83
+    kept = parsed["queries"]
+    assert 0 < len(kept) < 83
+    # slowest-first prefix: every kept time >= every dropped time
+    dropped_max = max(
+        v for k, v in full["queries"].items() if k not in kept
+    )
+    assert min(kept.values()) >= dropped_max
 
 
 def test_anchor_file_is_committed_and_covers_registered_queries():

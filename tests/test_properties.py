@@ -468,25 +468,32 @@ def test_ngram_jaccard_exact_threshold_boundary(spark):
 def test_minhash_size_filter_keeps_exact_boundary_pair(spark):
     """The round-14 Bayardo size filter in minhash_lsh_pairs prunes
     candidates with min_sz < t*max_sz BEFORE verification; this pins
-    its epsilon guard at the exact boundary. A = 6 words (4 trigram
-    shingles), B = the same 6 + 4 more (8 shingles, A ⊂ B): J = 4/8 =
-    0.5 and min_sz/max_sz = 4/8 = 0.5 — both exactly at the default
-    threshold, and the pair shares 3 of 4 default-geometry bands (so
-    LSH finds it deterministically). An unguarded t*max comparison
-    that floats above the exact product would silently drop the pair
-    the final jaccard >= threshold filter accepts."""
+    its epsilon guard at a boundary where IEEE genuinely overshoots
+    (ADVICE r14: the former t=0.5, 4/8 instance had t*max = 4.0 exactly
+    representable, so it passed even without the guard). Here A = 57
+    words (55 trigram shingles), B = A + 45 more (100 shingles, A ⊂ B):
+    J = 55/100 = 0.55 = min_sz/max_sz exactly at threshold 0.55, and
+    0.55*100 floats to 55.00000000000001 — an unguarded
+    min_sz >= t*max_sz comparison drops the pair the final
+    jaccard >= threshold filter accepts. Words are letter-only (the
+    tokenizer splits on [^\\p{{L}}]+, so digits would collapse every
+    word to 'w'); the word-index offset (61) is chosen so the pair
+    deterministically shares all 4 default-geometry bands (verified
+    against the kernel's own hashes), so LSH surfaces the candidate
+    and the size filter is the only gate under test."""
     from solace_apache_beam_spark.llm.dedup import minhash_lsh_pairs
 
-    vocab = (
-        "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
-    ).split()
+    words = [  # 102 distinct letter-only words, offset 61
+        "w" + chr(97 + i // 676) + chr(97 + (i // 26) % 26) + chr(97 + i % 26)
+        for i in range(61, 163)
+    ]
     df = spark.createDataFrame(
-        [(0, " ".join(vocab[:6])), (1, " ".join(vocab[:10]))],
+        [(0, " ".join(words[:57])), (1, " ".join(words))],
         "doc_id long, text string",
     )
-    got = minhash_lsh_pairs(df, threshold=0.5).collect()
+    got = minhash_lsh_pairs(df, threshold=0.55).collect()
     assert [(r.doc_a, r.doc_b) for r in got] == [(0, 1)]
-    assert abs(got[0].jaccard - 0.5) < 1e-12
+    assert abs(got[0].jaccard - 0.55) < 1e-12
 
 
 @settings(**SETTINGS)
