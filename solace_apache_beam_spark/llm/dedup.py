@@ -828,12 +828,20 @@ def minhash_lsh_pairs_rescue(
     scale, so the avoided premium GROWS) — the partition's HIGH_RECALL
     contract at roughly half the full-pass cost at 5M docs.
 
-    Plan shape: the corpus is shingled ONCE (the rescue pass reuses
-    the screen's persisted shingle frame through a semi-join on the
-    partition ids instead of re-running the Arrow kernel; the shared
-    cache follows the same session lifecycle as minhash_lsh_pairs'
-    internal one — clearCache between unrelated jobs). The
-    screen/rescue union is resolved by ONE (doc_a, doc_b) aggregation
+    Plan shape (round 15, VERDICT r14 Next #3): the corpus is shingled
+    once for the SCREEN (with its fused band hashes); the RESCUE pass
+    shingles the partition DIRECTLY with the rescue geometry fused into
+    the kernel — one Python hop yields (hs, bands64x32), so the rescue
+    banding is a pure posexplode with NO separate ArrowEvalPython
+    re-banding stage. The former shape semi-joined the corpus shingle
+    cache on the partition ids and re-banded from ``hs``: at bench
+    scale that was measured slower (0.63 vs 0.49 s isolated), and at
+    100 TB it moves the FULL corpus's shingle arrays through the
+    semi-join exchange (part_ids outgrow any broadcast) just to avoid
+    re-tokenizing the partition — exactly the heavy-payload-shuffle-
+    for-a-light-decision shape guide §8 forbids. Re-shingling the
+    partition reads only its (pruned, predicate-pushed) scan slice.
+    The screen/rescue union is resolved by ONE (doc_a, doc_b) aggregation
     taking the screen row on overlap — pair frames are unbounded at
     web scale and their static estimates (distinct over generate over
     cached lineage) can read tiny, so an anti-join formulation would
@@ -872,10 +880,7 @@ def minhash_lsh_pairs_rescue(
         MINHASH_HIGH_RECALL if rescue is None else rescue
     )
     # the shared frame carries the SCREEN preset's fused band hashes
-    # (the corpus-wide pass skips its ArrowEvalPython banding stage);
-    # the rescue pass's geometry differs, so its banding recomputes
-    # from hs — the geometry-tagged column makes the mismatch
-    # structurally impossible to reuse by accident
+    # (the corpus-wide pass skips its ArrowEvalPython banding stage)
     sh = _doc_shingles(
         df,
         text_col,
@@ -884,15 +889,23 @@ def minhash_lsh_pairs_rescue(
         screen_params["n_perm"],
         screen_params["n_bands"],
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    part_ids = df.filter(partition_filter).select(F.col(id_col))
-    # persisted: the rescue pass consumes its shingle frame three times
-    # (band pipeline + both verification sides) and Spark does not dedup
-    # common subplans — without the persist the semi-join (a shuffle of
-    # the cached corpus shingles plus a source scan for part_ids) would
-    # re-execute per consumer. Bounded by the partition fraction.
-    sh_part = sh.join(part_ids, id_col, "semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # rescue shingles: the partition shingled DIRECTLY with the RESCUE
+    # geometry fused into the same kernel (round 15 — see the Plan
+    # shape note above; identical doc set: partition docs with >= 1
+    # shingle, and band values bit-identical to _sig_bands_udf over
+    # hs). Persisted: the rescue pass consumes it three times (band
+    # pipeline + both verification sides). Bounded by the partition
+    # fraction.
+    sh_part = _doc_shingles(
+        df.filter(partition_filter),
+        text_col,
+        id_col,
+        shingle_n,
+        # .get with minhash_lsh_pairs' own defaults so the fused tag
+        # always matches the geometry the rescue pass will band with
+        rescue_params.get("n_perm", 16),
+        rescue_params.get("n_bands", 4),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     screened = minhash_lsh_pairs(df, **screen_params, shingles=sh)
     rescued = minhash_lsh_pairs(
         df.filter(partition_filter), **rescue_params, shingles=sh_part
