@@ -528,6 +528,53 @@ def _gram_strings_udf(n: int):
     return grams
 
 
+def _gram_hashes_udf(n: int):
+    """Positioned word n-grams HASHED to the 60-bit portable md5 prefix
+    (round 15, VERDICT r14 Next #7): word array -> ordered array of
+    h64(" ".join(words[i:i+n])) — position i's value is the hash of the
+    exact gram string _gram_strings_udf emits there, and the DuckDB
+    oracles hash the same UTF-8 bytes with the same
+    ('0x' || substr(md5(g), 1, 15))::BIGINT convention, so both engines
+    see identical values AND identical collisions (the shingle
+    pipelines' collision argument, at 60 bits instead of 32: a merged
+    gram merges on every engine — never a cross-engine mismatch).
+    Downstream of the kernel the gram column is an 8-byte BIGINT, so
+    the ONE gram-keyed exchange duplicate_spans pays carries longs
+    instead of n-word strings — at n=8 that is roughly an
+    order-of-magnitude drop in shuffled key bytes, the first-order
+    cost at 100 TB (guide §2.3). Per-batch memo as in
+    _shingle_hash_batch: positioned grams repeat heavily within and
+    across documents (boilerplate), so most md5 calls are dict hits.
+    Docs shorter than ``n`` words (and NULL-text docs) yield [] — the
+    caller's posexplode emits no rows for them."""
+    import hashlib
+
+    @pandas_udf("array<bigint>")
+    def grams(words: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        join = " ".join
+        memo: dict[str, int] = {}
+
+        def gh(g: str) -> int:
+            h = memo.get(g)
+            if h is None:
+                h = from_bytes(md5(g.encode("utf-8")).digest()[:8], "big") >> 4
+                memo[g] = h
+            return h
+
+        return pd.Series(
+            [
+                []
+                if w is None
+                else [gh(join(w[i : i + n])) for i in range(len(w) - n + 1)]
+                for w in words
+            ]
+        )
+
+    return grams
+
+
 def _doc_shingles(
     df: DataFrame,
     text_col: str,
@@ -2082,20 +2129,24 @@ def duplicate_spans(
     # full operator): the kernel buys ~14-21% — smaller than the
     # shingle case because words_expr's regex split is a shared ~2 s
     # floor — and composes with the one-exchange reshape below to
-    # 7.59 -> 5.86 s (-23%). Output strings are byte-identical
-    # (" ".join == concat_ws(" ")); posexplode keeps the position
-    # semantics.
+    # 7.59 -> 5.86 s (-23%). Round 15 (VERDICT r14 Next #7): the kernel
+    # emits the 60-bit md5-prefix HASH of each positioned gram instead
+    # of the string — the gram key's only use is grouping/windowing (its
+    # text never reaches the output), so the one gram exchange below
+    # carries 8-byte longs instead of n-word strings; the oracles hash
+    # the identical bytes, so collisions (if any) merge identically on
+    # both engines. posexplode keeps the position semantics.
     grams = base.select(
         F.col(id_col),
-        F.posexplode(_gram_strings_udf(n)(F.col("words"))).alias(
+        F.posexplode(_gram_hashes_udf(n)(F.col("words"))).alias(
             "pos0", "gram"
         ),
     ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
-    # ONE exchange carries the gram strings (round 14). The former
-    # shape shuffled them up to three times — gram_docs.distinct(),
-    # the stats groupBy's re-exchange (distinct partitions on BOTH
-    # (gram, id)), and the positioned-span join — and the gram string
-    # is the wide column here (n words per row vs two longs).
+    # ONE exchange carries the gram keys (round 14; round 15 made the
+    # key an 8-byte hash — see above). The former shape shuffled them
+    # up to three times — gram_docs.distinct(), the stats groupBy's
+    # re-exchange (distinct partitions on BOTH (gram, id)), and the
+    # positioned-span join.
     # Repartition on gram once; then the per-(gram, doc) position
     # count (HashPartitioning(gram) satisfies the (gram, id)
     # clustering — subset rule) and the whole-partition window that

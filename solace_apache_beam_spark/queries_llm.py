@@ -845,13 +845,17 @@ _SPAN_N = 8
     oracle=f"""
     -- NULL-id docs excluded on both engines (no identity => no match
     -- to report); dup = the identical word {_SPAN_N}-gram occurs in
-    -- another doc; match_doc = smallest other doc sharing any dup span
+    -- another doc; match_doc = smallest other doc sharing any dup span.
+    -- Grams are keyed by the 60-bit md5-prefix hash of the gram text on
+    -- BOTH engines (round 15 — the Spark side shuffles 8-byte keys, and
+    -- hashing the identical UTF-8 bytes here means a collision merges
+    -- the same grams everywhere: the shingle pipelines' argument)
     WITH w AS (SELECT doc_id, {{_WORDS}} AS words FROM documents
                WHERE doc_id IS NOT NULL),
     base AS (SELECT doc_id, words FROM w WHERE len(words) >= {_SPAN_N}),
     grams AS (
       SELECT doc_id, i AS pos,
-             array_to_string(words[i:i+{_SPAN_N - 1}], ' ') AS gram
+             {_h64(f"array_to_string(words[i:i+{_SPAN_N - 1}], ' ')")} AS gram
       FROM (SELECT doc_id, words,
                    unnest(generate_series(1, len(words) - {_SPAN_N - 1})) AS i
             FROM base)
@@ -1045,8 +1049,10 @@ _CURATION_SQL = f"""
     spbase AS (SELECT doc_id, words FROM spw
                WHERE len(words) >= {_CURATION_SPAN_N}),
     spgrams AS (
+      -- 60-bit md5-prefix gram keys on both engines (round 15, same
+      -- convention as duplicate_spans' oracle)
       SELECT doc_id,
-             array_to_string(words[i:i+{_CURATION_SPAN_N - 1}], ' ') AS gram
+             {_h64(f"array_to_string(words[i:i+{_CURATION_SPAN_N - 1}], ' ')")} AS gram
       FROM (SELECT doc_id, words,
                    unnest(generate_series(1, len(words) - {_CURATION_SPAN_N - 1})) AS i
             FROM spbase)
