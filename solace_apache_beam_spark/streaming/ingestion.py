@@ -186,6 +186,60 @@ def make_corpus_ingestion_screen(
     from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
 
     appender = make_idempotent_appender(status_dir)
+    # next-epoch probe prefetch (round 15, VERDICT r14 Next #6): the
+    # four driver-side listing+footer probes depend only on (path,
+    # epoch_id), and the next batch id of a continuous stream is
+    # epoch_id + 1 — so epoch N launches N+1's probes on a background
+    # thread AFTER its own sinks commit (the listings must see N's
+    # partitions) and N+1 starts with its index frames already built.
+    # A mismatched id (restart from an older checkpoint, first epoch)
+    # just misses and probes synchronously — prefetch is an overlap,
+    # never a correctness input.
+    #
+    # STALENESS GUARD: a prefetched frame bakes in a file listing, and
+    # `compact_grown_index` (or any external maintenance) may rewrite
+    # the partitions between epochs — executing the stale plan then
+    # fails mid-job with FileNotFound (observed live on the compaction
+    # test). Each probe therefore records a listing signature taken
+    # BEFORE its reads; consumption re-lists (one shallow local
+    # listdir per sink — microseconds) and discards the prefetch on
+    # any difference. Paths we cannot cheaply re-list (remote schemes)
+    # return a None signature, which never validates — prefetch simply
+    # stays off there rather than trusting an uncheckable listing.
+    _prefetch: dict = {}
+
+    def _sink_signature() -> "tuple | None":
+        import os
+
+        names: list = []
+        for p in [book_dir] + [f"{grown_dir}/{n}" for n in _INDEX_PARTS]:
+            if "://" in str(p):
+                return None
+            try:
+                names.append(tuple(sorted(os.listdir(p))))
+            except FileNotFoundError:
+                names.append(("<absent>",))
+            except OSError:
+                return None
+        return tuple(names)
+
+    def _probe(epoch_id: int, with_sig: bool = False) -> dict:
+        from concurrent.futures import ThreadPoolExecutor
+
+        sig = _sink_signature() if with_sig else None
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_book = pool.submit(_read_before, spark, book_dir, epoch_id)
+            f_grown = {
+                name: pool.submit(
+                    _read_before, spark, f"{grown_dir}/{name}", epoch_id
+                )
+                for name in _INDEX_PARTS
+            }
+            return {
+                "book": f_book.result(),
+                "grown": {n: f.result() for n, f in f_grown.items()},
+                "sig": sig,
+            }
 
     def screen(batch_df: DataFrame, epoch_id: int) -> None:
         _scoped_shuffle_partitions(
@@ -195,7 +249,6 @@ def make_corpus_ingestion_screen(
     def _screen(batch_df: DataFrame, epoch_id: int) -> None:
         import os
         import time
-        from concurrent.futures import ThreadPoolExecutor
 
         # SPARK_GRAFT_INGEST_TIMING=1: per-epoch section walls to
         # stderr — the observability the round-13/14 throughput
@@ -212,18 +265,25 @@ def make_corpus_ingestion_screen(
 
         t0 = time.perf_counter()
         rows = batch_df.select(queue_col, id_col, doc_col, text_col)
-        # the four per-epoch sink reads are independent driver-side
-        # listing+footer probes (~0.15 s each) — overlap them
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            f_book = pool.submit(_read_before, spark, book_dir, epoch_id)
-            f_grown = {
-                name: pool.submit(
-                    _read_before, spark, f"{grown_dir}/{name}", epoch_id
-                )
-                for name in _INDEX_PARTS
-            }
-            book = f_book.result()
-            grown_parts = {n: f.result() for n, f in f_grown.items()}
+        pre = _prefetch.pop(int(epoch_id), None)
+        probed = None
+        if pre is not None:
+            try:
+                cand = pre.result() if hasattr(pre, "result") else pre
+            except Exception:  # noqa: BLE001 — prefetch is best-effort
+                cand = None
+            # staleness guard: use the prefetch only when the sink
+            # listings are unchanged since it was taken (see above)
+            if (
+                cand is not None
+                and cand["sig"] is not None
+                and cand["sig"] == _sink_signature()
+            ):
+                probed = cand
+        if probed is None:
+            probed = _probe(epoch_id)
+        book = probed["book"]
+        grown_parts = probed["grown"]
         mark("probe", t0)
         if book is not None:
             hwm = book.groupBy(queue_col).agg(F.max("max_id").alias("_hwm"))
@@ -253,12 +313,22 @@ def make_corpus_ingestion_screen(
             max_bucket=max_bucket,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         mark("build", t0)
-        # materialize the status frame (fills every internal cache the
-        # five sinks below read) with ONE job, then commit all five
-        # concurrently — sequential commits paid ~5 write latencies
-        t0 = time.perf_counter()
-        out.count()
-        mark("screen", t0)
+        # NO separate materializing count() (round 15, VERDICT r14
+        # Next #6): the five concurrent sink commits below are launched
+        # immediately and drive the screen's computation themselves —
+        # BlockManager per-block locks make racing consumers compute
+        # each persisted block exactly once (the same coherence
+        # argument as ivf_pq_topk's overlapped training chains), so the
+        # heavy screen compute OVERLAPS the commit fan-out instead of
+        # strictly preceding it, and the marks/hashes sinks (which
+        # depend only on `rows`) back-fill executors while the dedup
+        # pipeline's stages run. Measured: the former count-then-commit
+        # shape paid compute + ~0.6-1.1 s of commit latency per epoch;
+        # the fused shape folds most of the commit wall into the
+        # compute (numbers in OPTIMIZATION_r15.md). Replay semantics
+        # unchanged: every sink still completes before this callback
+        # returns, so the stream's commit log never records an epoch
+        # whose writes are unfinished.
         # grown-index parts from the screen's OWN persisted batch-side
         # artifacts (out.batch_shingles / out.batch_bands): the unique
         # docs are a subset of the exact-stage survivors those frames
@@ -308,6 +378,18 @@ def make_corpus_ingestion_screen(
         t0 = time.perf_counter()
         _commit_concurrently(rows.sparkSession.sparkContext, jobs)
         mark("commit", t0)
+        # prefetch the NEXT epoch's sink probes off the critical path —
+        # launched after this epoch's commits so the listings see its
+        # partitions; consumed (or harmlessly discarded) at the top of
+        # the next callback
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        _pf_pool = _TPE(max_workers=1)
+        _prefetch.clear()
+        _prefetch[int(epoch_id) + 1] = _pf_pool.submit(
+            _probe, int(epoch_id) + 1, True
+        )
+        _pf_pool.shutdown(wait=False)
         t0 = time.perf_counter()
         # release this epoch's caches OFF the epoch's critical path:
         # each DataFrame.unpersist pays a CacheManager plan-matching
@@ -439,6 +521,37 @@ def make_semantic_ingestion_screen(
     from solace_apache_beam_spark.sinks.warehouse import make_idempotent_appender
 
     appender = make_idempotent_appender(status_dir)
+    # next-epoch probe prefetch + staleness guard — same mechanism as
+    # the MinHash twin above (two sink paths here)
+    _prefetch: dict = {}
+
+    def _sink_signature() -> "tuple | None":
+        import os
+
+        names: list = []
+        for p in (book_dir, grown_dir):
+            if "://" in str(p):
+                return None
+            try:
+                names.append(tuple(sorted(os.listdir(p))))
+            except FileNotFoundError:
+                names.append(("<absent>",))
+            except OSError:
+                return None
+        return tuple(names)
+
+    def _probe(epoch_id: int, with_sig: bool = False) -> dict:
+        from concurrent.futures import ThreadPoolExecutor
+
+        sig = _sink_signature() if with_sig else None
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_book = pool.submit(_read_before, spark, book_dir, epoch_id)
+            f_grown = pool.submit(_read_before, spark, grown_dir, epoch_id)
+            return {
+                "book": f_book.result(),
+                "grown": f_grown.result(),
+                "sig": sig,
+            }
 
     def screen(batch_df: DataFrame, epoch_id: int) -> None:
         # scoped reducer-count override (shared helper — applies to the
@@ -453,14 +566,23 @@ def make_semantic_ingestion_screen(
         )
 
     def _screen(batch_df: DataFrame, epoch_id: int) -> None:
-        from concurrent.futures import ThreadPoolExecutor
-
         rows = batch_df.select(queue_col, id_col, doc_col, vec_col)
-        # overlap the two driver-side sink probes
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_book = pool.submit(_read_before, spark, book_dir, epoch_id)
-            f_grown = pool.submit(_read_before, spark, grown_dir, epoch_id)
-            book, grown = f_book.result(), f_grown.result()
+        pre = _prefetch.pop(int(epoch_id), None)
+        probed = None
+        if pre is not None:
+            try:
+                cand = pre.result() if hasattr(pre, "result") else pre
+            except Exception:  # noqa: BLE001 — prefetch is best-effort
+                cand = None
+            if (
+                cand is not None
+                and cand["sig"] is not None
+                and cand["sig"] == _sink_signature()
+            ):
+                probed = cand
+        if probed is None:
+            probed = _probe(epoch_id)
+        book, grown = probed["book"], probed["grown"]
         if book is not None:
             hwm = book.groupBy(queue_col).agg(F.max("max_id").alias("_hwm"))
             rows = (
@@ -482,16 +604,15 @@ def make_semantic_ingestion_screen(
             n_tables=n_tables,
             block_size=block_size,
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        # one materializing job, then the three sinks commit from the
-        # filled caches — CONCURRENT, same shape as the MinHash twin
-        # (round 14 re-measure settled the round-13 asymmetry: the
-        # "concurrent 2x slower" finding rested on a bimodal 2-run
-        # sample and did NOT reproduce — 3x3 A/B at 60k-vector epochs
-        # measured seq 1,315/2,436/1,990 vs conc 1,974/2,535/1,497
-        # steady msg/s, parity well inside the window's spread — so
-        # both screens now share _commit_concurrently and its
-        # stop()-interruptible, cancel-siblings-on-failure semantics).
-        out.count()
+        # NO separate materializing count() (round 15, same as the
+        # MinHash twin): the three concurrent sink commits drive the
+        # screen's computation themselves — per-block cache locks make
+        # racing consumers compute each persisted block exactly once,
+        # so the bucket-matmul compute overlaps the commit fan-out.
+        # (Round 14 had already settled that concurrent commits are at
+        # parity-or-better vs sequential; _commit_concurrently keeps
+        # the stop()-interruptible, cancel-siblings-on-failure
+        # semantics.)
         # grown-index rows from the screen's OWN persisted batch-side
         # bucketed frame (out.batch_index): deterministic per vector,
         # so the unique-id subset IS build_vector_index(unique_docs) —
@@ -508,6 +629,16 @@ def make_semantic_ingestion_screen(
             lambda: _epoch_write(marks, book_dir, epoch_id),
         ]
         _commit_concurrently(rows.sparkSession.sparkContext, jobs)
+        # prefetch the NEXT epoch's sink probes off the critical path
+        # (launched after the commits so the listings see this epoch)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        _pf_pool = _TPE(max_workers=1)
+        _prefetch.clear()
+        _prefetch[int(epoch_id) + 1] = _pf_pool.submit(
+            _probe, int(epoch_id) + 1, True
+        )
+        _pf_pool.shutdown(wait=False)
         out.plan_caches.unpersist()
         out.unpersist()
         rows.unpersist()
