@@ -137,6 +137,33 @@ def _epoch_write(df: DataFrame, path: str, epoch_id: int) -> None:
     )
 
 
+def _listing_signature(paths) -> "tuple | None":
+    """Shallow listing signature of the sink directories a prefetched
+    probe depends on (round 15): one sorted os.listdir per path —
+    microseconds on a local FS. A prefetched probe bakes a file listing
+    into its frames; any partition rewrite between epochs
+    (compact_grown_index, external maintenance) leaves those plans
+    pointing at deleted files, so consumption re-computes this
+    signature and discards the prefetch on ANY difference. Returns
+    None — which never validates, disabling prefetch — for paths that
+    cannot be cheaply re-listed (remote schemes) or that fail listing
+    with anything but plain absence; a missing directory is the
+    legitimate "no epochs yet" state and signs as ("<absent>",)."""
+    import os
+
+    names: list = []
+    for p in paths:
+        if "://" in str(p):
+            return None
+        try:
+            names.append(tuple(sorted(os.listdir(p))))
+        except FileNotFoundError:
+            names.append(("<absent>",))
+        except OSError:
+            return None
+    return tuple(names)
+
+
 def _read_before(spark: SparkSession, path: str, epoch_id: int):
     """Partitions committed by epochs strictly before ``epoch_id`` —
     None when the path doesn't exist yet (first epoch) or holds no
@@ -209,19 +236,9 @@ def make_corpus_ingestion_screen(
     _prefetch: dict = {}
 
     def _sink_signature() -> "tuple | None":
-        import os
-
-        names: list = []
-        for p in [book_dir] + [f"{grown_dir}/{n}" for n in _INDEX_PARTS]:
-            if "://" in str(p):
-                return None
-            try:
-                names.append(tuple(sorted(os.listdir(p))))
-            except FileNotFoundError:
-                names.append(("<absent>",))
-            except OSError:
-                return None
-        return tuple(names)
+        return _listing_signature(
+            [book_dir] + [f"{grown_dir}/{n}" for n in _INDEX_PARTS]
+        )
 
     def _probe(epoch_id: int, with_sig: bool = False) -> dict:
         from concurrent.futures import ThreadPoolExecutor
@@ -526,19 +543,7 @@ def make_semantic_ingestion_screen(
     _prefetch: dict = {}
 
     def _sink_signature() -> "tuple | None":
-        import os
-
-        names: list = []
-        for p in (book_dir, grown_dir):
-            if "://" in str(p):
-                return None
-            try:
-                names.append(tuple(sorted(os.listdir(p))))
-            except FileNotFoundError:
-                names.append(("<absent>",))
-            except OSError:
-                return None
-        return tuple(names)
+        return _listing_signature((book_dir, grown_dir))
 
     def _probe(epoch_id: int, with_sig: bool = False) -> dict:
         from concurrent.futures import ThreadPoolExecutor

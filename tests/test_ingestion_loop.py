@@ -277,3 +277,44 @@ def test_compact_grown_index_crash_recovery_epoch_col(
     # late epoch=88 carried over (a copy of the fold), folded epoch=0
     # did not return
     assert spark.read.parquet(bands).count() == 2 * n_now
+
+
+def test_listing_signature_staleness_semantics(tmp_path):
+    """The round-15 probe-prefetch staleness guard: a prefetched probe
+    is only consumed when every sink directory's shallow listing is
+    unchanged since the prefetch. Pins the signature's three regimes —
+    an absent dir is the legitimate 'no epochs yet' state (signs, and
+    changes when the dir appears), any partition-set change (growth OR
+    compaction's fold/delete) changes the signature, and a path that
+    cannot be re-listed (remote scheme) yields None, which never
+    validates (prefetch stays off rather than trusting an uncheckable
+    listing — the compaction hazard observed live in round 15)."""
+    import os
+
+    from solace_apache_beam_spark.streaming.ingestion import (
+        _listing_signature,
+    )
+
+    book = tmp_path / "book"
+    grown = tmp_path / "grown"
+    paths = [str(book), str(grown)]
+
+    s_absent = _listing_signature(paths)
+    assert s_absent == (("<absent>",), ("<absent>",))
+
+    os.makedirs(book / "epoch=0")
+    os.makedirs(grown / "epoch=0")
+    s0 = _listing_signature(paths)
+    assert s0 != s_absent and s0 == _listing_signature(paths)
+
+    # growth changes it ...
+    os.makedirs(grown / "epoch=1")
+    s1 = _listing_signature(paths)
+    assert s1 != s0
+    # ... and compaction's fold/delete changes it again
+    os.rename(grown / "epoch=0", grown / "epoch=-1")
+    assert _listing_signature(paths) != s1
+
+    # un-listable paths disable validation entirely
+    assert _listing_signature(["s3://bucket/grown"]) is None
+    assert _listing_signature([str(book), "hdfs://nn/grown"]) is None

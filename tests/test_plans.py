@@ -308,12 +308,13 @@ def test_rescue_composition_joins_never_static_broadcast(spark, sf_dir):
     a (doc_a, doc_b) aggregation, NOT a pair-frame join — pair frames
     are unbounded at web scale with static estimates (distinct over
     generate over cached lineage) that can read tiny and misplan a
-    broadcast build. The ONLY broadcast allowed is the partition-id
-    semi-join that filters the shared shingle cache: its build side is
-    a filter+project of the documents scan, whose estimate tracks the
-    scan (the trustworthy, statistics-driven class — same rationale as
-    incremental_dedup's exact-hash join), so at real scale the planner
-    sizes it honestly and falls back to sort-merge on its own."""
+    broadcast build. Round 15 removed the one formerly-allowed
+    broadcast (the partition-id semi-join over the corpus shingle
+    cache): the rescue pass now shingles its partition DIRECTLY with
+    the rescue geometry fused into the kernel, so the plan must have
+    NO BroadcastHashJoin at all, and no standalone `bands(hs...)`
+    re-banding kernel — rescue banding is a posexplode of the fused
+    bands64x32 column (VERDICT r14 Next #3)."""
     from pyspark.sql import functions as F
 
     from solace_apache_beam_spark.llm.dedup import minhash_lsh_pairs_rescue
@@ -324,10 +325,12 @@ def test_rescue_composition_joins_never_static_broadcast(spark, sf_dir):
     plan = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
-    for line in plan.splitlines():
-        if "BroadcastHashJoin" in line:
-            assert "LeftSemi" in line, line
+    assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" in plan
+    # the fused-kernel pin: _sig_bands_udf's kernel is named `bands` and
+    # takes the hash arrays — its presence would mean a separate
+    # ArrowEvalPython re-banding hop crept back in
+    assert "bands(hs" not in plan
 
 
 def test_neardup_lsh_bucket_join_is_sort_merge_never_broadcast(spark, sf_dir):
