@@ -76,107 +76,72 @@ def _load() -> None:
 # window.  Retired queries keep their kernels and pytest coverage; only
 # the driver-gate registration is consolidated.
 #
-# Round-14 rotation, refreshed at ROUND CLOSE (standing rule from
-# VERDICT r8 Next #3: keep every gate row <= 1 round old; VERDICT r13
-# Next #7 made the rotation a mechanical round-open step — the audit
-# ran green at open AND close): set 1 is exactly the 33 queries whose
-# newest driver row was r12 at round-14 open — the audit's stale set —
-# alphabetical.  Set 0 is the round's lockstep re-pins, the six
-# registered queries whose plans (one also its oracle) changed this
-# round, each re-proven value-hash-equal vs DuckDB at sf0.01 AND
-# sf0.1 in the same session as the change:
-# - dedup_clusters: connected_components co-partitions+sorts the
-#   static edge cache on dst (rounds join it with no exchange/sort)
-#   and defers the pointer jump into the next round's job (the final
-#   confirming round does none); labels bit-identical.
-# - incremental_dedup: touched-bucket prefilter pins F.broadcast on
-#   the batch-bounded side (ADVICE r13), and the verify joins are
-#   reordered so the best-match window reuses the final join's new_id
-#   partitioning on the sort-merge path.
-# - multimodal_features: consolidated onto the REAL decode path
-#   (bytes wrapped as actual BMPs, decoded by the pure-python codec,
-#   decoded-pixel histogram) with a matching new hex-pair oracle.
-# - embedding_neardup_auto: the exact route's block-pair frame is
-#   repartitioned on (ablk, bblk) before scoring (one matmul per
-#   task instead of up to B serial matmuls in <= B tasks).
-# - duplicate_spans / curation_pipeline: gram construction is an
-#   Arrow kernel and the span stats collapse into one whole-partition
-#   window over a single gram-keyed exchange (strings cross one
-#   shuffle, not three).
-# - the MinHash/SimHash families (second session): fused
-#   shingle+signature Arrow kernel (one Python hop instead of two),
-#   bucket sizing via a whole-partition window (one exchange of the
-#   band stream and ONE computation of the signature pipeline instead
-#   of two), and the single-split shape (short/NULL-doc handling moved
-#   into the kernels so the tokenizing regex runs once per row, with
-#   asNondeterministic pinning the kernels against filter-pushdown
-#   duplication).
-# - text_repetition / text_language_id: all per-doc counts from one
-#   zero-shuffle Arrow token pass (the former token explode +
-#   two-level aggregate + merge join, resp. five interpreted
-#   aggregate-HOF passes, are gone); fractions/argmax stay JVM
-#   expressions over the returned integers.
-# - bm25_components / dedup_ngram_jaccard: document frequency from a
-#   whole-partition window over the one term/shingle exchange (the
-#   former count-aggregate + merge join consumed the keyed frame
-#   twice; bm25's tf persist disappears with its second consumer).
-# 49 head entries <= the ~50-row snapshot window.
+# Round-15 rotation, refreshed at ROUND CLOSE (standing rule from
+# VERDICT r8 Next #3: keep every gate row <= 1 round old; the audit
+# ran green after this refresh).  Set 1 is exactly the 33 queries
+# whose newest driver row was r13 at round-15 open — the audit's stale
+# set — alphabetical.  Set 0 is the round's lockstep re-pins, the
+# registered queries whose plan or oracle SQL (or driver-side training
+# path) changed this optimization round, each re-proven value-equal vs
+# DuckDB at sf0.01 in the same session as the change:
+# - dedup_minhash_rescue: the rescue pass shingles its partition
+#   directly with the rescue geometry fused into the kernel (the
+#   corpus-cache semi-join and the separate ArrowEvalPython re-banding
+#   stage are gone); band values and the covered doc set unchanged.
+# - duplicate_spans / curation_pipeline: the positioned-gram kernel
+#   emits 60-bit md5-prefix HASHES instead of gram strings, and both
+#   span oracles hash the identical bytes — the one gram exchange
+#   carries longs; outputs value-identical (collisions, if any, merge
+#   identically on both engines — the shingle contract).
+# - ann_ivf_pq_residual: PQ training seeds are computed driver-side
+#   from the quantized cache + coarse centroids (bit-identical seed
+#   list; the physical plan is unchanged — this is a training-path
+#   re-pin out of caution, its stale-set slot moved to the head).
+# (The isEmpty-probe removals in kmeans_assign/semantic_dedup/
+# ivf_pq_topk/pq_encode change neither plans nor values — no lockstep
+# entry; their plan dumps are byte-identical, plans/r15/.)
+# 36 head entries <= the ~50-row snapshot window.
 _PRIORITY: tuple[str, ...] = (
-    # 0. lockstep re-pins (round-14 plan changes; multimodal_features
-    #    also changed its oracle — the real-decode consolidation).
-    "dedup_clusters",
-    "incremental_dedup",
-    "multimodal_features",
-    "embedding_neardup_auto",
+    # 0. lockstep re-pins (round-15 plan/oracle/training changes).
+    "dedup_minhash_rescue",
     "duplicate_spans",
     "curation_pipeline",
-    "minhash_band_hashes",
-    "dedup_minhash_lsh",
-    "dedup_minhash_rescue",
-    "dedup_ngram_jaccard",
-    "training_data_pipeline",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_simhash_pairs_auto",
-    "decontamination_report",
-    "text_repetition",
-    "text_language_id",
-    "bm25_components",
-    # 1. newest driver row: round 12 — refresh (alphabetical; the
-    #    audit's stale set at round-14 open).
-    "ann_ivf_cosine",
-    "ann_lsh_cosine",
-    "asof_click_view",
-    "chunk_documents",
-    "corpus_stats",
-    "cube_order_stats",
-    "customers_without_orders",
-    "data_quality_events",
-    "dedup_rate_report",
-    # (dedup_simhash_pairs / dedup_simhash_pairs_auto moved to set 0 —
-    #  second-session plan changes)
-    # (embedding_neardup_auto moved to set 0 — round-14 plan change)
-    "expectation_report_lineitem",
-    "funnel_view_click_purchase",
-    "hypertable_rollup_events",
-    "kmv_distinct_parts",
-    "knn_brute_cosine",
-    "multimodal_frame_sample",
-    "orders_above_customer_avg",
-    "percentiles_event_value",
-    "pq_code_assign",
-    "protobuf_roundtrip",
-    "salted_revenue_by_segment",
-    "sample_documents_10pct",
-    "semantic_dedup",
-    "sequence_packing",
-    "split_train_val_test",
-    "stratified_sample_lineitem",
-    "suppliers_with_large_parts",
-    "text_normalize",
-    "text_pii_redact",
-    "tpch_q3_shipping_priority",
-    "training_shard_stats",
+    "ann_ivf_pq_residual",
+    # 1. newest driver row: round 13 — refresh (alphabetical; the
+    #    audit's stale set at round-15 open; ann_ivf_pq_residual moved
+    #    to set 0).
+    "analytic_user_running",
+    "ann_ivf_pq_cosine",
+    "ann_sq8_cosine",
+    "count_per_window_global",
+    "dedup_by_representative_key",
+    "dedup_exact",
+    "embedding_centroids",
+    "embedding_coverage",
+    "embedding_neardup_lsh",
+    "envelope_project",
+    "ivf_kmeans_assign",
+    "json_payload_parse",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "observed_metrics",
+    "payload_extract",
+    "pivot_linestatus",
+    "range_join_error_clicks",
+    "revenue_by_nation",
+    "rollup_pricing",
+    "session_window_count",
+    "set_ops_custkeys",
+    "sliding_window_count",
+    "source_quality_gate",
+    "sq8_code_assign",
+    "text_fingerprint",
+    "text_quality",
+    "text_token_counts",
+    "top_customers_per_segment",
+    "tpch_q1_pricing_summary",
+    "training_shuffle_manifest",
+    "vocab_top_words",
 )
 
 
