@@ -582,6 +582,7 @@ def _doc_shingles(
     n: int,
     n_perm: int | None = None,
     n_bands: int | None = None,
+    carry_hash: bool = False,
 ) -> DataFrame:
     """(id, hs): per-doc distinct shingle-hash set. Tokenization stays
     JVM-side (codegen'd split); shingle+hash is one Arrow UDF.
@@ -606,15 +607,31 @@ def _doc_shingles(
     The post-filter sits on the kernel OUTPUT, so the split runs once;
     the filter cannot be pushed below the (deterministic) UDF and
     duplicate it because Catalyst only pushes filters over the UDF's
-    INPUT columns, and size(hs) references its output."""
+    INPUT columns, and size(hs) references its output.
+
+    ``carry_hash`` (round 15): additionally carry ``md5(text)`` as
+    ``_h``, computed in the SAME JVM scan projection that feeds the
+    kernel, and KEEP empty-shingle rows (hs = []) — the frame can then
+    also serve the exact-dedup content-hash artifact, so callers that
+    need both (incremental_dedup's recompute path, build_corpus_index)
+    read the corpus text column ONCE instead of twice (guide §1.2: a
+    redundant full pass; at 100 TB the second text scan is a whole
+    extra read of the heaviest column). On this path the caller
+    filters ``size(hs) > 0`` itself for the shingle/band consumers;
+    NULL-text rows keep ``_h`` NULL (md5(NULL)), exactly what the
+    standalone hash projection produced."""
     words = words_expr(text_col)
     # spread_scan: small inputs plan the whole scan (and therefore this
     # kernel) into fewer tasks than cores — spread the narrow (id,
     # text) projection first; no-op when the scan already has >= cores
     # partitions (always, at scale)
+    proj = [F.col(id_col), words.alias("words")]
+    if carry_hash:
+        proj.append(F.md5(F.col(text_col)).alias("_h"))
     base = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), words.alias("words")
+        *proj
     )
+    carry = [F.col("_h")] if carry_hash else []
     # asNondeterministic: WITHOUT it the optimizer pushes the size(hs)
     # filter below the (deterministic) UDF by COPYING the whole kernel
     # into the filter — two ArrowEvalPython nodes, every row shingled
@@ -623,20 +640,23 @@ def _doc_shingles(
     # forbids the optimizer to duplicate/reorder it.
     if n_perm is None:
         kern = _shingle_hash_udf(n).asNondeterministic()
-        out = base.select(F.col(id_col), kern(F.col("words")).alias("hs"))
+        out = base.select(
+            F.col(id_col), kern(F.col("words")).alias("hs"), *carry
+        )
     else:
         assert n_bands is not None, "fused shingling needs the full geometry"
         tag = f"bands{n_perm}x{n_bands}"
         kern = _shingle_bands_udf(n, n_perm, n_bands).asNondeterministic()
         fused = base.select(
-            F.col(id_col), kern(F.col("words")).alias("_ss")
+            F.col(id_col), kern(F.col("words")).alias("_ss"), *carry
         )
         out = fused.select(
             F.col(id_col),
             F.col("_ss.hs").alias("hs"),
             F.col(f"_ss.{tag}").alias(tag),
+            *carry,
         )
-    return out.filter(F.size("hs") > 0)
+    return out if carry_hash else out.filter(F.size("hs") > 0)
 
 
 def minhash_band_hashes(
@@ -1499,20 +1519,29 @@ def build_corpus_index(
     persisted during the build so the Arrow kernel runs once across
     the two frames derived from it; call ``.unpersist()`` on the
     returned index after materializing the artifacts to release it."""
-    sh = _doc_shingles(
-        corpus_df, text_col, id_col, shingle_n, n_perm, n_bands
+    # ONE corpus text scan for all three artifacts (round 15): the
+    # content hashes ride the shingle kernel's scan projection
+    # (carry_hash), so building the index reads the text column once
+    # instead of twice. The full frame keeps empty-shingle rows —
+    # short/NULL-text docs must still appear in `hashes` (exact-stage
+    # coverage); the shingle/band artifacts filter size(hs) > 0, the
+    # identical doc set the former filtered frame produced.
+    sh_full = _doc_shingles(
+        corpus_df, text_col, id_col, shingle_n, n_perm, n_bands,
+        carry_hash=True,
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sh_full.filter(F.size("hs") > 0)
     return CorpusIndex(
         {
-            "hashes": corpus_df.select(
-                F.col(id_col).alias("corp_id"), F.md5(F.col(text_col)).alias("h")
+            "hashes": sh_full.select(
+                F.col(id_col).alias("corp_id"), F.col("_h").alias("h")
             ),
             "shingles": sh.select(F.col(id_col).alias("corp_id"), "hs"),
             "bands": _band_hashes_from_shingles(sh, id_col, n_perm, n_bands).select(
                 F.col(id_col).alias("corp_id"), "band", "band_hash"
             ),
         },
-        sh,
+        sh_full,
     )
 
 
@@ -1585,6 +1614,21 @@ def incremental_dedup(
             F.col("corp_id"), F.col("hs").alias("sh_c")
         )
     else:
+        # NOT hash-carried (round 15 — tried and REVERTED): riding
+        # md5(text) on the shingle kernel's scan (carry_hash, the shape
+        # build_corpus_index keeps) removes the second corpus text scan
+        # BUT makes the exact stage — the head of the whole batch-side
+        # chain (remaining -> batch kernel -> everything) — depend on
+        # the corpus kernel frame's materialization. The standalone
+        # hash projection runs CONCURRENTLY with the corpus kernel
+        # today, so the fused shape trades max(md5 scan, kernel) for
+        # kernel-then-batch-chain: measured +20-30 % on the query at
+        # sf0.1 (alternating-process min-of-3, new arm slower in 3/3
+        # cycles) — the same critical-path-serialization mechanism as
+        # the reverted corpus-side semi prefilter above. The saving is
+        # real only where there is no concurrency to lose, which is
+        # exactly build_corpus_index (a build-once batch job), where
+        # the carry IS kept.
         corp_hash = corpus_df.select(
             F.col(id_col).alias("corp_id"), F.md5(F.col(text_col)).alias("h")
         )
