@@ -502,7 +502,10 @@ def _gram_strings_udf(n: int):
     ordered array of n-gram STRINGS (position i holds words[i:i+n]
     joined by one space — byte-identical to concat_ws(" ", slice(...))
     on every engine, so oracles replaying array_to_string(words[i:j],
-    ' ') see the same grams). One Python join per gram replaces the
+    ' ') see the same grams). Since round 15 the span pipelines consume
+    the HASHED twin below; this kernel stays as the reference
+    implementation the differential test pins the hash values against
+    (tests/test_properties_spans.py). One Python join per gram replaces the
     interpreted transform(sequence, slice, concat_ws) chain — the
     same ~12 us-per-slice interpreted overhead _shingle_hash_udf
     measured, vs ~1 us here (round 14: 4.5-5.7 s -> ~1 s for 2.36 M

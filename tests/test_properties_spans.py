@@ -78,3 +78,53 @@ def test_duplicate_spans_matches_reference(spark, texts, with_null_id):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_gram_hash_kernel_matches_string_kernel_h64(spark):
+    """The round-15 positioned-gram HASH kernel's value contract:
+    position i holds exactly the 60-bit md5 prefix of the gram string
+    the reference string kernel emits there (the convention the span
+    oracles replay with ('0x' || substr(md5(g),1,15))::BIGINT) — the
+    string kernel stays in the module as this test's reference
+    implementation. Covers empty/short/NULL docs (both kernels emit
+    [])."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from solace_apache_beam_spark.llm.dedup import (
+        _gram_hashes_udf,
+        _gram_strings_udf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # == n
+            (2, "too short"),
+            (3, None),
+            (4, "alpha beta gamma delta epsilon zeta eta theta alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    words = F.filter(
+        F.split(F.col("text"), r"[^\p{L}]+"), lambda x: x != F.lit("")
+    )
+    both = df.select(
+        "doc_id",
+        _gram_strings_udf(8)(words).alias("gs"),
+        _gram_hashes_udf(8)(words).alias("gh"),
+    ).collect()
+    for r in both:
+        expect = [
+            int.from_bytes(
+                hashlib.md5(g.encode("utf-8")).digest()[:8], "big"
+            )
+            >> 4
+            for g in (r.gs or [])
+        ]
+        assert list(r.gh or []) == expect, r.doc_id
+    # the short/NULL rows really exercised the empty path
+    by_id = {r.doc_id: r for r in both}
+    assert list(by_id[2].gs) == [] and list(by_id[3].gs) == []
+    assert len(by_id[0].gs) == 2 and len(by_id[4].gs) == 3
